@@ -1,0 +1,225 @@
+"""ngsDist-compatible command line interface.
+
+Accepts the exact flag surface of the reference
+(/root/reference/parse_args.cpp:52-164) with getopt_long_only semantics:
+single- or double-dash long options, unambiguous prefix matching, and
+single-letter short-option fallback when a prefix is ambiguous.  Errors
+and the verbose>=1 argument echo follow the reference's wording; fatal
+errors exit with status 255 (C exit(-1)).
+
+Usage:  python -m ngsdist_tpu [options] --geno FILE --n_ind N --n_sites N --out FILE
+"""
+
+from __future__ import annotations
+
+import sys
+from typing import List, Optional
+
+from .config import Params, NgsDistError, EVOL_MODEL_NAMES
+from .version import __version__
+
+# (long name, takes_arg, short char) — parse_args.cpp:54-83.
+_OPTIONS = [
+    ("geno", True, "g"),
+    ("probs", False, "p"),
+    ("log_scale", False, "l"),
+    ("n_ind", True, "n"),
+    ("n_sites", True, "s"),
+    ("tot_sites", True, "S"),
+    ("labels", True, "L"),
+    ("labelsH", True, "H"),
+    ("pos", True, "a"),
+    ("posH", True, "A"),
+    ("call_geno", False, "c"),
+    ("N_thresh", True, "N"),
+    ("call_thresh", True, "C"),
+    ("pairwise_del", False, "D"),
+    ("avg_nuc_dist", False, "d"),
+    ("evol_model", True, "m"),
+    ("indep_geno", False, "I"),
+    ("n_boot_rep", True, "b"),
+    ("boot_block_size", True, "B"),
+    ("out", True, "o"),
+    ("n_threads", True, "x"),
+    ("verbose", True, "V"),
+    ("seed", True, "r"),
+]
+_BY_NAME = {name: (name, arg, short) for name, arg, short in _OPTIONS}
+_BY_SHORT = {short: (name, arg, short) for name, arg, short in _OPTIONS}
+
+# Extra long options unique to the TPU framework (not in the reference).
+_EXT_OPTIONS = [
+    ("engine", True),   # exact | jax | auto
+]
+_EXT_BY_NAME = dict(_EXT_OPTIONS)
+
+
+def _atol(s: str) -> int:
+    """C atol/atoi: parse a leading integer, 0 if none."""
+    s = s.strip()
+    sign = 1
+    i = 0
+    if i < len(s) and s[i] in "+-":
+        sign = -1 if s[i] == "-" else 1
+        i += 1
+    j = i
+    while j < len(s) and s[j].isdigit():
+        j += 1
+    return sign * int(s[i:j]) if j > i else 0
+
+
+def _atof(s: str) -> float:
+    """C atof: parse a leading double, 0 if none."""
+    import re
+
+    m = re.match(r"\s*[+-]?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?", s)
+    return float(m.group(0)) if m else 0.0
+
+
+def _resolve(name: str):
+    """getopt_long_only resolution: exact match, then unambiguous prefix,
+    then single-char short-option fallback."""
+    if name in _BY_NAME:
+        return _BY_NAME[name], False
+    if name in _EXT_BY_NAME:
+        return ("engine", _EXT_BY_NAME[name], None), True
+    matches = [o for o in _OPTIONS if o[0].startswith(name)]
+    ext_matches = [o for o in _EXT_OPTIONS if o[0].startswith(name)]
+    if len(matches) + len(ext_matches) == 1:
+        if matches:
+            return matches[0], False
+        return (ext_matches[0][0], ext_matches[0][1], None), True
+    if len(name) == 1 and name in _BY_SHORT:
+        return _BY_SHORT[name], False
+    return None, False
+
+
+def parse_args(argv: List[str]):
+    """Parse into (Params, extras dict); raises SystemExit(255) on bad flags."""
+    pars = Params()
+    extras = {"engine": "auto"}
+    i = 0
+    while i < len(argv):
+        tok = argv[i]
+        if not tok.startswith("-") or tok == "-":
+            print(f"ngsdist_tpu: unexpected argument '{tok}'", file=sys.stderr)
+            raise SystemExit(255)
+        name = tok.lstrip("-")
+        val: Optional[str] = None
+        if "=" in name:
+            name, val = name.split("=", 1)
+        opt, is_ext = _resolve(name)
+        if opt is None:
+            print(f"ngsdist_tpu: unrecognized option '{tok}'", file=sys.stderr)
+            raise SystemExit(255)
+        lname, takes_arg = opt[0], opt[1]
+        if takes_arg and val is None:
+            i += 1
+            if i >= len(argv):
+                print(f"ngsdist_tpu: option '{tok}' requires an argument", file=sys.stderr)
+                raise SystemExit(255)
+            val = argv[i]
+        i += 1
+
+        if is_ext:
+            extras[lname] = val
+            continue
+        if lname == "geno":
+            pars.in_geno = val
+        elif lname == "probs":
+            pars.in_probs = True
+        elif lname == "log_scale":
+            pars.in_logscale = True
+            pars.in_probs = True
+        elif lname == "n_ind":
+            pars.n_ind = _atol(val)
+        elif lname == "n_sites":
+            pars.n_sites = _atol(val)
+        elif lname == "tot_sites":
+            pars.tot_sites = _atol(val)
+        elif lname == "labels":
+            pars.in_labels = val
+            pars.in_labels_header = False
+        elif lname == "labelsH":
+            pars.in_labels = val
+            pars.in_labels_header = True
+        elif lname == "pos":
+            pars.in_pos = val
+            pars.in_pos_header = False
+        elif lname == "posH":
+            pars.in_pos = val
+            pars.in_pos_header = True
+        elif lname == "call_geno":
+            pars.call_geno = True
+        elif lname == "N_thresh":
+            pars.N_thresh = _atof(val)
+            pars.call_geno = True
+        elif lname == "call_thresh":
+            pars.call_thresh = _atof(val)
+            pars.call_geno = True
+        elif lname == "pairwise_del":
+            pars.pairwise_del = True
+        elif lname == "avg_nuc_dist":
+            pars.avg_nuc_dist = True
+        elif lname == "evol_model":
+            pars.evol_model = _atol(val)
+        elif lname == "indep_geno":
+            pars.indep_geno = True
+        elif lname == "n_boot_rep":
+            pars.n_boot_rep = _atol(val)
+        elif lname == "boot_block_size":
+            pars.boot_block_size = _atol(val)
+        elif lname == "out":
+            pars.out = val
+        elif lname == "n_threads":
+            pars.n_threads = _atol(val)
+        elif lname == "verbose":
+            pars.verbose = _atol(val)
+        elif lname == "seed":
+            pars.seed = _atol(val)
+    return pars, extras
+
+
+def echo_args(pars: Params) -> None:
+    """Argument echo at verbose>=1 (parse_args.cpp:167-194)."""
+    if pars.verbose < 1:
+        return
+    model_name = EVOL_MODEL_NAMES[pars.evol_model] if 0 <= pars.evol_model <= 6 else "?"
+    b = lambda x: "true" if x else "false"  # noqa: E731
+    sys.stderr.write(
+        "==> Input Arguments:\n"
+        f"\tgeno: {pars.in_geno}\n\tprobs: {b(pars.in_probs)}\n\tlog_scale: {b(pars.in_logscale)}\n"
+        f"\tn_ind: {pars.n_ind}\n\tn_sites: {pars.n_sites}\n\ttot_sites: {pars.tot_sites}\n"
+        f"\tlabels: {pars.in_labels}\n\tpositions: {pars.in_pos}\n"
+        f"\tcall_geno: {b(pars.call_geno)}\n\tN_thresh: {pars.N_thresh:f}\n"
+        f"\tcall_thresh: {pars.call_thresh:f}\n\tpairwise_del: {b(pars.pairwise_del)}\n"
+        f"\tavg_nuc_dist: {b(pars.avg_nuc_dist)}\n\tevol_model: {model_name}\n"
+        f"\tgeno_indep: {b(pars.indep_geno)}\n\tn_boot_rep: {pars.n_boot_rep}\n"
+        f"\tboot_block_size: {pars.boot_block_size}\n\tout: {pars.out}\n"
+        f"\tn_threads: {pars.n_threads}\n\tverbose: {pars.verbose}\n\tseed: {pars.seed}\n"
+        f"\tversion: {__version__}\n\n"
+    )
+    if pars.verbose > 4:
+        sys.stderr.write(
+            "==> Verbose values greater than 4 for debugging purpose only. "
+            "Expect large amounts of info on screen\n"
+        )
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    argv = sys.argv[1:] if argv is None else argv
+    pars, extras = parse_args(argv)
+    echo_args(pars)
+    try:
+        from . import runner
+
+        runner.run(pars, engine=extras.get("engine", "auto"))
+    except NgsDistError as e:
+        sys.stdout.flush()
+        sys.stderr.write(f"\n=====\nERROR: [{e.func}] {e.msg}\n=====\n\n")
+        return 255
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

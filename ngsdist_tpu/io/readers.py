@@ -1,0 +1,234 @@
+"""Input readers: genotype/GL/GP matrices, labels and positions.
+
+The genotype reader follows the exact format semantics of the reference
+(/root/reference/shared/read_data.cpp:13-116): three input styles
+(binary site-major doubles; gzipped TSV probabilities; gzipped TSV hard
+genotypes coded {-1,0,1,2}), single space/tab field splitting keeping
+only numeric fields, last-N-columns selection (Beagle-style leading
+columns ignored), header-line skipping, empty lines consuming a site as
+missing, per-individual log-space normalization, and a strict EOF check.
+
+The primary implementation is the native C reader (bit-exact glibc
+log/exp); `read_geno(..., native=False)` selects a pure numpy fallback
+whose results may differ from a C pipeline by 1 ulp in the last place.
+
+Data model: site-major float64 array [n_sites, n_ind, 3] — the layout
+fed to the TPU engine, where sites are the sharded axis.
+"""
+
+from __future__ import annotations
+
+import gzip
+import re
+import sys
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from ..config import N_GENO, NgsDistError
+from ..utils import native as _native
+
+BIGNEG = 1.0e15  # log-space missing sentinel (reference INF, gen_func.hpp:15)
+LINE_MAX = 500000
+
+# Numeric forms accepted by C strtod (and not Python-only forms such as
+# digit underscores): decimal/exponent, hex floats, inf/nan.
+_STRTOD_RE = re.compile(
+    r"""^[+-]?(
+        (\d+\.?\d*|\.\d+)([eE][+-]?\d+)? |
+        0[xX]([0-9a-fA-F]+\.?[0-9a-fA-F]*|\.[0-9a-fA-F]+)([pP][+-]?\d+)? |
+        [iI][nN][fF]([iI][nN][iI][tT][yY])? |
+        [nN][aA][nN]
+    )$""",
+    re.X,
+)
+
+
+def _open_text(path: str):
+    if path == "-":
+        return sys.stdin.buffer
+    return gzip.open(path, "rb") if path.endswith(".gz") else open(path, "rb")
+
+
+def _split_numeric(line: str) -> List[float]:
+    out = []
+    for tok in re.split(r"[ \t]", line):
+        if tok and _STRTOD_RE.match(tok):
+            out.append(float(tok))
+    return out
+
+
+def _chomp(s: str) -> str:
+    """Strip exactly one trailing newline or carriage return."""
+    if s and s[-1] in "\n\r":
+        return s[:-1]
+    return s
+
+
+def read_geno(
+    path: str,
+    in_bin: bool,
+    in_probs: bool,
+    in_logscale: bool,
+    n_ind: int,
+    n_sites: int,
+    native: bool = True,
+) -> np.ndarray:
+    """Read a genotype/GL/GP file into [n_sites, n_ind, 3] log-space,
+    per-individual normalized probabilities (always returns log scale,
+    like the reference reader).
+    """
+    if native and path != "-":
+        lib = _native.get_lib()
+        out = np.empty((n_sites, n_ind, N_GENO), dtype=np.float64)
+        errbuf = bytes(256)
+        rc = lib.nd_read_geno(
+            path.encode(), int(in_bin), int(in_probs), int(in_logscale),
+            n_ind, n_sites, _native.as_double_ptr(out), errbuf, len(errbuf),
+        )
+        if rc != 0:
+            raise NgsDistError("read_geno", errbuf.split(b"\0")[0].decode())
+        return out
+    return _read_geno_py(path, in_bin, in_probs, in_logscale, n_ind, n_sites)
+
+
+def _postprob_py(tri: np.ndarray) -> np.ndarray:
+    """Log-normalize triples along the last axis (post_prob semantics)."""
+    m = np.max(tri, axis=-1, keepdims=True)
+    s = np.sum(np.exp(tri - m), axis=-1, keepdims=True)
+    norm = np.where(np.isneginf(m), -np.inf, np.log(s) + m)
+    return tri - norm
+
+
+def _read_geno_py(
+    path: str, in_bin: bool, in_probs: bool, in_logscale: bool,
+    n_ind: int, n_sites: int,
+) -> np.ndarray:
+    n_geno = N_GENO if in_probs else 1
+    geno = np.full((n_sites, n_ind, N_GENO), -BIGNEG, dtype=np.float64)
+
+    fh = _open_text(path) if not in_bin else (
+        sys.stdin.buffer if path == "-" else
+        (gzip.open(path, "rb") if path.endswith(".gz") else open(path, "rb"))
+    )
+    try:
+        if in_bin:
+            want = n_ind * N_GENO * 8
+            for s in range(n_sites):
+                buf = fh.read(want)
+                if len(buf) != want:
+                    raise NgsDistError(
+                        "read_geno",
+                        "GENO file at premature EOF. Check GENO file and number of sites!",
+                    )
+                row = np.frombuffer(buf, dtype=np.float64).reshape(n_ind, N_GENO).copy()
+                if not in_logscale:
+                    with np.errstate(divide="ignore", invalid="ignore"):
+                        row = np.log(row)
+                    row[np.isneginf(row)] = -BIGNEG
+                row = _postprob_py(row)
+                if np.isnan(row).any():
+                    raise NgsDistError("read_geno", "NaN found! Is the file format correct?")
+                geno[s] = row
+        else:
+            s = 0
+            while s < n_sites:
+                raw = fh.readline(LINE_MAX)
+                if not raw:
+                    raise NgsDistError(
+                        "read_geno",
+                        "GENO file at premature EOF. Check GENO file and number of sites!",
+                    )
+                line = _chomp(raw.decode("utf-8", errors="replace"))
+                if line == "":
+                    s += 1  # empty line consumes the site; stays missing
+                    continue
+                vals = _split_numeric(line)
+                n_fields = len(vals)
+                if n_fields == 0 or (s == 0 and n_fields < n_ind * n_geno):
+                    print("> Header found! Skipping line...", file=sys.stderr)
+                    if s != 0:
+                        print(
+                            "\n=======\nWARNING: [read_geno]  header found but "
+                            "not on first line. Is this an error?\n=======\n",
+                            file=sys.stderr,
+                        )
+                    continue
+                if n_fields < n_ind * n_geno:
+                    raise NgsDistError(
+                        "read_geno", "wrong GENO file format. Less fields than expected!"
+                    )
+                tail = np.asarray(vals[n_fields - n_ind * n_geno:], dtype=np.float64)
+                if in_probs:
+                    row = tail.reshape(n_ind, N_GENO).copy()
+                    if not in_logscale:
+                        with np.errstate(divide="ignore", invalid="ignore"):
+                            row = np.log(row)
+                        row[np.isneginf(row)] = -BIGNEG
+                else:
+                    g = tail.astype(np.int64)
+                    if (g > 2).any():
+                        raise NgsDistError(
+                            "read_geno",
+                            "wrong GENO file format. Genotypes must be coded as {-1,0,1,2} !",
+                        )
+                    row = np.full((n_ind, N_GENO), -BIGNEG, dtype=np.float64)
+                    miss = g < 0
+                    row[miss] = np.log(1.0 / N_GENO)
+                    idx = np.where(~miss)[0]
+                    row[idx, g[idx]] = 0.0
+                geno[s] = _postprob_py(row)
+                s += 1
+        # Strict EOF check (read_data.cpp:106-109).
+        probe = fh.read(1)
+        if probe:
+            raise NgsDistError(
+                "read_geno", "GENO file not at EOF. Check GENO file and number of sites!"
+            )
+    finally:
+        if fh is not sys.stdin.buffer:
+            fh.close()
+    return geno
+
+
+def read_file_lines(path: str, offset: int = 0) -> List[str]:
+    """Read text lines, skipping blank lines and '#' comments, then
+    dropping `offset` leading kept lines (read_file, gen_func.cpp:238-282)."""
+    out: List[str] = []
+    with _open_text(path) as fh:
+        for raw in fh:
+            line = _chomp(raw.decode("utf-8", errors="replace"))
+            if line == "" or line.startswith("#"):
+                continue
+            out.append(line)
+    return out[offset:]
+
+
+def read_labels(path: str, header: bool, n_ind: int) -> List[str]:
+    """Individual labels, one per line, truncated at the first tab
+    (ngsDist.cpp:103-116)."""
+    lines = read_file_lines(path, 1 if header else 0)
+    if len(lines) != n_ind:
+        raise NgsDistError("main", "invalid LABELS file!")
+    return [ln.split("\t", 1)[0] for ln in lines]
+
+
+def default_labels(n_ind: int) -> List[str]:
+    return [f"Ind_{i}" for i in range(n_ind)]
+
+
+def read_pos(path: str, header: bool, n_sites: int) -> List[List[str]]:
+    """Position file (chr, pos[, allele1, allele2]): split every kept line
+    on single space/tab separators keeping empty fields, with a constant
+    column-count check (read_split, read_data.cpp:129-152)."""
+    lines = read_file_lines(path, 1 if header else 0)
+    rows = [re.split(r"[ \t]", ln) for ln in lines]
+    n_cols = 0
+    for r in rows:
+        if n_cols == 0:
+            n_cols = len(r)
+        if len(r) != n_cols:
+            raise NgsDistError("read_split", "invalid number of fields in file!")
+    if len(rows) != n_sites or n_cols < 2:
+        raise NgsDistError("main", "invalid POS file!")
+    return rows

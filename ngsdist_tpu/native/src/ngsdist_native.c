@@ -1,0 +1,508 @@
+/* ngsdist_tpu native runtime: exact host-side I/O, preprocessing and a
+ * bit-exact CPU pairwise-distance engine.
+ *
+ * Role in the framework: the TPU compute path lives in JAX/XLA/Pallas
+ * (see ngsdist_tpu/core + ngsdist_tpu/ops).  This library is the native
+ * runtime around it:
+ *   - gzip/TSV/binary genotype-probability readers with the exact field
+ *     splitting, normalization and error semantics of the reference
+ *     implementation (behavior contract: /root/reference/shared/
+ *     read_data.cpp:13-116, gen_func.cpp:123-181,886-932);
+ *   - glibc-backed elementwise exp/log/log-normalize used so that the
+ *     preprocessing pipeline is bit-identical to a C pipeline (numpy's
+ *     vectorized exp/log differ from glibc by 1 ulp);
+ *   - a threaded, ordered-accumulation pairwise distance engine used as
+ *     the md5-parity oracle and CPU fallback (behavior contract:
+ *     /root/reference/ngsDist.cpp:325-404, emOptim2.cpp:69-135);
+ *   - the Tausworthe bootstrap index stream (taus.h) matching GSL-seeded
+ *     runs of the reference (/root/reference/ngsDist.cpp:416-437).
+ *
+ * This is a from-scratch implementation: data is carried in flat
+ * site-major / individual-major arrays handed to numpy via ctypes, not
+ * in the reference's per-site pointer structures.
+ */
+
+#include <stdio.h>
+#include <stdlib.h>
+#include <string.h>
+#include <stdint.h>
+#include <math.h>
+#include <pthread.h>
+#include <zlib.h>
+
+#include "taus.h"
+
+#define ND_EXPORT __attribute__((visibility("default")))
+
+/* Constants shared with the reference semantics
+ * (/root/reference/shared/gen_func.hpp:14-17). */
+#define ND_NGENO 3
+#define ND_BIGNEG 1.0e15 /* "INF" sentinel: log-space missing = -1e15 */
+#define ND_EPSILON 1.0e-5
+#define ND_LINE_MAX 500000
+
+/* ------------------------------------------------------------------ */
+/* Bootstrap block index stream                                        */
+/* ------------------------------------------------------------------ */
+
+/* Fill out[rep*n_blocks + b] with the source block drawn for destination
+ * block b of replicate rep (1-based replicates; rep 0 of the reference is
+ * the unresampled full data and consumes no draws).  One uniform deviate
+ * is consumed per (rep, block) in row order, matching the single global
+ * RNG stream of the reference (/root/reference/ngsDist.cpp:217-237,423;
+ * draw_rnd at shared/gen_func.cpp:117-119). */
+ND_EXPORT void nd_boot_block_indices(uint32_t seed, uint64_t n_reps,
+                                     uint64_t n_blocks, uint64_t *out) {
+  nd_taus_state st;
+  nd_taus_seed(&st, seed);
+  for (uint64_t r = 0; r < n_reps; r++)
+    for (uint64_t b = 0; b < n_blocks; b++) {
+      double u = 0.0 + nd_taus_uniform(&st) * (double)(n_blocks - 0);
+      out[r * n_blocks + b] = (uint64_t)floor(u);
+    }
+}
+
+/* Raw uniforms, for tests of the RNG stream itself. */
+ND_EXPORT void nd_taus_uniforms(uint32_t seed, uint64_t n, double *out) {
+  nd_taus_state st;
+  nd_taus_seed(&st, seed);
+  for (uint64_t i = 0; i < n; i++) out[i] = nd_taus_uniform(&st);
+}
+
+/* ------------------------------------------------------------------ */
+/* Exact elementwise transforms (glibc libm)                           */
+/* ------------------------------------------------------------------ */
+
+ND_EXPORT void nd_exp_array(double *x, int64_t n) {
+  for (int64_t i = 0; i < n; i++) {
+    x[i] = exp(x[i]);
+    if (x[i] == -INFINITY) x[i] = -ND_BIGNEG; /* conv_space clamp */
+  }
+}
+
+ND_EXPORT void nd_log_array(double *x, int64_t n) {
+  for (int64_t i = 0; i < n; i++) {
+    x[i] = log(x[i]);
+    if (x[i] == -INFINITY) x[i] = -ND_BIGNEG;
+  }
+}
+
+/* Stable log-sum-exp of a length-3 log-probability triple, with the
+ * ordered max/accumulate of the reference (gen_func.cpp:135-151). */
+static double nd_logsum3(const double *a) {
+  double m = a[0];
+  if (a[1] > m) m = a[1];
+  if (a[2] > m) m = a[2];
+  if (m == -INFINITY) return -INFINITY;
+  double s = 0.0;
+  s += exp(a[0] - m);
+  s += exp(a[1] - m);
+  s += exp(a[2] - m);
+  return log(s) + m;
+}
+
+/* Normalize n_triples log-space triples in place so each triple log-sums
+ * to zero (post_prob with NULL prior, gen_func.cpp:920-932). */
+ND_EXPORT void nd_postprob3(double *g, int64_t n_triples) {
+  for (int64_t t = 0; t < n_triples; t++) {
+    double *p = g + 3 * t;
+    double norm = nd_logsum3(p);
+    p[0] -= norm;
+    p[1] -= norm;
+    p[2] -= norm;
+  }
+}
+
+/* Hard-call / missing-data thresholding on log-space triples, matching
+ * call_geno with miss_mode=0 (gen_func.cpp:886-914): first-max wins,
+ * an all-equal triple is "missing" (max_pp := -1), a max below N_thresh
+ * resets the triple to uniform, a max at or above call_thresh one-hots.
+ * Returns nonzero if N_thresh > call_thresh (caller raises). */
+ND_EXPORT int nd_call_geno3(double *g, int64_t n_triples, double N_thresh,
+                            double call_thresh) {
+  if (N_thresh > call_thresh) return 1;
+  for (int64_t t = 0; t < n_triples; t++) {
+    double *p = g + 3 * t;
+    int max_pos = 0, min_pos = 0;
+    double mx = -INFINITY, mn = INFINITY;
+    for (int k = 0; k < 3; k++) {
+      if (p[k] > mx) { mx = p[k]; max_pos = k; }
+      if (p[k] < mn) { mn = p[k]; min_pos = k; }
+    }
+    double max_pp = exp(p[max_pos]);
+    if (p[min_pos] == p[max_pos]) max_pp = -1.0;
+    if (max_pp < N_thresh)
+      for (int k = 0; k < 3; k++) p[k] = log(1.0 / 3.0);
+    if (max_pp >= call_thresh) {
+      for (int k = 0; k < 3; k++) p[k] = -ND_BIGNEG;
+      p[max_pos] = log(1.0);
+    }
+  }
+  return 0;
+}
+
+/* ------------------------------------------------------------------ */
+/* Genotype / GL / GP reader                                           */
+/* ------------------------------------------------------------------ */
+
+static void nd_seterr(char *errbuf, int64_t cap, const char *msg) {
+  if (errbuf && cap > 0) {
+    strncpy(errbuf, msg, (size_t)cap - 1);
+    errbuf[cap - 1] = '\0';
+  }
+}
+
+/* Tokenize a line on single ' '/'\t' separators and keep only the fields
+ * that strtod fully consumes, i.e. the numeric-field filter of the
+ * reference splitter (gen_func.cpp:390-417).  Returns the number of
+ * numeric fields stored in vals (caller provides capacity = strlen+1). */
+static int64_t nd_split_numeric(char *line, double *vals) {
+  int64_t n = 0;
+  char *tok = line;
+  while (tok) {
+    char *sep = tok + strcspn(tok, " \t");
+    char *next = (*sep == '\0') ? NULL : sep + 1;
+    *sep = '\0';
+    if (*tok != '\0') {
+      char *end = NULL;
+      double v = strtod(tok, &end);
+      if (end && *end == '\0') vals[n++] = v;
+    }
+    tok = next;
+  }
+  return n;
+}
+
+/* Strip a single trailing '\n' or '\r' (chomp, gen_func.cpp:192-199). */
+static void nd_chomp(char *s) {
+  size_t len = strlen(s);
+  if (len == 0) return;
+  char c = s[len - 1];
+  if (c == '\n' || c == '\r') s[len - 1] = '\0';
+}
+
+/* Read a genotype / genotype-probability file into out[site][ind][geno]
+ * (site-major, log-space, per-individual normalized) with the exact
+ * format semantics of the reference reader (read_data.cpp:13-116):
+ *
+ *  - in_bin: site-major raw doubles, 3 per individual; logged when
+ *    in_logscale is false; normalized; NaN check.
+ *  - text (gz or plain): one line per site; single-space/tab split;
+ *    non-numeric fields dropped; empty line consumes the site leaving it
+ *    at the -1e15 missing sentinel; a line with zero numeric fields (or
+ *    a short first line) is skipped as a header; the LAST n_ind*n_geno
+ *    numeric fields are used (Beagle-style leading columns ignored).
+ *  - in_probs: 3 fields per individual (logged if not already); else 1
+ *    genotype field coded {-1,0,1,2} mapped to uniform / one-hot.
+ *  - strict EOF check: exactly n_sites of data then EOF.
+ *
+ * Returns 0 on success, nonzero with errbuf filled on failure. */
+ND_EXPORT int nd_read_geno(const char *path, int in_bin, int in_probs,
+                           int in_logscale, int64_t n_ind, int64_t n_sites,
+                           double *out, char *errbuf, int64_t errbuf_cap) {
+  int64_t n_geno = in_probs ? ND_NGENO : 1;
+  gzFile fh;
+  if (strcmp(path, "-") == 0)
+    fh = gzdopen(0 /* stdin */, in_bin ? "rb" : "r");
+  else
+    fh = gzopen(path, in_bin ? "rb" : "r");
+  if (fh == NULL) {
+    nd_seterr(errbuf, errbuf_cap, "cannot open GENO file!");
+    return 1;
+  }
+  gzbuffer(fh, 1 << 20);
+
+  for (int64_t i = 0; i < n_sites * n_ind * ND_NGENO; i++) out[i] = -ND_BIGNEG;
+
+  char *line = NULL;
+  double *vals = NULL;
+  int rc = 0;
+
+  if (in_bin) {
+    for (int64_t s = 0; s < n_sites && rc == 0; s++) {
+      double *row = out + s * n_ind * ND_NGENO;
+      int want = (int)(n_ind * ND_NGENO * sizeof(double));
+      if (gzread(fh, row, want) != want) {
+        rc = 1;
+        nd_seterr(errbuf, errbuf_cap,
+                  gzeof(fh)
+                      ? "GENO file at premature EOF. Check GENO file and "
+                        "number of sites!"
+                      : "cannot read binary GENO file. Check GENO file and "
+                        "number of sites!");
+        break;
+      }
+      for (int64_t i = 0; i < n_ind; i++) {
+        double *p = row + i * ND_NGENO;
+        if (!in_logscale) nd_log_array(p, ND_NGENO);
+        nd_postprob3(p, 1);
+        if (isnan(p[0]) || isnan(p[1]) || isnan(p[2])) {
+          rc = 1;
+          nd_seterr(errbuf, errbuf_cap,
+                    "NaN found! Is the file format correct?");
+          break;
+        }
+      }
+    }
+  } else {
+    line = (char *)malloc(ND_LINE_MAX);
+    vals = (double *)malloc(ND_LINE_MAX * sizeof(double) / 2);
+    if (!line || !vals) {
+      nd_seterr(errbuf, errbuf_cap, "cannot allocate read buffers!");
+      rc = 1;
+    }
+    for (int64_t s = 0; s < n_sites && rc == 0; s++) {
+      if (gzgets(fh, line, ND_LINE_MAX) == NULL) {
+        rc = 1;
+        nd_seterr(errbuf, errbuf_cap,
+                  gzeof(fh)
+                      ? "GENO file at premature EOF. Check GENO file and "
+                        "number of sites!"
+                      : "cannot read GZip GENO file. Check GENO file and "
+                        "number of sites!");
+        break;
+      }
+      nd_chomp(line);
+      if (line[0] == '\0') /* empty line: site stays missing */
+        continue;
+      int64_t n_fields = nd_split_numeric(line, vals);
+
+      if (n_fields == 0 || (s == 0 && n_fields < n_ind * n_geno)) {
+        fprintf(stderr, "> Header found! Skipping line...\n");
+        if (s != 0)
+          fprintf(stderr,
+                  "\n=======\nWARNING: [read_geno]  header found but not on "
+                  "first line. Is this an error?\n=======\n\n");
+        s--;
+        continue;
+      }
+      if (n_fields < n_ind * n_geno) {
+        rc = 1;
+        nd_seterr(errbuf, errbuf_cap,
+                  "wrong GENO file format. Less fields than expected!");
+        break;
+      }
+      double *ptr = vals + (n_fields - n_ind * n_geno);
+      double *row = out + s * n_ind * ND_NGENO;
+      for (int64_t i = 0; i < n_ind; i++) {
+        double *p = row + i * ND_NGENO;
+        if (in_probs) {
+          for (int g = 0; g < ND_NGENO; g++) {
+            double v = ptr[i * ND_NGENO + g];
+            p[g] = in_logscale ? v : log(v);
+            if (p[g] == -INFINITY) p[g] = -ND_BIGNEG;
+          }
+        } else {
+          int g = (int)ptr[i];
+          if (g >= 0) {
+            if (g > 2) {
+              rc = 1;
+              nd_seterr(errbuf, errbuf_cap,
+                        "wrong GENO file format. Genotypes must be coded as "
+                        "{-1,0,1,2} !");
+              break;
+            }
+            p[g] = log(1.0);
+          } else {
+            p[0] = p[1] = p[2] = log(1.0 / ND_NGENO);
+          }
+        }
+        nd_postprob3(p, 1);
+      }
+    }
+  }
+
+  if (rc == 0) {
+    /* Strict EOF check: one extra readable byte is an error
+     * (read_data.cpp:106-109). */
+    char probe;
+    if (gzread(fh, &probe, 1) > 0) {
+      rc = 1;
+      nd_seterr(errbuf, errbuf_cap,
+                "GENO file not at EOF. Check GENO file and number of sites!");
+    }
+  }
+
+  free(line);
+  free(vals);
+  gzclose(fh);
+  return rc;
+}
+
+/* ------------------------------------------------------------------ */
+/* Exact pairwise distance engine                                      */
+/* ------------------------------------------------------------------ */
+
+/* Missing-data test on a normal-space triple: all three probabilities
+ * within EPSILON of each other (gen_func.cpp:862-868). */
+static int nd_miss3(const double *p) {
+  double d01 = p[0] - p[1];
+  double d12 = p[1] - p[2];
+  if (d01 < 0) d01 = -d01;
+  if (d12 < 0) d12 = -d12;
+  return d01 < ND_EPSILON && d12 < ND_EPSILON;
+}
+
+/* Single-site 3x3 joint-genotype EM with the exact arithmetic order of
+ * the reference (emOptim2.cpp:69-135 via the call at ngsDist.cpp:349):
+ * tole=0.001, maxIter=50, per-iteration double normalization, and a
+ * log-likelihood convergence break evaluated after the update. */
+static void nd_em2_site(double *sfs, const double *a, const double *b) {
+  double tmp;
+  int inc;
+  /* lik2 of the uniform start */
+  tmp = 0.0;
+  inc = 0;
+  for (int x = 0; x < 3; x++)
+    for (int y = 0; y < 3; y++) {
+      tmp += sfs[inc] * a[x] * b[y];
+      inc++;
+    }
+  double oldLik = log(tmp);
+
+  for (int it = 0; it < 50; it++) {
+    double inner[9];
+    inc = 0;
+    for (int x = 0; x < 3; x++)
+      for (int y = 0; y < 3; y++) {
+        inner[inc] = sfs[inc] * a[x] * b[y];
+        inc++;
+      }
+    double s1 = 0.0;
+    for (int k = 0; k < 9; k++) s1 += inner[k];
+    for (int k = 0; k < 9; k++) inner[k] /= s1;
+    /* post accumulate (single site: post == inner) then renormalize */
+    double post[9];
+    for (int k = 0; k < 9; k++) post[k] = 0.0 + inner[k];
+    double s2 = 0.0;
+    for (int k = 0; k < 9; k++) s2 += post[k];
+    for (int k = 0; k < 9; k++) post[k] /= s2;
+    for (int k = 0; k < 9; k++) sfs[k] = post[k];
+
+    tmp = 0.0;
+    inc = 0;
+    for (int x = 0; x < 3; x++)
+      for (int y = 0; y < 3; y++) {
+        tmp += sfs[inc] * a[x] * b[y];
+        inc++;
+      }
+    double lik = log(tmp);
+    if (fabs(lik - oldLik) < 0.001) break;
+    oldLik = lik;
+  }
+}
+
+typedef struct {
+  const double *P; /* [n_ind][n_sites][3] normal-space */
+  int64_t n_ind, n_sites;
+  const int64_t *site_map; /* NULL => identity over n_used sites */
+  int64_t n_used;
+  const double *score; /* [9] row-major score[g1][g2] */
+  int indep, pairwise_del;
+  int64_t tot_sites;
+  int evol_model;
+  double *out; /* [n_ind][n_ind] */
+  int64_t pair_lo, pair_hi; /* this worker's comb_id range */
+  int bad_model; /* set if an unsupported model was requested */
+} nd_pair_job;
+
+/* Distance for one pair, accumulating per-site in the same operation
+ * order as the reference hot loop (ngsDist.cpp:333-364,372-401). */
+static double nd_pair_dist(const nd_pair_job *j, int64_t i1, int64_t i2) {
+  const double *P = j->P;
+  int64_t S = j->n_sites;
+  uint64_t cnt = 0;
+  double dist = 0.0;
+  const double *base1 = P + i1 * S * 3;
+  const double *base2 = P + i2 * S * 3;
+
+  for (int64_t t = 0; t < j->n_used; t++) {
+    int64_t s = j->site_map ? j->site_map[t] : t;
+    const double *p1 = base1 + s * 3;
+    const double *p2 = base2 + s * 3;
+    if (j->pairwise_del && (nd_miss3(p1) || nd_miss3(p2))) continue;
+
+    if (j->indep) {
+      for (int g1 = 0; g1 < 3; g1++)
+        for (int g2 = 0; g2 < 3; g2++)
+          dist += j->score[g1 * 3 + g2] * (p1[g1] * p2[g2]);
+    } else {
+      double sfs[9];
+      for (int k = 0; k < 9; k++) sfs[k] = (double)1 / 9;
+      nd_em2_site(sfs, p1, p2);
+      for (int g1 = 0; g1 < 3; g1++)
+        for (int g2 = 0; g2 < 3; g2++)
+          dist += j->score[g1 * 3 + g2] * sfs[3 * g1 + g2];
+    }
+    cnt++;
+  }
+
+  if (j->tot_sites > 0) cnt = (uint64_t)j->tot_sites;
+  dist /= (double)cnt;
+
+  switch (j->evol_model) {
+    case 0:
+      break;
+    case 1:
+      dist = -log(1 - dist);
+      break;
+    case 2:
+      dist = -log(1 - (dist * 4 / 3)) * 3 / 4;
+      break;
+    default:
+      ((nd_pair_job *)j)->bad_model = 1;
+      dist = NAN;
+      break;
+  }
+  return dist;
+}
+
+static void *nd_pair_worker(void *arg) {
+  nd_pair_job *j = (nd_pair_job *)arg;
+  int64_t n = j->n_ind;
+  int64_t comb = 0;
+  for (int64_t i1 = 0; i1 < n; i1++)
+    for (int64_t i2 = i1 + 1; i2 < n; i2++, comb++) {
+      if (comb < j->pair_lo || comb >= j->pair_hi) continue;
+      double d = nd_pair_dist(j, i1, i2);
+      j->out[i1 * n + i2] = d;
+      j->out[i2 * n + i1] = d;
+    }
+  return NULL;
+}
+
+/* Compute the full symmetric distance matrix (diagonal zero).  Returns 0
+ * on success; 2 if an unsupported evolutionary model (3-6) was hit. */
+ND_EXPORT int nd_pair_dists(const double *P, int64_t n_ind, int64_t n_sites,
+                            const int64_t *site_map, int64_t n_used,
+                            const double *score, int indep, int pairwise_del,
+                            int64_t tot_sites, int evol_model, int n_threads,
+                            double *out) {
+  for (int64_t i = 0; i < n_ind * n_ind; i++) out[i] = 0.0;
+  int64_t n_comb = n_ind * (n_ind - 1) / 2;
+  if (n_threads < 1) n_threads = 1;
+  if (n_threads > n_comb) n_threads = (int)(n_comb > 0 ? n_comb : 1);
+
+  nd_pair_job *jobs =
+      (nd_pair_job *)malloc((size_t)n_threads * sizeof(nd_pair_job));
+  pthread_t *tids = (pthread_t *)malloc((size_t)n_threads * sizeof(pthread_t));
+  int64_t chunk = (n_comb + n_threads - 1) / n_threads;
+  for (int w = 0; w < n_threads; w++) {
+    jobs[w] = (nd_pair_job){P, n_ind, n_sites, site_map, n_used, score,
+                            indep, pairwise_del, tot_sites, evol_model, out,
+                            w * chunk, (w + 1) * chunk, 0};
+    if (jobs[w].pair_hi > n_comb) jobs[w].pair_hi = n_comb;
+  }
+  if (n_threads == 1) {
+    nd_pair_worker(&jobs[0]);
+  } else {
+    for (int w = 0; w < n_threads; w++)
+      pthread_create(&tids[w], NULL, nd_pair_worker, &jobs[w]);
+    for (int w = 0; w < n_threads; w++) pthread_join(tids[w], NULL);
+  }
+  int bad = 0;
+  for (int w = 0; w < n_threads; w++) bad |= jobs[w].bad_model;
+  free(jobs);
+  free(tids);
+  return bad ? 2 : 0;
+}

@@ -1,0 +1,133 @@
+"""End-to-end orchestration: config -> read -> preprocess -> distances -> output.
+
+The TPU-native equivalent of the reference driver main()
+(/root/reference/ngsDist.cpp:29-320).  Where the reference enqueues one
+thread-pool task per individual pair per replicate, this driver hands the
+whole normal-space probability tensor to an engine that computes every
+pair at once:
+
+  - engine="exact": native CPU engine, bit-identical output (parity oracle)
+  - engine="jax":   batched XLA/Pallas engine (single chip or sharded mesh)
+  - engine="auto":  jax if importable, else exact
+"""
+
+from __future__ import annotations
+
+import sys
+from typing import List, Optional, TextIO
+
+import numpy as np
+
+from .config import Params, NgsDistError
+from .core import bootstrap as bt
+from .core import exact as exact_engine
+from .core import models
+from .core.preprocess import preprocess
+from .io import readers, writers
+
+
+def _log(pars: Params, level: int, msg: str) -> None:
+    if pars.verbose >= level:
+        print(msg, file=sys.stderr)
+
+
+def load_inputs(pars: Params):
+    """Read labels, positions and the genotype tensor; returns
+    (labels, pos_rows, P_normal [n_sites, n_ind, 3])."""
+    if pars.in_labels:
+        _log(pars, 1, "==> Reading labels")
+        labels = readers.read_labels(pars.in_labels, pars.in_labels_header, pars.n_ind)
+    else:
+        labels = readers.default_labels(pars.n_ind)
+    if pars.verbose >= 4:
+        for lbl in labels:
+            print(lbl, file=sys.stderr)
+
+    pos_rows = None
+    if pars.in_pos:
+        _log(pars, 1, "==> Reading positions file")
+        pos_rows = readers.read_pos(pars.in_pos, pars.in_pos_header, pars.n_sites)
+        if pars.verbose >= 4:
+            for row in pos_rows:
+                print("\t".join((row + ["", "", "", ""])[:4]), file=sys.stderr)
+
+    _log(pars, 1, "==> Reading genotype data")
+    geno_log = readers.read_geno(
+        pars.in_geno, pars.in_bin, pars.in_probs, pars.in_logscale,
+        pars.n_ind, pars.n_sites,
+    )
+    P = preprocess(geno_log, pars.call_geno, pars.N_thresh, pars.call_thresh)
+    return labels, pos_rows, P
+
+
+def iter_replicates(pars: Params, P: np.ndarray, engine: str = "auto"):
+    """Yield the distance matrix for the full data, then one per bootstrap
+    replicate (streamed so output durability matches the reference, which
+    prints each matrix as its replicate completes, ngsDist.cpp:282-287)."""
+    if engine == "auto":
+        try:
+            from .core import distance as _  # noqa: F401
+
+            engine = "jax"
+        except Exception:
+            engine = "exact"
+
+    # Models 3-6 abort inside the first pair task in the reference
+    # (ngsDist.cpp:387-398); fail before computing anything.
+    models.check_model_supported(pars.evol_model)
+
+    _log(pars, 2, "==> Setting seed for random number generator")
+    n_trunc, maps = bt.site_maps(
+        pars.seed, pars.n_boot_rep, pars.n_sites, pars.boot_block_size
+    )
+
+    if engine == "exact":
+        P_ind = exact_engine.to_ind_major(P)
+        for rep in range(pars.n_boot_rep + 1):
+            _log(pars, 1, "==> Analyzing full dataset..." if rep == 0
+                 else f"==> Bootstrap replicate # {rep} ...")
+            _log(pars, 2, "> Mapping positions...")
+            _log(pars, 2, "> Calculating pairwise genetic distances...")
+            site_map = None if rep == 0 else maps[rep - 1]
+            n_used = pars.n_sites if rep == 0 else n_trunc
+            yield exact_engine.pair_dists_exact(
+                P_ind, pars.score, pars.indep_geno, pars.pairwise_del,
+                pars.tot_sites, pars.evol_model, pars.n_threads,
+                site_map=site_map, n_used=n_used,
+            )
+    elif engine == "jax":
+        from .core import distance as jax_engine
+
+        yield from jax_engine.iter_replicates(pars, P, maps, n_trunc)
+    else:
+        raise ValueError(f"unknown engine: {engine}")
+
+
+def run(pars: Params, engine: str = "auto", out_fh: Optional[TextIO] = None) -> List[np.ndarray]:
+    """Full pipeline; writes matrices to pars.out (or out_fh) and returns them."""
+    pars.validate()
+    pars.finalize()
+    for msg in pars.messages:
+        print(msg, file=sys.stderr)
+
+    labels, _pos, P = load_inputs(pars)
+
+    close = False
+    if out_fh is None:
+        try:
+            out_fh = open(pars.out, "w")
+        except OSError:
+            raise NgsDistError("main", "cannot open output file!")
+        close = True
+    matrices: List[np.ndarray] = []
+    try:
+        for m in iter_replicates(pars, P, engine=engine):
+            _log(pars, 2, "> Printing distance matrix")
+            writers.write_dist_matrix(out_fh, labels, m)
+            out_fh.flush()
+            matrices.append(m)
+    finally:
+        if close:
+            out_fh.close()
+    _log(pars, 1, "Done!")
+    return matrices

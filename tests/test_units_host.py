@@ -1,0 +1,287 @@
+"""Unit tests for host-side components: RNG, readers, writer formatting,
+preprocessing, config implication rules — the unit layer the reference
+lacks (SURVEY.md §4)."""
+
+import gzip
+import io
+import math
+import os
+import struct
+
+import numpy as np
+import pytest
+
+from ngsdist_tpu import cli
+from ngsdist_tpu.config import Params, NgsDistError, default_score_matrix
+from ngsdist_tpu.core import bootstrap as bt
+from ngsdist_tpu.core import models
+from ngsdist_tpu.core.preprocess import call_geno_inplace, preprocess
+from ngsdist_tpu.io import readers, writers
+from ngsdist_tpu.utils import native as nat
+from ngsdist_tpu.utils.rng import TausRng, boot_block_indices
+
+
+class TestTausRng:
+    def test_matches_native(self):
+        lib = nat.get_lib()
+        for seed in (0, 1, 12345, 2**32 - 1):
+            out = np.empty(64)
+            lib.nd_taus_uniforms(seed & 0xFFFFFFFF, 64, nat.as_double_ptr(out))
+            r = TausRng(seed)
+            py = np.array([r.uniform() for _ in range(64)])
+            assert (out == py).all()
+
+    def test_block_tables_match(self):
+        lib = nat.get_lib()
+        tbl_n = np.empty((5, 13), dtype=np.uint64)
+        lib.nd_boot_block_indices(99, 5, 13, nat.as_u64_ptr(tbl_n))
+        assert (tbl_n == boot_block_indices(99, 5, 13)).all()
+        assert tbl_n.max() < 13
+
+    def test_seed_zero_equals_one(self):
+        assert TausRng(0).uniform() == TausRng(1).uniform()
+
+
+class TestScoreMatrix:
+    def test_default(self):
+        s = default_score_matrix()
+        assert s[0, 0] == s[1, 1] == s[2, 2] == 0
+        assert s[0, 1] == s[1, 0] == s[1, 2] == s[2, 1] == 0.5
+        assert s[0, 2] == s[2, 0] == 1
+
+    def test_avg_nuc_dist(self):
+        assert default_score_matrix(avg_nuc_dist=True)[1, 1] == 0.5
+
+
+class TestWriterFormat:
+    def test_c_printf_compat(self):
+        assert writers.fmt_c_double(0.0) == "0.0000000000"
+        assert writers.fmt_c_double(-0.0) == "-0.0000000000"
+        assert writers.fmt_c_double(0.123456789049) == "0.1234567890"
+        assert writers.fmt_c_double(float("nan")) == "nan"
+        assert writers.fmt_c_double(-float("nan")) == "-nan"
+        assert writers.fmt_c_double(float("inf")) == "inf"
+        assert writers.fmt_c_double(float("-inf")) == "-inf"
+
+    def test_matrix_framing(self):
+        buf = io.StringIO()
+        writers.write_dist_matrix(buf, ["a", "b"], np.array([[0.0, 1.5], [1.5, 0.0]]))
+        assert buf.getvalue() == (
+            "\n2\n"
+            "a\t0.0000000000\t1.5000000000\n"
+            "b\t1.5000000000\t0.0000000000\n"
+        )
+
+
+class TestConfig:
+    def test_log_scale_implies_probs(self):
+        pars, _ = cli.parse_args(["--log_scale", "--geno", "x.gz"])
+        assert pars.in_probs and pars.in_logscale
+
+    def test_thresholds_imply_call_geno(self):
+        pars, _ = cli.parse_args(["--N_thresh", "0.2", "--geno", "x.gz"])
+        assert pars.call_geno
+
+    def test_prefix_matching(self):
+        pars, _ = cli.parse_args(["--n_boot", "7", "--geno", "x"])
+        assert pars.n_boot_rep == 7
+
+    def test_single_dash_long(self):
+        pars, _ = cli.parse_args(["-geno", "f.gz", "-n_ind", "5"])
+        assert pars.in_geno == "f.gz" and pars.n_ind == 5
+
+    def test_validation_order(self):
+        with pytest.raises(NgsDistError, match="--geno"):
+            Params().validate()
+        with pytest.raises(NgsDistError, match="--n_ind"):
+            Params(in_geno="x").validate()
+        with pytest.raises(NgsDistError, match="--tot_sites"):
+            Params(in_geno="x", n_ind=2, n_sites=2, tot_sites=5, pairwise_del=True,
+                   out="o").validate()
+        with pytest.raises(NgsDistError, match="call genotypes"):
+            Params(in_geno="x", n_ind=2, n_sites=2, call_geno=True, out="o").validate()
+        with pytest.raises(NgsDistError, match="position information"):
+            Params(in_geno="x", n_ind=2, n_sites=2, evol_model=3, in_probs=True,
+                   out="o").validate()
+
+    def test_genotype_input_forces_indep(self, tmp_path):
+        f = tmp_path / "g.geno.gz"
+        f.write_bytes(gzip.compress(b"0\t1\n"))
+        pars = Params(in_geno=str(f), n_ind=2, n_sites=1, out="o")
+        pars.validate()
+        pars.finalize()
+        assert pars.indep_geno and not pars.in_bin
+
+    def test_binary_sniff_and_size_check(self, tmp_path):
+        f = tmp_path / "g.bin"
+        f.write_bytes(b"\0" * (8 * 2 * 3 * 4))  # 2 ind x 4 sites x 3 geno
+        pars = Params(in_geno=str(f), n_ind=2, n_sites=4, in_probs=True, out="o")
+        pars.finalize()
+        assert pars.in_bin and pars.in_probs
+        pars2 = Params(in_geno=str(f), n_ind=2, n_sites=5, in_probs=True, out="o")
+        with pytest.raises(NgsDistError, match="corrupt"):
+            pars2.finalize()
+
+
+class TestModels:
+    def test_unsupported_model_messages(self):
+        for model, name in [(3, "K80"), (4, "F81"), (5, "HKY85"), (6, "TN93")]:
+            with pytest.raises(NgsDistError, match=f"{name} model not yet supported"):
+                models.check_model_supported(model)
+
+    def test_transforms(self):
+        d = np.array([0.0, 0.1, 0.3])
+        assert np.allclose(models.apply_evol_model(d, 0), d)
+        assert np.allclose(models.apply_evol_model(d, 1), -np.log(1 - d))
+        assert np.allclose(
+            models.apply_evol_model(d, 2), -np.log(1 - d * 4 / 3) * 3 / 4
+        )
+
+
+class TestCallGeno:
+    def test_default_thresholds_hard_call(self):
+        g = np.log(np.array([[[0.7, 0.2, 0.1]]]))
+        call_geno_inplace(g, 0.0, 0.0)
+        assert g[0, 0, 0] == 0.0 and g[0, 0, 1] == -1e15
+
+    def test_missing_stays_uniform(self):
+        g = np.full((1, 1, 3), np.log(1 / 3))
+        call_geno_inplace(g, 0.0, 0.0)
+        assert np.allclose(np.exp(g), 1 / 3)
+
+    def test_n_thresh_sets_missing(self):
+        g = np.log(np.array([[[0.4, 0.35, 0.25]]]))
+        call_geno_inplace(g, 0.5, 0.9)
+        assert np.allclose(np.exp(g), 1 / 3)
+
+    def test_mid_band_left_as_probs(self):
+        tri = np.array([[[0.6, 0.3, 0.1]]])
+        g = np.log(tri.copy())
+        call_geno_inplace(g, 0.3, 0.9)
+        assert np.allclose(np.exp(g), tri)
+
+    def test_invalid_thresholds(self):
+        g = np.zeros((1, 1, 3))
+        with pytest.raises(NgsDistError):
+            call_geno_inplace(g, 0.9, 0.3)
+
+    def test_python_matches_native(self):
+        rng = np.random.default_rng(5)
+        tri = rng.dirichlet([1, 1, 1], size=200).reshape(200, 1, 3)
+        tri[::17] = 1 / 3
+        g1 = np.log(tri.copy())
+        g2 = np.log(tri.copy())
+        call_geno_inplace(g1, 0.35, 0.9, native=True)
+        call_geno_inplace(g2, 0.35, 0.9, native=False)
+        assert np.allclose(g1, g2)
+
+
+class TestReaders:
+    def _gz(self, tmp_path, text, name="x.geno.gz"):
+        p = tmp_path / name
+        p.write_bytes(gzip.compress(text.encode()))
+        return str(p)
+
+    def test_native_matches_python_on_fixtures(self, data_dir):
+        cases = [
+            ("gt.geno.gz", False, False, False),
+            ("gl.beagle.gz", False, True, False),
+            ("gl_log.geno.gz", False, True, True),
+            ("gp.geno.gz", False, True, False),
+            ("gp.bin", True, True, False),
+        ]
+        for fname, in_bin, in_probs, in_log in cases:
+            path = os.path.join(data_dir, fname)
+            a = readers.read_geno(path, in_bin, in_probs, in_log, 20, 1200, native=True)
+            b = readers.read_geno(path, in_bin, in_probs, in_log, 20, 1200, native=False)
+            assert np.allclose(a, b, rtol=0, atol=1e-13), fname
+
+    def test_genotype_onehot_and_missing(self, tmp_path):
+        path = self._gz(tmp_path, "0\t2\n-1\t1\n")
+        g = readers.read_geno(path, False, False, False, 2, 2)
+        assert g[0, 0, 0] == 0.0 and g[0, 1, 2] == 0.0
+        assert np.allclose(g[1, 0], np.log(1 / 3))
+        assert g[1, 1, 1] == 0.0
+
+    def test_genotype_out_of_range(self, tmp_path):
+        path = self._gz(tmp_path, "0\t3\n")
+        with pytest.raises(NgsDistError, match="coded as"):
+            readers.read_geno(path, False, False, False, 2, 1)
+
+    def test_last_columns_rule(self, tmp_path):
+        # numeric leading column must shift the window to the LAST n fields
+        path = self._gz(tmp_path, "999\t0\t1\n")
+        g = readers.read_geno(path, False, False, False, 2, 1)
+        assert g[0, 0, 0] == 0.0 and g[0, 1, 1] == 0.0
+
+    def test_header_skipped(self, tmp_path, capfd):
+        path = self._gz(tmp_path, "marker\tallele\n0\t1\n")
+        g = readers.read_geno(path, False, False, False, 2, 1)
+        assert g[0, 0, 0] == 0.0
+        assert "Header found" in capfd.readouterr().err
+
+    def test_empty_line_consumes_site_as_missing(self, tmp_path):
+        path = self._gz(tmp_path, "0\t1\n\n1\t1\n")
+        g = readers.read_geno(path, False, False, False, 2, 3)
+        assert (g[1] == -1e15).all()
+
+    def test_premature_eof(self, tmp_path):
+        path = self._gz(tmp_path, "0\t1\n")
+        with pytest.raises(NgsDistError, match="premature EOF"):
+            readers.read_geno(path, False, False, False, 2, 5)
+
+    def test_not_at_eof(self, tmp_path):
+        path = self._gz(tmp_path, "0\t1\n1\t1\n")
+        with pytest.raises(NgsDistError, match="not at EOF"):
+            readers.read_geno(path, False, False, False, 2, 1)
+
+    def test_binary_roundtrip_normalizes(self, tmp_path):
+        vals = [0.2, 0.3, 0.5, 0.1, 0.1, 0.8]
+        p = tmp_path / "b.bin"
+        p.write_bytes(struct.pack("<6d", *vals))
+        g = readers.read_geno(str(p), True, True, False, 2, 1)
+        assert np.allclose(np.exp(g[0, 0]), [0.2, 0.3, 0.5])
+
+    def test_labels(self, tmp_path):
+        p = tmp_path / "l.txt"
+        p.write_text("# c\nA\tjunk\n\nB\nC\n")
+        assert readers.read_labels(str(p), False, 3) == ["A", "B", "C"]
+        with pytest.raises(NgsDistError):
+            readers.read_labels(str(p), False, 4)
+
+    def test_labels_header(self, tmp_path):
+        p = tmp_path / "l.txt"
+        p.write_text("name\nA\nB\n")
+        assert readers.read_labels(str(p), True, 2) == ["A", "B"]
+
+    def test_pos(self, tmp_path):
+        p = tmp_path / "p.txt"
+        p.write_text("chr1\t1\t0\t1\nchr1\t5\t0\t2\n")
+        rows = readers.read_pos(str(p), False, 2)
+        assert rows[0][0] == "chr1" and rows[1][1] == "5"
+        with pytest.raises(NgsDistError):
+            readers.read_pos(str(p), False, 3)
+
+
+class TestBootstrap:
+    def test_truncation(self):
+        assert bt.truncated_n_sites(1200, 7) == 1197
+        assert bt.truncated_n_sites(1200, 10) == 1200
+
+    def test_site_maps_shape(self):
+        n_trunc, maps = bt.site_maps(4242, 3, 1200, 7)
+        assert n_trunc == 1197 and len(maps) == 3
+        assert all(len(m) == 1197 for m in maps)
+        assert all(m.max() < 1197 for m in maps)
+
+    def test_multiplicity(self):
+        tbl = np.array([[0, 0, 2]], dtype=np.uint64)
+        m = bt.block_multiplicity(tbl, 3)
+        assert (m == [[2, 0, 1]]).all()
+
+
+class TestPreprocess:
+    def test_preprocess_pipeline(self):
+        g = np.log(np.array([[[0.7, 0.2, 0.1]]]))
+        out = preprocess(g, call_geno=True, N_thresh=0.0, call_thresh=0.0)
+        assert np.allclose(out, [[[1.0, 0.0, 0.0]]])
