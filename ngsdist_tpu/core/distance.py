@@ -1,0 +1,346 @@
+"""Batched TPU distance engine (JAX/XLA).
+
+The reference's per-pair threadpool loop (ngsDist.cpp:244-262,325-404)
+dissolves into tensor contractions over the full cohort:
+
+  independent-genotypes path
+      raw[i,j] = sum_s sum_{g,h} score[g,h] P[s,i,g] P[s,j,h]
+               = einsum('sig,gh,sjh->ij') — one [N,3S]x[3S,N] MXU matmul.
+      Pairwise deletion becomes a validity mask folded into each side
+      (valid_i*valid_j factorizes), plus a matching count contraction.
+
+  EM path (non-independent genotypes)
+      per-(pair,site) converged joint-genotype weights (core/em.py),
+      reduced over sites with a lax.scan over site tiles so the
+      [pairs, sites, 9] weight tensor is never materialized in HBM.
+
+  block bootstrap
+      replicates are weighted resummations: either of per-block partial
+      pair sums B[b,i,j] (cheap when n_blocks*N^2 fits memory) or of
+      per-site multiplicity-weighted full contractions (memory-safe
+      fallback) — no data copying, matching the reference's pointer
+      aliasing semantics (ngsDist.cpp:416-437) without the pointers.
+
+Everything here is shape-static and jit-compatible; the multi-device
+sharding wrapper lives in ngsdist_tpu/parallel/mesh.py.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Iterator, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import Params
+from . import bootstrap as bt
+from . import models
+from .em import em_pair_site_contribs
+
+EPSILON = 1e-5  # missing-data tolerance (gen_func.hpp:16)
+
+# Partial-sum bootstrap path is used when the B (and C) tensors fit here.
+PARTIALS_BUDGET_BYTES = 1 << 30
+# Site-tile element budget for the EM scan (tile * n_pairs * 9 elements).
+EM_TILE_ELEM_BUDGET = 1 << 25
+
+
+def default_dtype():
+    return jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+
+
+def missing_mask(P: jnp.ndarray) -> jnp.ndarray:
+    """[S, N] True where the genotype is missing: all three probabilities
+    within EPSILON (miss_data, gen_func.cpp:862-868)."""
+    d01 = jnp.abs(P[..., 0] - P[..., 1])
+    d12 = jnp.abs(P[..., 1] - P[..., 2])
+    return (d01 < EPSILON) & (d12 < EPSILON)
+
+
+# ------------------------------------------------------------------ #
+# Independent-genotypes path                                          #
+# ------------------------------------------------------------------ #
+
+
+@functools.partial(jax.jit, static_argnames=("pairwise_del",))
+def indep_suffstats(
+    P: jnp.ndarray,
+    score: jnp.ndarray,
+    pairwise_del: bool,
+    site_weights: Optional[jnp.ndarray] = None,
+) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
+    """Sufficient statistics for the independent path.
+
+    P: [S, N, 3] normal-space probabilities.  Returns (raw [N,N],
+    cnt [N,N] or None).  site_weights (optional [S]) weight each site's
+    contribution (bootstrap multiplicities); applied once per site.
+    """
+    dtype = P.dtype
+    if pairwise_del:
+        valid = (~missing_mask(P)).astype(dtype)
+        Q = P * valid[..., None]
+    else:
+        valid = None
+        Q = P
+    Y = jnp.einsum("sjh,gh->sjg", Q, score.astype(dtype))
+    L = Q if site_weights is None else Q * site_weights[:, None, None].astype(dtype)
+    raw = jnp.einsum("sig,sjg->ij", L, Y, preferred_element_type=dtype)
+    cnt = None
+    if pairwise_del:
+        vw = valid if site_weights is None else valid * site_weights[:, None].astype(dtype)
+        cnt = jnp.einsum("si,sj->ij", vw, valid, preferred_element_type=dtype)
+    return raw, cnt
+
+
+@functools.partial(jax.jit, static_argnames=("pairwise_del", "n_blocks", "block_size"))
+def indep_block_partials(
+    P_trunc: jnp.ndarray,
+    score: jnp.ndarray,
+    pairwise_del: bool,
+    n_blocks: int,
+    block_size: int,
+) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
+    """Per-block partial sums B [n_blocks, N, N] (and counts C) over the
+    truncated site range, for bootstrap resummation."""
+    dtype = P_trunc.dtype
+    S, N, _ = P_trunc.shape
+    assert S == n_blocks * block_size
+    if pairwise_del:
+        valid = (~missing_mask(P_trunc)).astype(dtype)
+        Q = P_trunc * valid[..., None]
+    else:
+        valid = None
+        Q = P_trunc
+    Qb = Q.reshape(n_blocks, block_size, N, 3)
+    Yb = jnp.einsum("bsjh,gh->bsjg", Qb, score.astype(dtype))
+    B = jnp.einsum("bsig,bsjg->bij", Qb, Yb, preferred_element_type=dtype)
+    C = None
+    if pairwise_del:
+        vb = valid.reshape(n_blocks, block_size, N)
+        C = jnp.einsum("bsi,bsj->bij", vb, vb, preferred_element_type=dtype)
+    return B, C
+
+
+# ------------------------------------------------------------------ #
+# EM path                                                             #
+# ------------------------------------------------------------------ #
+
+
+def _pair_indices(n_ind: int) -> Tuple[np.ndarray, np.ndarray]:
+    iu = np.triu_indices(n_ind, k=1)
+    return iu[0].astype(np.int32), iu[1].astype(np.int32)
+
+
+def _em_tile_size(n_pairs: int, block_size: Optional[int]) -> int:
+    tile = max(1, EM_TILE_ELEM_BUDGET // max(1, n_pairs * 9))
+    if block_size:
+        tile = max(block_size, (tile // block_size) * block_size)
+    return tile
+
+
+@functools.partial(
+    jax.jit, static_argnames=("pairwise_del", "tile", "block_size", "want_blocks")
+)
+def _em_scan(
+    P_pad: jnp.ndarray,        # [S_pad, N, 3], zero-padded
+    site_mask: jnp.ndarray,    # [S_pad] 1.0 for real sites
+    score9: jnp.ndarray,       # [9]
+    I: jnp.ndarray,            # [n_pairs] first individual of each pair
+    J: jnp.ndarray,            # [n_pairs] second individual of each pair
+    site_weights: jnp.ndarray, # [S_pad] per-site multiplicities (ones if unused)
+    pairwise_del: bool,
+    tile: int,
+    block_size: int,
+    want_blocks: bool,
+):
+    """Scan site tiles; per tile, run the batched EM for all pairs and
+    accumulate weighted raw pair sums, valid counts and (optionally)
+    per-block partial sums collected as scan outputs."""
+    dtype = P_pad.dtype
+    S_pad = P_pad.shape[0]
+    n_tiles = S_pad // tile
+    n_pairs = I.shape[0]
+    bpt = tile // block_size if want_blocks else 1
+
+    Pt = P_pad.reshape(n_tiles, tile, P_pad.shape[1], 3)
+    mt = site_mask.reshape(n_tiles, tile)
+    wt = site_weights.reshape(n_tiles, tile)
+
+    def body(carry, xs):
+        raw, cnt = carry
+        Ptile, mtile, wtile = xs
+        P1 = Ptile[:, I, :]  # [tile, n_pairs, 3]
+        P2 = Ptile[:, J, :]
+        contrib = em_pair_site_contribs(P1, P2, score9)  # [tile, n_pairs]
+        m = mtile[:, None]
+        if pairwise_del:
+            valid = (~missing_mask(Ptile)).astype(dtype)  # [tile, N]
+            m = m * (valid[:, I] * valid[:, J])
+        c_eff = contrib * m                   # unweighted effective contribs
+        w = wtile[:, None]
+        raw = raw + jnp.sum(c_eff * w, axis=0)
+        cnt = cnt + jnp.sum(m * w, axis=0)
+        ys = ()
+        if want_blocks:
+            seg = jax.lax.broadcasted_iota(jnp.int32, (tile, 1), 0)[:, 0] // block_size
+            Bt = jax.ops.segment_sum(c_eff, seg, num_segments=bpt)
+            Ct = jax.ops.segment_sum(
+                jnp.broadcast_to(m, c_eff.shape), seg, num_segments=bpt
+            )
+            ys = (Bt, Ct)
+        return (raw, cnt), ys
+
+    init = (jnp.zeros((n_pairs,), dtype), jnp.zeros((n_pairs,), dtype))
+    (raw, cnt), ys = jax.lax.scan(body, init, (Pt, mt, wt))
+    B = C = None
+    if want_blocks:
+        B = ys[0].reshape(n_tiles * bpt, n_pairs)
+        C = ys[1].reshape(n_tiles * bpt, n_pairs)
+    return raw, cnt, B, C
+
+
+def _scatter_pairs(vals: np.ndarray, I: np.ndarray, J: np.ndarray, n_ind: int) -> np.ndarray:
+    out = np.zeros(vals.shape[:-1] + (n_ind, n_ind), dtype=np.float64)
+    out[..., I, J] = vals
+    out[..., J, I] = vals
+    return out
+
+
+def em_suffstats(
+    P: jnp.ndarray,
+    score9: jnp.ndarray,
+    pairwise_del: bool,
+    site_weights: Optional[np.ndarray] = None,
+    n_blocks: Optional[int] = None,
+    block_size: Optional[int] = None,
+):
+    """EM-path sufficient statistics.
+
+    Returns (raw [n_pairs], cnt [n_pairs] or None, B [n_blocks, n_pairs]
+    or None, C or None) as device arrays; pair order is triu row-major.
+    """
+    S, N, _ = P.shape
+    I, J = _pair_indices(N)
+    n_pairs = len(I)
+    want_blocks = n_blocks is not None
+    tile = _em_tile_size(n_pairs, block_size if want_blocks else None)
+    if want_blocks:
+        assert S == n_blocks * block_size
+    S_pad = ((S + tile - 1) // tile) * tile
+    pad = S_pad - S
+    P_pad = jnp.pad(P, ((0, pad), (0, 0), (0, 0)))
+    mask = jnp.pad(jnp.ones((S,), P.dtype), (0, pad))
+    if site_weights is not None:
+        w = jnp.pad(jnp.asarray(site_weights, P.dtype), (0, pad))
+    else:
+        w = jnp.ones((S_pad,), P.dtype)
+    raw, cnt, B, C = _em_scan(
+        P_pad, mask, score9, jnp.asarray(I), jnp.asarray(J), w,
+        pairwise_del, tile, block_size if want_blocks else 1, want_blocks,
+    )
+    if B is not None:
+        # padded tail spilled into phantom block rows; drop them
+        B = B[:n_blocks]
+        C = C[:n_blocks]
+    return raw, cnt, B, C
+
+
+# ------------------------------------------------------------------ #
+# Replicate orchestration                                             #
+# ------------------------------------------------------------------ #
+
+
+def _finalize(raw: np.ndarray, cnt, pars: Params) -> np.ndarray:
+    """raw/cnt -> averaged, model-corrected float64 matrix with zero diag."""
+    raw = np.asarray(raw, dtype=np.float64)
+    if pars.tot_sites > 0:
+        denom = float(pars.tot_sites)
+    elif cnt is None:
+        raise ValueError("cnt required when tot_sites is not set")
+    else:
+        denom = np.asarray(cnt, dtype=np.float64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        d = raw / denom
+        d = models.apply_evol_model(d, pars.evol_model, xp=np)
+    if d.ndim == 2:
+        np.fill_diagonal(d, 0.0)
+    return d
+
+
+def iter_replicates(
+    pars: Params, P_host: np.ndarray, maps: List[np.ndarray], n_trunc: int
+) -> Iterator[np.ndarray]:
+    """Yield the full-data matrix then one matrix per bootstrap replicate,
+    computed with the batched engine."""
+    dtype = default_dtype()
+    N = pars.n_ind
+    S = pars.n_sites
+    score = jnp.asarray(pars.score, dtype)
+    score9 = score.reshape(-1)
+    P = jnp.asarray(P_host, dtype)
+
+    I, J = _pair_indices(N)
+
+    def full_stats(Psub, site_weights=None, n_blocks=None, block_size=None):
+        if pars.indep_geno:
+            w = None if site_weights is None else jnp.asarray(site_weights, dtype)
+            if n_blocks is None:
+                raw, cnt = indep_suffstats(Psub, score, pars.pairwise_del, w)
+                return raw, cnt, None, None
+            B, C = indep_block_partials(Psub, score, pars.pairwise_del, n_blocks, block_size)
+            return None, None, B, C
+        return em_suffstats(
+            Psub, score9, pars.pairwise_del,
+            site_weights=site_weights, n_blocks=n_blocks, block_size=block_size,
+        )
+
+    def to_matrix(raw, cnt):
+        if raw.ndim == 1:  # pair-vector (EM path)
+            raw_m = _scatter_pairs(np.asarray(raw, np.float64), I, J, N)
+            cnt_m = None if cnt is None else _scatter_pairs(np.asarray(cnt, np.float64), I, J, N)
+        else:
+            raw_m = np.asarray(raw, np.float64)
+            cnt_m = None if cnt is None else np.asarray(cnt, np.float64)
+        return raw_m, cnt_m
+
+    # Replicate 0: full dataset.
+    raw, cnt, _, _ = full_stats(P)
+    raw_m, cnt_m = to_matrix(raw, cnt)
+    denom = cnt_m if pars.pairwise_del else float(S)
+    yield _finalize(raw_m, denom, pars)
+
+    n_reps = pars.n_boot_rep
+    if n_reps == 0:
+        return
+    block_size = pars.boot_block_size
+    n_blocks = n_trunc // block_size
+    P_trunc = P[:n_trunc]
+
+    itemsize = np.dtype(np.float64 if dtype == jnp.float64 else np.float32).itemsize
+    partial_bytes = n_blocks * N * N * itemsize * (2 if pars.pairwise_del else 1)
+    use_partials = partial_bytes <= PARTIALS_BUDGET_BYTES
+
+    table = bt.block_index_table(pars.seed, n_reps, n_blocks)
+
+    if use_partials:
+        _, _, B, C = full_stats(P_trunc, n_blocks=n_blocks, block_size=block_size)
+        M = jnp.asarray(bt.block_multiplicity(table, n_blocks), dtype)
+        if B.ndim == 2:  # EM path: [n_blocks, n_pairs]
+            raw_r = jnp.einsum("rb,bp->rp", M, B, preferred_element_type=dtype)
+            cnt_r = None if C is None else jnp.einsum("rb,bp->rp", M, C, preferred_element_type=dtype)
+        else:
+            raw_r = jnp.einsum("rb,bij->rij", M, B, preferred_element_type=dtype)
+            cnt_r = None if C is None else jnp.einsum("rb,bij->rij", M, C, preferred_element_type=dtype)
+        for r in range(n_reps):
+            raw_m, cnt_m = to_matrix(raw_r[r], None if cnt_r is None else cnt_r[r])
+            denom = cnt_m if pars.pairwise_del else float(n_trunc)
+            yield _finalize(raw_m, denom, pars)
+    else:
+        for r in range(n_reps):
+            w = np.bincount(maps[r], minlength=n_trunc).astype(np.float64)
+            raw, cnt, _, _ = full_stats(P_trunc, site_weights=w)
+            raw_m, cnt_m = to_matrix(raw, cnt)
+            denom = cnt_m if pars.pairwise_del else float(n_trunc)
+            yield _finalize(raw_m, denom, pars)

@@ -1,14 +1,20 @@
 import os
 import sys
 
-# Tests exercise the multi-chip sharding path on a virtual CPU mesh; real
-# TPU runs happen via bench.py / the driver's graft entry.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Tests exercise the multi-chip sharding path on a virtual 8-device CPU
+# mesh with float64; real TPU runs happen via bench.py / __graft_entry__.
+# The axon sitecustomize imports jax at interpreter start, so env vars are
+# too late — use jax.config directly (and XLA_FLAGS before backend init).
 xla_flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in xla_flags:
     os.environ["XLA_FLAGS"] = (
         xla_flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
 
 REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 if REPO_ROOT not in sys.path:

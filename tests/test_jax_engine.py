@@ -1,0 +1,97 @@
+"""JAX engine vs exact engine: the batched XLA path must agree with the
+bit-exact CPU oracle to float64 reduction-order tolerance on every
+configuration, including bootstrap partial-sum resummation."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from ngsdist_tpu import cli, runner
+from ngsdist_tpu.config import Params
+from ngsdist_tpu.core import bootstrap as bt
+from ngsdist_tpu.core import distance as dist
+from ngsdist_tpu.core import exact as exact_engine
+
+from conftest import DATA_DIR, FIXTURES
+
+import jax
+import jax.numpy as jnp
+
+with open(os.path.join(FIXTURES, "manifest.json")) as fh:
+    MANIFEST = json.load(fh)
+
+
+def _run_both(name, tmp_path, monkeypatch):
+    cfg = MANIFEST[name]
+    monkeypatch.chdir(DATA_DIR)
+    outs = {}
+    for engine in ("exact", "jax"):
+        out = tmp_path / f"{name}.{engine}.dist"
+        argv = [a.replace("{OUT}", str(out)) for a in cfg["args"]]
+        pars, _ = cli.parse_args(argv)
+        pars.verbose = 0
+        mats = runner.run(pars, engine=engine)
+        outs[engine] = mats
+    return outs
+
+
+# A representative subset covering every code path (indep/EM, masks,
+# bootstrap partials, call_geno, models, tot_sites, binary/text).
+SUBSET = [
+    "T", "T_m0", "T_m2", "T_avg", "T_tot", "T_pdel", "T_b5B10", "T_b5B7",
+    "GL", "GL_pdel", "GL_b3B10", "GL_CGf", "GLlog", "BIN_b5", "GP_pdel_I",
+]
+
+
+@pytest.mark.parametrize("name", SUBSET)
+def test_jax_matches_exact(name, tmp_path, monkeypatch):
+    outs = _run_both(name, tmp_path, monkeypatch)
+    for m_exact, m_jax in zip(outs["exact"], outs["jax"]):
+        np.testing.assert_allclose(m_jax, m_exact, rtol=0, atol=5e-9)
+
+
+def test_weighted_fallback_matches_partials(monkeypatch):
+    """Bootstrap via weighted recompute must equal partial-sum resummation."""
+    rng = np.random.default_rng(7)
+    P = rng.dirichlet([1.0, 1.0, 1.0], size=(200, 6)).astype(np.float64)
+    pars = Params(in_geno="x", n_ind=6, n_sites=200, out="o", seed=11,
+                  n_boot_rep=4, boot_block_size=10, indep_geno=True,
+                  in_probs=True)
+    n_trunc, maps = bt.site_maps(pars.seed, pars.n_boot_rep, pars.n_sites,
+                                 pars.boot_block_size)
+    mats_partial = list(dist.iter_replicates(pars, P, maps, n_trunc))
+    monkeypatch.setattr(dist, "PARTIALS_BUDGET_BYTES", 0)
+    mats_weighted = list(dist.iter_replicates(pars, P, maps, n_trunc))
+    assert len(mats_partial) == 5
+    for a, b in zip(mats_partial, mats_weighted):
+        np.testing.assert_allclose(a, b, rtol=0, atol=1e-10)
+
+
+def test_em_matches_exact_pairwise():
+    """Direct EM-path check against the native per-site EM."""
+    rng = np.random.default_rng(3)
+    P = rng.dirichlet([0.7, 0.5, 0.7], size=(50, 4)).astype(np.float64)
+    pars = Params(in_geno="x", n_ind=4, n_sites=50, out="o", seed=1,
+                  in_probs=True, indep_geno=False, evol_model=0)
+    mats = list(dist.iter_replicates(pars, P, [], 50))
+    P_ind = exact_engine.to_ind_major(P)
+    ref = exact_engine.pair_dists_exact(
+        P_ind, pars.score, False, False, 0, 0, n_threads=1
+    )
+    np.testing.assert_allclose(mats[0], ref, rtol=0, atol=1e-9)
+
+
+def test_f32_reasonable():
+    """float32 (TPU default) stays within documented tolerance of f64."""
+    rng = np.random.default_rng(4)
+    P = rng.dirichlet([1, 1, 1], size=(500, 8)).astype(np.float64)
+    score = jnp.asarray(Params(in_geno="x").score)
+    raw64, _ = dist.indep_suffstats(jnp.asarray(P), score, False)
+    raw32, _ = dist.indep_suffstats(
+        jnp.asarray(P, jnp.float32), jnp.asarray(score, jnp.float32), False
+    )
+    np.testing.assert_allclose(
+        np.asarray(raw32), np.asarray(raw64), rtol=2e-5, atol=0
+    )
