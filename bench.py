@@ -1,0 +1,115 @@
+#!/usr/bin/env python
+"""Headline benchmark: pair-site distance updates/sec on one chip.
+
+Measures the full-matrix computation at the BASELINE.json shape
+(1k individuals x 1M sites, independent-genotypes path with pairwise
+deletion) by streaming site chunks through the jitted einsum engine and
+accumulating the [N, N] sufficient statistics on device.  One JSON line:
+
+  {"metric": "pair_site_updates_per_sec", "value": ..., "unit":
+   "updates/s", "vs_baseline": ...}
+
+vs_baseline compares against the reference ngsDist CPU engine scaled to
+64 threads (BENCH_baseline.json, produced by
+tests/refharness/measure_cpu_baseline.py; reference hot loop:
+/root/reference/ngsDist.cpp:325-404 at 9 fused multiply-adds per
+pair-site update).
+
+Env knobs: NGSDIST_BENCH_N_IND, NGSDIST_BENCH_N_SITES,
+NGSDIST_BENCH_CHUNK override the shape (e.g. for a quick smoke run).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+BASELINE_FILE = os.path.join(REPO, "BENCH_baseline.json")
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    sys.path.insert(0, REPO)
+    from ngsdist_tpu.config import default_score_matrix
+    from ngsdist_tpu.core.distance import missing_mask
+
+    N = int(os.environ.get("NGSDIST_BENCH_N_IND", 1024))
+    S_total = int(os.environ.get("NGSDIST_BENCH_N_SITES", 1 << 20))
+    chunk = int(os.environ.get("NGSDIST_BENCH_CHUNK", 1 << 16))
+    n_chunks = max(1, S_total // chunk)
+    S_total = n_chunks * chunk
+
+    dev = jax.devices()[0]
+    dtype = jnp.float32
+
+    @jax.jit
+    def chunk_step(P, score, raw, cnt):
+        """One site-chunk update of the sufficient statistics."""
+        valid = (~missing_mask(P)).astype(dtype)
+        Q = P * valid[..., None]
+        Y = jnp.einsum("sjh,gh->sjg", Q, score)
+        raw = raw + jnp.einsum("sig,sjg->ij", Q, Y, preferred_element_type=dtype)
+        cnt = cnt + jnp.einsum("si,sj->ij", valid, valid, preferred_element_type=dtype)
+        return raw, cnt
+
+    @jax.jit
+    def finalize(raw, cnt):
+        d = raw / jnp.maximum(cnt, 1)
+        return -jnp.log1p(-d) * (1 - jnp.eye(N, dtype=dtype))
+
+    # Device-resident synthetic chunk (content doesn't affect timing;
+    # generated once, reused per chunk — bench measures compute, not IO).
+    key = jax.random.PRNGKey(0)
+    logits = jax.random.normal(key, (chunk, N, 3), dtype=dtype)
+    P = jax.device_put(jax.nn.softmax(logits, axis=-1), dev)
+    score = jax.device_put(jnp.asarray(default_score_matrix(), dtype), dev)
+
+    raw0 = jnp.zeros((N, N), dtype)
+    cnt0 = jnp.zeros((N, N), dtype)
+
+    # Warmup / compile.
+    r, c = chunk_step(P, score, raw0, cnt0)
+    jax.block_until_ready(finalize(r, c))
+
+    t0 = time.perf_counter()
+    raw, cnt = raw0, cnt0
+    for _ in range(n_chunks):
+        raw, cnt = chunk_step(P, score, raw, cnt)
+    d = finalize(raw, cnt)
+    jax.block_until_ready(d)
+    elapsed = time.perf_counter() - t0
+
+    n_pairs = N * (N - 1) // 2
+    updates = float(n_pairs) * float(S_total)
+    rate = updates / elapsed
+
+    vs = 0.0
+    if os.path.exists(BASELINE_FILE):
+        with open(BASELINE_FILE) as fh:
+            base = json.load(fh)
+        ref = float(base.get("cpu64_updates_per_sec", 0.0))
+        if ref > 0:
+            vs = rate / ref
+
+    print(json.dumps({
+        "metric": "pair_site_updates_per_sec",
+        "value": rate,
+        "unit": "updates/s",
+        "vs_baseline": vs,
+    }))
+    print(
+        f"# {N} ind x {S_total} sites ({n_chunks} chunks of {chunk}) in "
+        f"{elapsed:.3f}s on {dev.platform}:{dev.device_kind}",
+        file=sys.stderr,
+    )
+
+
+if __name__ == "__main__":
+    main()

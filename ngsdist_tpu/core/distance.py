@@ -270,10 +270,22 @@ def _finalize(raw: np.ndarray, cnt, pars: Params) -> np.ndarray:
 
 
 def iter_replicates(
-    pars: Params, P_host: np.ndarray, maps: List[np.ndarray], n_trunc: int
+    pars: Params,
+    P_host: np.ndarray,
+    maps: List[np.ndarray],
+    n_trunc: int,
+    mesh=None,
 ) -> Iterator[np.ndarray]:
     """Yield the full-data matrix then one matrix per bootstrap replicate,
-    computed with the batched engine."""
+    computed with the batched engine.
+
+    With a `jax.sharding.Mesh` the site axis is sharded across its
+    devices and per-shard partial sums are psum-merged
+    (parallel/mesh.py); otherwise everything runs single-device.
+    """
+    if mesh is not None:
+        yield from _iter_replicates_sharded(pars, P_host, maps, n_trunc, mesh)
+        return
     dtype = default_dtype()
     N = pars.n_ind
     S = pars.n_sites
@@ -341,6 +353,80 @@ def iter_replicates(
         for r in range(n_reps):
             w = np.bincount(maps[r], minlength=n_trunc).astype(np.float64)
             raw, cnt, _, _ = full_stats(P_trunc, site_weights=w)
+            raw_m, cnt_m = to_matrix(raw, cnt)
+            denom = cnt_m if pars.pairwise_del else float(n_trunc)
+            yield _finalize(raw_m, denom, pars)
+
+
+def _iter_replicates_sharded(
+    pars: Params, P_host: np.ndarray, maps: List[np.ndarray], n_trunc: int, mesh
+) -> Iterator[np.ndarray]:
+    """Mesh-sharded replicate stream (sites sharded, psum-merged)."""
+    from ..parallel import mesh as pm
+
+    dtype = default_dtype()
+    N = pars.n_ind
+    S = pars.n_sites
+    score = pars.score
+    I, J = _pair_indices(N)
+    n_reps = pars.n_boot_rep
+
+    def to_matrix(raw, cnt):
+        raw = np.asarray(raw, np.float64)
+        if raw.ndim == 1:
+            raw_m = _scatter_pairs(raw, I, J, N)
+            cnt_m = None if cnt is None else _scatter_pairs(np.asarray(cnt, np.float64), I, J, N)
+        else:
+            raw_m = raw
+            cnt_m = None if cnt is None else np.asarray(cnt, np.float64)
+        return raw_m, cnt_m
+
+    block_size = pars.boot_block_size
+    n_blocks = n_trunc // block_size if n_reps else 0
+    itemsize = 8 if dtype == jnp.float64 else 4
+    partial_cells = N * N if pars.indep_geno else (N * N - N) // 2
+    partial_bytes = n_blocks * partial_cells * itemsize * (2 if pars.pairwise_del else 1)
+    use_partials = n_reps > 0 and partial_bytes <= PARTIALS_BUDGET_BYTES
+
+    B = C = None
+    if pars.indep_geno or not use_partials:
+        raw, cnt, _, _ = pm.sharded_suffstats(
+            P_host, score, mesh, indep=pars.indep_geno,
+            pairwise_del=pars.pairwise_del, dtype=dtype,
+        )
+    else:
+        # EM path: one sharded pass yields rep-0 stats AND block partials.
+        raw, cnt, B, C = pm.sharded_suffstats(
+            P_host, score, mesh, indep=False, pairwise_del=pars.pairwise_del,
+            n_blocks=n_blocks, block_size=block_size, dtype=dtype,
+        )
+    raw_m, cnt_m = to_matrix(raw, None if not pars.pairwise_del else cnt)
+    denom = cnt_m if pars.pairwise_del else float(S)
+    yield _finalize(raw_m, denom, pars)
+
+    if n_reps == 0:
+        return
+    table = bt.block_index_table(pars.seed, n_reps, n_blocks)
+
+    if use_partials:
+        if pars.indep_geno:
+            _, _, B, C = pm.sharded_suffstats(
+                P_host, score, mesh, indep=True, pairwise_del=pars.pairwise_del,
+                n_blocks=n_blocks, block_size=block_size, dtype=dtype,
+            )
+        raw_r, cnt_r = pm.bootstrap_replicates(table, B, C, n_blocks, mesh)
+        for r in range(n_reps):
+            raw_m, cnt_m = to_matrix(raw_r[r], None if cnt_r is None else cnt_r[r])
+            denom = cnt_m if pars.pairwise_del else float(n_trunc)
+            yield _finalize(raw_m, denom, pars)
+    else:
+        for r in range(n_reps):
+            w = np.zeros((S,), np.float64)
+            w[:n_trunc] = np.bincount(maps[r], minlength=n_trunc)
+            raw, cnt, _, _ = pm.sharded_suffstats(
+                P_host, score, mesh, indep=pars.indep_geno,
+                pairwise_del=pars.pairwise_del, site_weights=w, dtype=dtype,
+            )
             raw_m, cnt_m = to_matrix(raw, cnt)
             denom = cnt_m if pars.pairwise_del else float(n_trunc)
             yield _finalize(raw_m, denom, pars)

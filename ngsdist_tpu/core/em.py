@@ -40,7 +40,9 @@ def em_converged_weights(W: jnp.ndarray) -> jnp.ndarray:
     Wsum_zero = jnp.sum(W, axis=-1) == 0
     Wsafe = jnp.where(Wsum_zero[..., None], jnp.asarray(1.0, dtype), W)
 
-    sfs0 = jnp.full(W.shape, 1.0 / 9.0, dtype=dtype)
+    # Derived from W (not a fresh constant) so that under shard_map the
+    # while_loop carry keeps W's varying-axes annotation.
+    sfs0 = jnp.zeros_like(Wsafe) + jnp.asarray(1.0 / 9.0, dtype)
 
     def lik(sfs):
         return jnp.log(jnp.sum(sfs * Wsafe, axis=-1))

@@ -1,0 +1,382 @@
+"""Mesh-sharded distance engine: data parallelism over the site axis.
+
+The reference's only parallelism is a single-node pthread pool with one
+task per individual pair (/root/reference/ngsDist.cpp:197-269,
+shared/threadpool.c).  The TPU-native scale-out axis is different: the
+pair loop is already a tensor dimension (core/distance.py), so devices
+shard the *site* axis of the [n_sites, n_ind, 3] probability tensor
+across a 1-D `jax.sharding.Mesh` axis ``'sites'``.  Each device reduces
+its local site shard to pairwise sufficient statistics (sum of expected
+mismatches, valid-site counts, per-block partial sums) and the shards
+are merged with `jax.lax.psum` — collectives ride ICI, and only the tiny
+[n_ind, n_ind] results ever cross devices.
+
+`shard_map` (not plain jit-with-sharding) is deliberate for the EM path:
+the per-(pair, site) EM is a `lax.while_loop` whose trip count depends on
+local convergence; under shard_map each device iterates only as long as
+*its* lanes need, with no cross-device lockstep.
+
+Multi-host: the same code runs under `jax.distributed.initialize` (see
+`distributed_init`); each host feeds its local site range via
+`host_local_array_to_global_array` semantics (jax.make_array_from_
+process_local_data), and the psum crosses DCN only once per run.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+try:  # jax >= 0.4.35 stable alias
+    from jax import shard_map as _shard_map_mod  # noqa: F401
+
+    shard_map = jax.shard_map
+except AttributeError:  # pragma: no cover - older jax
+    from jax.experimental.shard_map import shard_map  # type: ignore
+
+from ..core.distance import missing_mask
+from ..core.em import em_pair_site_contribs
+
+AXIS = "sites"
+
+# Per-shard site-tile element budget for the EM scan (tile*n_pairs*9).
+EM_TILE_ELEM_BUDGET = 1 << 25
+
+
+def _to_varying(x):
+    """Mark a constant as varying over the shard axis (API moved across
+    jax versions: pcast is the current name, pvary its predecessor)."""
+    if hasattr(jax.lax, "pcast"):
+        return jax.lax.pcast(x, (AXIS,), to="varying")
+    return jax.lax.pvary(x, (AXIS,))
+
+
+def make_mesh(devices=None, n_devices: Optional[int] = None) -> Mesh:
+    """1-D mesh over all (or the first n) addressable devices."""
+    if devices is None:
+        devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return Mesh(np.asarray(devices), (AXIS,))
+
+
+def distributed_init(coordinator: Optional[str] = None, **kw) -> None:
+    """Multi-host runtime bring-up (no-op when single-process)."""
+    if jax.process_count() > 1 or coordinator is None:
+        return
+    jax.distributed.initialize(coordinator_address=coordinator, **kw)
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def pad_sites(P_host: np.ndarray, s_pad: int) -> np.ndarray:
+    """Zero-pad the site axis to s_pad rows (zeros are inert: they carry
+    no probability mass and are masked out of EM/count paths)."""
+    S = P_host.shape[0]
+    if s_pad == S:
+        return P_host
+    out = np.zeros((s_pad,) + P_host.shape[1:], dtype=P_host.dtype)
+    out[:S] = P_host
+    return out
+
+
+def shard_sites(arr, mesh: Mesh):
+    """Device-put an [S_pad, ...] array sharded along the site axis."""
+    spec = P(AXIS, *([None] * (arr.ndim - 1)))
+    return jax.device_put(arr, NamedSharding(mesh, spec))
+
+
+# ------------------------------------------------------------------ #
+# Independent-genotypes path                                          #
+# ------------------------------------------------------------------ #
+
+
+def _indep_local(Pl, ml, wl, score, pairwise_del: bool):
+    """Per-shard einsum reduction.  Pl [Sl,N,3] local sites, ml [Sl]
+    1.0 for real sites, wl [Sl] site multiplicities."""
+    dtype = Pl.dtype
+    if pairwise_del:
+        valid = (~missing_mask(Pl)).astype(dtype) * ml[:, None]
+        Q = Pl * valid[..., None]
+    else:
+        valid = None
+        Q = Pl  # padded sites are all-zero -> contribute nothing
+    Y = jnp.einsum("sjh,gh->sjg", Q, score.astype(dtype))
+    L = Q * wl[:, None, None]
+    raw = jnp.einsum("sig,sjg->ij", L, Y, preferred_element_type=dtype)
+    raw = jax.lax.psum(raw, AXIS)
+    cnt = None
+    if pairwise_del:
+        cnt = jnp.einsum("si,sj->ij", valid * wl[:, None], valid,
+                         preferred_element_type=dtype)
+        cnt = jax.lax.psum(cnt, AXIS)
+    return raw, cnt
+
+
+@functools.partial(jax.jit, static_argnames=("pairwise_del", "mesh"))
+def _indep_sharded(P_pad, mask, w, score, pairwise_del: bool, mesh: Mesh):
+    fn = lambda Pl, ml, wl: _indep_local(Pl, ml, wl, score, pairwise_del)
+    out_specs = (P(), P()) if pairwise_del else (P(), None)
+    raw, cnt = shard_map(
+        fn, mesh=mesh,
+        in_specs=(P(AXIS, None, None), P(AXIS), P(AXIS)),
+        out_specs=out_specs,
+    )(P_pad, mask, w)
+    return raw, cnt
+
+
+def _indep_blocks_local(Pl, ml, score, pairwise_del: bool, block_size: int):
+    dtype = Pl.dtype
+    Sl, N, _ = Pl.shape
+    nb = Sl // block_size
+    if pairwise_del:
+        valid = (~missing_mask(Pl)).astype(dtype) * ml[:, None]
+        Q = Pl * valid[..., None]
+    else:
+        valid = None
+        Q = Pl
+    Qb = Q.reshape(nb, block_size, N, 3)
+    Yb = jnp.einsum("bsjh,gh->bsjg", Qb, score.astype(dtype))
+    B = jnp.einsum("bsig,bsjg->bij", Qb, Yb, preferred_element_type=dtype)
+    C = None
+    if pairwise_del:
+        vb = valid.reshape(nb, block_size, N)
+        C = jnp.einsum("bsi,bsj->bij", vb, vb, preferred_element_type=dtype)
+    return B, C
+
+
+@functools.partial(
+    jax.jit, static_argnames=("pairwise_del", "block_size", "mesh")
+)
+def _indep_blocks_sharded(P_pad, mask, score, pairwise_del, block_size, mesh):
+    fn = lambda Pl, ml: _indep_blocks_local(Pl, ml, score, pairwise_del, block_size)
+    out_specs = (P(AXIS, None, None), P(AXIS, None, None) if pairwise_del else None)
+    return shard_map(
+        fn, mesh=mesh,
+        in_specs=(P(AXIS, None, None), P(AXIS)),
+        out_specs=out_specs,
+    )(P_pad, mask)
+
+
+# ------------------------------------------------------------------ #
+# EM path                                                             #
+# ------------------------------------------------------------------ #
+
+
+def _em_local(Pl, ml, wl, score9, I, J, pairwise_del: bool, tile: int,
+              block_size: int, want_blocks: bool):
+    """Per-shard masked-EM reduction over local site tiles (mirrors
+    core/distance._em_scan, but runs device-local under shard_map so the
+    EM while_loop's trip count is local to this shard)."""
+    dtype = Pl.dtype
+    Sl = Pl.shape[0]
+    n_tiles = Sl // tile
+    n_pairs = I.shape[0]
+    bpt = tile // block_size if want_blocks else 1
+
+    Pt = Pl.reshape(n_tiles, tile, Pl.shape[1], 3)
+    mt = ml.reshape(n_tiles, tile)
+    wt = wl.reshape(n_tiles, tile)
+
+    def body(carry, xs):
+        raw, cnt = carry
+        Ptile, mtile, wtile = xs
+        P1 = Ptile[:, I, :]
+        P2 = Ptile[:, J, :]
+        contrib = em_pair_site_contribs(P1, P2, score9)
+        m = mtile[:, None]
+        if pairwise_del:
+            valid = (~missing_mask(Ptile)).astype(dtype)
+            m = m * (valid[:, I] * valid[:, J])
+        c_eff = contrib * m
+        w = wtile[:, None]
+        raw = raw + jnp.sum(c_eff * w, axis=0)
+        cnt = cnt + jnp.sum(m * w, axis=0)
+        ys = ()
+        if want_blocks:
+            seg = jax.lax.broadcasted_iota(jnp.int32, (tile, 1), 0)[:, 0] // block_size
+            Bt = jax.ops.segment_sum(c_eff, seg, num_segments=bpt)
+            Ct = jax.ops.segment_sum(jnp.broadcast_to(m, c_eff.shape), seg,
+                                     num_segments=bpt)
+            ys = (Bt, Ct)
+        return (raw, cnt), ys
+
+    # The zero init is a constant but the scan outputs vary over the
+    # shard axis; annotate so the carry types match under shard_map.
+    zero = _to_varying(jnp.zeros((n_pairs,), dtype))
+    (raw, cnt), ys = jax.lax.scan(body, (zero, zero), (Pt, mt, wt))
+    raw = jax.lax.psum(raw, AXIS)
+    cnt = jax.lax.psum(cnt, AXIS)
+    if want_blocks:
+        B = ys[0].reshape(n_tiles * bpt, n_pairs)
+        C = ys[1].reshape(n_tiles * bpt, n_pairs)
+        return raw, cnt, B, C
+    return raw, cnt
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("pairwise_del", "tile", "block_size", "want_blocks", "mesh"),
+)
+def _em_sharded(P_pad, mask, w, score9, I, J, pairwise_del, tile,
+                block_size, want_blocks, mesh):
+    fn = lambda Pl, ml, wl: _em_local(
+        Pl, ml, wl, score9, I, J, pairwise_del, tile, block_size, want_blocks
+    )
+    if want_blocks:
+        out_specs = (P(), P(), P(AXIS, None), P(AXIS, None))
+    else:
+        out_specs = (P(), P())
+    return shard_map(
+        fn, mesh=mesh,
+        in_specs=(P(AXIS, None, None), P(AXIS), P(AXIS)),
+        out_specs=out_specs,
+    )(P_pad, mask, w)
+
+
+# ------------------------------------------------------------------ #
+# Bootstrap resummation over sharded block partials                   #
+# ------------------------------------------------------------------ #
+
+
+@functools.partial(jax.jit, static_argnames=("mesh",))
+def resum_blocks(M, B, mesh: Mesh):
+    """Weighted resummation of per-block partial sums.
+
+    M [n_reps, n_blocks_pad] multiplicities, B [n_blocks_pad, ...] block
+    partials sharded on the leading axis.  Returns [n_reps, ...]
+    replicated — each device contracts its local blocks, then psum.
+    """
+    sub = "bp->rp" if B.ndim == 2 else "bij->rij"
+
+    def fn(Ml, Bl):
+        out = jnp.einsum("rb," + sub, Ml, Bl, preferred_element_type=B.dtype)
+        return jax.lax.psum(out, AXIS)
+
+    in_specs = (P(None, AXIS), P(AXIS, *([None] * (B.ndim - 1))))
+    return shard_map(fn, mesh=mesh, in_specs=in_specs, out_specs=P())(M, B)
+
+
+# ------------------------------------------------------------------ #
+# Host-facing API                                                     #
+# ------------------------------------------------------------------ #
+
+
+def _pair_indices(n_ind: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    iu = np.triu_indices(n_ind, k=1)
+    return jnp.asarray(iu[0], jnp.int32), jnp.asarray(iu[1], jnp.int32)
+
+
+def _plan_padding(S: int, n_dev: int, granule: int) -> int:
+    """Padded global site count: per-shard length a multiple of granule."""
+    s_loc = _round_up(_round_up(S, n_dev) // n_dev, granule)
+    return s_loc * n_dev
+
+
+def _em_tile(n_pairs: int, s_loc: int, block_size: int) -> int:
+    tile = max(1, EM_TILE_ELEM_BUDGET // max(1, n_pairs * 9))
+    tile = max(block_size, (tile // block_size) * block_size)
+    return min(tile, s_loc) if s_loc else tile
+
+
+def sharded_suffstats(
+    P_host: np.ndarray,
+    score: np.ndarray,
+    mesh: Mesh,
+    *,
+    indep: bool,
+    pairwise_del: bool,
+    site_weights: Optional[np.ndarray] = None,
+    n_blocks: Optional[int] = None,
+    block_size: int = 1,
+    dtype=None,
+):
+    """Sufficient statistics over the mesh.
+
+    Returns (raw, cnt, B, C): raw/cnt replicated [N,N] (indep) or
+    [n_pairs] (EM); when n_blocks is given, additionally computes
+    per-block partials B/C kept *sharded and padded* on their block axis
+    (rows >= n_blocks cover truncation-remainder/padding sites and are
+    ignored by `bootstrap_replicates` via zero multiplicities); in that
+    case raw/cnt are None for the indep path (compute full-data stats
+    with a separate call) and the full-data stats for the EM path.
+    """
+    if dtype is None:
+        dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    S, N, _ = P_host.shape
+    n_dev = mesh.devices.size
+    want_blocks = n_blocks is not None
+    I, J = _pair_indices(N)
+    n_pairs = int(I.shape[0])
+
+    if indep:
+        granule = block_size if want_blocks else 1
+        tile = None
+    else:
+        s_loc_est = _round_up(S, n_dev) // n_dev
+        tile = _em_tile(n_pairs, _round_up(s_loc_est, block_size), block_size)
+        granule = tile
+
+    s_pad = _plan_padding(S, n_dev, granule)
+    Pp = shard_sites(pad_sites(np.asarray(P_host, dtype=np.float64 if dtype == jnp.float64 else np.float32), s_pad), mesh)
+    mask_h = np.zeros((s_pad,), dtype=np.float64 if dtype == jnp.float64 else np.float32)
+    mask_h[:S] = 1.0
+    mask = shard_sites(mask_h, mesh)
+    if site_weights is not None:
+        w_h = np.zeros_like(mask_h)
+        w_h[:S] = site_weights
+    else:
+        w_h = mask_h
+    w = shard_sites(w_h, mesh)
+    score_d = jnp.asarray(score, dtype)
+    score9 = score_d.reshape(-1)
+
+    if indep:
+        if want_blocks:
+            B, C = _indep_blocks_sharded(Pp, mask, score_d, pairwise_del,
+                                         block_size, mesh)
+            return None, None, B, C
+        raw, cnt = _indep_sharded(Pp, mask, w, score_d, pairwise_del, mesh)
+        return raw, cnt, None, None
+
+    out = _em_sharded(Pp, mask, w, score9, I, J, pairwise_del, tile,
+                      block_size if want_blocks else 1, want_blocks, mesh)
+    if want_blocks:
+        return out
+    raw, cnt = out
+    return raw, cnt, None, None
+
+
+def bootstrap_replicates(
+    table: np.ndarray,
+    B,
+    C,
+    n_blocks: int,
+    mesh: Mesh,
+):
+    """Resum sharded block partials into per-replicate stats.
+
+    table: [n_reps, n_blocks] source-block index table.  B (and C) as
+    returned by sharded_suffstats *before* the [:n_blocks] slice is
+    re-padded here to match the sharded block axis.
+    """
+    from ..core.bootstrap import block_multiplicity
+
+    n_blocks_pad = int(B.shape[0]) if B.shape[0] >= n_blocks else n_blocks
+    M = block_multiplicity(table, n_blocks)
+    if n_blocks_pad > n_blocks:
+        M = np.concatenate(
+            [M, np.zeros((M.shape[0], n_blocks_pad - n_blocks))], axis=1
+        )
+    M_d = jnp.asarray(M, B.dtype)
+    raw_r = resum_blocks(M_d, B, mesh)
+    cnt_r = None if C is None else resum_blocks(M_d, C, mesh)
+    return raw_r, cnt_r

@@ -60,7 +60,7 @@ def load_inputs(pars: Params):
     return labels, pos_rows, P
 
 
-def iter_replicates(pars: Params, P: np.ndarray, engine: str = "auto"):
+def iter_replicates(pars: Params, P: np.ndarray, engine: str = "auto", mesh=None):
     """Yield the distance matrix for the full data, then one per bootstrap
     replicate (streamed so output durability matches the reference, which
     prints each matrix as its replicate completes, ngsDist.cpp:282-287)."""
@@ -98,13 +98,21 @@ def iter_replicates(pars: Params, P: np.ndarray, engine: str = "auto"):
     elif engine == "jax":
         from .core import distance as jax_engine
 
-        yield from jax_engine.iter_replicates(pars, P, maps, n_trunc)
+        yield from jax_engine.iter_replicates(pars, P, maps, n_trunc, mesh=mesh)
     else:
         raise ValueError(f"unknown engine: {engine}")
 
 
-def run(pars: Params, engine: str = "auto", out_fh: Optional[TextIO] = None) -> List[np.ndarray]:
-    """Full pipeline; writes matrices to pars.out (or out_fh) and returns them."""
+def run(
+    pars: Params,
+    engine: str = "auto",
+    out_fh: Optional[TextIO] = None,
+    mesh=None,
+) -> List[np.ndarray]:
+    """Full pipeline; writes matrices to pars.out (or out_fh) and returns them.
+
+    mesh: optional jax.sharding.Mesh — shards the site axis across its
+    devices (jax engine only)."""
     pars.validate()
     pars.finalize()
     for msg in pars.messages:
@@ -121,7 +129,7 @@ def run(pars: Params, engine: str = "auto", out_fh: Optional[TextIO] = None) -> 
         close = True
     matrices: List[np.ndarray] = []
     try:
-        for m in iter_replicates(pars, P, engine=engine):
+        for m in iter_replicates(pars, P, engine=engine, mesh=mesh):
             _log(pars, 2, "> Printing distance matrix")
             writers.write_dist_matrix(out_fh, labels, m)
             out_fh.flush()

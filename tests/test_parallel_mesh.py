@@ -1,0 +1,123 @@
+"""Mesh-sharded engine equivalence on a virtual 8-device CPU mesh.
+
+The multi-device contract (SURVEY.md §2.3): sharding the site axis and
+psum-merging per-shard sufficient statistics must reproduce the
+single-device batched engine (which itself is pinned to the bit-exact
+native oracle in test_jax_engine.py).  Reduction order differs only at
+the shard-merge step, so float64 agreement is to ~1e-12.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ngsdist_tpu.config import Params, default_score_matrix
+from ngsdist_tpu.core import bootstrap as bt
+from ngsdist_tpu.core import distance as dist
+from ngsdist_tpu.parallel import mesh as pm
+
+
+def _rand_probs(rng, S, N, missing_frac=0.15):
+    """Normal-space probability tensor with some missing (uniform) sites."""
+    P = rng.dirichlet(np.ones(3), size=(S, N)).astype(np.float64)
+    miss = rng.random((S, N)) < missing_frac
+    P[miss] = 1.0 / 3.0
+    return P
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    assert len(jax.devices()) >= 8, "conftest should force 8 CPU devices"
+    return pm.make_mesh(n_devices=8)
+
+
+@pytest.mark.parametrize("pairwise_del", [False, True])
+def test_indep_sharded_matches_single(mesh8, pairwise_del):
+    rng = np.random.default_rng(0)
+    S, N = 103, 6  # deliberately not divisible by 8 (padding path)
+    P = _rand_probs(rng, S, N)
+    score = default_score_matrix()
+
+    raw1, cnt1 = dist.indep_suffstats(
+        jnp.asarray(P), jnp.asarray(score), pairwise_del
+    )
+    raw8, cnt8, _, _ = pm.sharded_suffstats(
+        P, score, mesh8, indep=True, pairwise_del=pairwise_del
+    )
+    np.testing.assert_allclose(np.asarray(raw8), np.asarray(raw1), rtol=0, atol=1e-12)
+    if pairwise_del:
+        np.testing.assert_allclose(np.asarray(cnt8), np.asarray(cnt1), rtol=0, atol=0)
+
+
+@pytest.mark.parametrize("pairwise_del", [False, True])
+def test_em_sharded_matches_single(mesh8, pairwise_del):
+    rng = np.random.default_rng(1)
+    S, N = 57, 5
+    P = _rand_probs(rng, S, N)
+    score9 = jnp.asarray(default_score_matrix().reshape(-1))
+
+    raw1, cnt1, _, _ = dist.em_suffstats(jnp.asarray(P), score9, pairwise_del)
+    raw8, cnt8, _, _ = pm.sharded_suffstats(
+        P, default_score_matrix(), mesh8, indep=False, pairwise_del=pairwise_del
+    )
+    np.testing.assert_allclose(np.asarray(raw8), np.asarray(raw1), rtol=0, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(cnt8), np.asarray(cnt1), rtol=0, atol=1e-9)
+
+
+def test_indep_weighted_sharded(mesh8):
+    rng = np.random.default_rng(2)
+    S, N = 64, 4
+    P = _rand_probs(rng, S, N)
+    score = default_score_matrix()
+    w = rng.integers(0, 3, size=S).astype(np.float64)
+
+    raw1, cnt1 = dist.indep_suffstats(
+        jnp.asarray(P), jnp.asarray(score), True, jnp.asarray(w)
+    )
+    raw8, cnt8, _, _ = pm.sharded_suffstats(
+        P, score, mesh8, indep=True, pairwise_del=True, site_weights=w
+    )
+    np.testing.assert_allclose(np.asarray(raw8), np.asarray(raw1), rtol=0, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(cnt8), np.asarray(cnt1), rtol=0, atol=0)
+
+
+def _pipeline_matrices(pars, P, mesh):
+    n_trunc, maps = bt.site_maps(
+        pars.seed, pars.n_boot_rep, pars.n_sites, pars.boot_block_size
+    )
+    return list(dist.iter_replicates(pars, P, maps, n_trunc, mesh=mesh))
+
+
+@pytest.mark.parametrize(
+    "indep,pairwise_del", [(True, False), (True, True), (False, False), (False, True)]
+)
+def test_bootstrap_pipeline_sharded_matches_single(mesh8, indep, pairwise_del):
+    rng = np.random.default_rng(3)
+    S, N = 105, 5
+    P = _rand_probs(rng, S, N)
+    pars = Params(
+        in_geno="x", n_ind=N, n_sites=S, out="y", seed=7,
+        indep_geno=indep, pairwise_del=pairwise_del, in_probs=True,
+        n_boot_rep=3, boot_block_size=10, evol_model=1,
+    )
+    ms = _pipeline_matrices(pars, P, None)
+    mm = _pipeline_matrices(pars, P, mesh8)
+    assert len(ms) == len(mm) == 4
+    for a, b in zip(ms, mm):
+        np.testing.assert_allclose(b, a, rtol=0, atol=1e-11)
+
+
+def test_single_device_mesh_ok():
+    """A 1-device mesh must work (degenerate scale-out)."""
+    rng = np.random.default_rng(4)
+    P = _rand_probs(rng, 30, 4)
+    m1 = pm.make_mesh(n_devices=1)
+    raw1, cnt1 = dist.indep_suffstats(
+        jnp.asarray(P), jnp.asarray(default_score_matrix()), True
+    )
+    raw, cnt, _, _ = pm.sharded_suffstats(
+        P, default_score_matrix(), m1, indep=True, pairwise_del=True
+    )
+    np.testing.assert_allclose(np.asarray(raw), np.asarray(raw1), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(cnt), np.asarray(cnt1), atol=0)
