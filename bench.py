@@ -49,7 +49,6 @@ def main() -> None:
     dev = jax.devices()[0]
     dtype = jnp.float32
 
-    @jax.jit
     def chunk_step(P, score, raw, cnt):
         """One site-chunk update of the sufficient statistics."""
         valid = (~missing_mask(P)).astype(dtype)
@@ -59,32 +58,35 @@ def main() -> None:
         cnt = cnt + jnp.einsum("si,sj->ij", valid, valid, preferred_element_type=dtype)
         return raw, cnt
 
+    # One fused dispatch: site chunks stream through a fori_loop on
+    # device (per-dispatch tunnel latency would otherwise dominate; the
+    # chunk's *contents* don't affect timing, its shape/masking do).
     @jax.jit
-    def finalize(raw, cnt):
+    def full_matrix(P, score):
+        def body(_i, rc):
+            return chunk_step(P, score, *rc)
+        raw, cnt = jax.lax.fori_loop(
+            0, n_chunks, body,
+            (jnp.zeros((N, N), dtype), jnp.zeros((N, N), dtype)),
+        )
         d = raw / jnp.maximum(cnt, 1)
         return -jnp.log1p(-d) * (1 - jnp.eye(N, dtype=dtype))
 
-    # Device-resident synthetic chunk (content doesn't affect timing;
-    # generated once, reused per chunk — bench measures compute, not IO).
     key = jax.random.PRNGKey(0)
     logits = jax.random.normal(key, (chunk, N, 3), dtype=dtype)
     P = jax.device_put(jax.nn.softmax(logits, axis=-1), dev)
     score = jax.device_put(jnp.asarray(default_score_matrix(), dtype), dev)
 
-    raw0 = jnp.zeros((N, N), dtype)
-    cnt0 = jnp.zeros((N, N), dtype)
+    # Warmup / compile (np.asarray is the only reliable completion
+    # barrier through the remote-device tunnel).
+    _ = np.asarray(full_matrix(P, score))
 
-    # Warmup / compile.
-    r, c = chunk_step(P, score, raw0, cnt0)
-    jax.block_until_ready(finalize(r, c))
-
-    t0 = time.perf_counter()
-    raw, cnt = raw0, cnt0
-    for _ in range(n_chunks):
-        raw, cnt = chunk_step(P, score, raw, cnt)
-    d = finalize(raw, cnt)
-    jax.block_until_ready(d)
-    elapsed = time.perf_counter() - t0
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        d = np.asarray(full_matrix(P, score))
+        times.append(time.perf_counter() - t0)
+    elapsed = min(times)
 
     n_pairs = N * (N - 1) // 2
     updates = float(n_pairs) * float(S_total)

@@ -49,7 +49,11 @@ _BY_SHORT = {short: (name, arg, short) for name, arg, short in _OPTIONS}
 
 # Extra long options unique to the TPU framework (not in the reference).
 _EXT_OPTIONS = [
-    ("engine", True),   # exact | jax | auto
+    ("engine", True),      # exact | jax | auto
+    ("devices", True),     # shard sites over N devices ("all" = every device)
+    ("resume", False),     # continue an interrupted run (.ckpt.json sidecar)
+    ("trace_dir", True),   # capture a jax.profiler trace here
+    ("throughput", False), # report pair-site updates/sec on stderr
 ]
 _EXT_BY_NAME = dict(_EXT_OPTIONS)
 
@@ -82,7 +86,7 @@ def _resolve(name: str):
     if name in _BY_NAME:
         return _BY_NAME[name], False
     if name in _EXT_BY_NAME:
-        return ("engine", _EXT_BY_NAME[name], None), True
+        return (name, _EXT_BY_NAME[name], None), True
     matches = [o for o in _OPTIONS if o[0].startswith(name)]
     ext_matches = [o for o in _EXT_OPTIONS if o[0].startswith(name)]
     if len(matches) + len(ext_matches) == 1:
@@ -97,7 +101,7 @@ def _resolve(name: str):
 def parse_args(argv: List[str]):
     """Parse into (Params, extras dict); raises SystemExit(255) on bad flags."""
     pars = Params()
-    extras = {"engine": "auto"}
+    extras = {"engine": "auto", "devices": None}
     i = 0
     while i < len(argv):
         tok = argv[i]
@@ -122,7 +126,7 @@ def parse_args(argv: List[str]):
         i += 1
 
         if is_ext:
-            extras[lname] = val
+            extras[lname] = val if takes_arg else True
             continue
         if lname == "geno":
             pars.in_geno = val
@@ -213,7 +217,21 @@ def main(argv: Optional[List[str]] = None) -> int:
     try:
         from . import runner
 
-        runner.run(pars, engine=extras.get("engine", "auto"))
+        mesh = None
+        devices = extras.get("devices")
+        if devices not in (None, "", "0", "1"):
+            from .parallel import make_mesh
+
+            n_dev = None if devices == "all" else _atol(devices)
+            mesh = make_mesh(n_devices=n_dev)
+        runner.run(
+            pars,
+            engine=extras.get("engine", "auto"),
+            mesh=mesh,
+            resume=bool(extras.get("resume")),
+            trace_dir=extras.get("trace_dir"),
+            report_throughput=bool(extras.get("throughput")),
+        )
     except NgsDistError as e:
         sys.stdout.flush()
         sys.stderr.write(f"\n=====\nERROR: [{e.func}] {e.msg}\n=====\n\n")

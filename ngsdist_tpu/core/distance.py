@@ -28,6 +28,7 @@ sharding wrapper lives in ngsdist_tpu/parallel/mesh.py.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Iterator, List, Optional, Tuple
 
 import jax
@@ -49,6 +50,18 @@ EM_TILE_ELEM_BUDGET = 1 << 25
 
 def default_dtype():
     return jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+
+
+def _use_pallas_em() -> bool:
+    """Route full-data EM stats through the Pallas kernel?  auto = yes on
+    a real TPU backend (the kernel's tiling targets TPU; the interpret
+    path is for tests).  NGSDIST_PALLAS=0/1 forces."""
+    mode = os.environ.get("NGSDIST_PALLAS", "auto")
+    if mode == "0":
+        return False
+    if mode == "1":
+        return True
+    return jax.default_backend() == "tpu"
 
 
 def missing_mask(P: jnp.ndarray) -> jnp.ndarray:
@@ -303,6 +316,14 @@ def iter_replicates(
                 return raw, cnt, None, None
             B, C = indep_block_partials(Psub, score, pars.pairwise_del, n_blocks, block_size)
             return None, None, B, C
+        if n_blocks is None and _use_pallas_em():
+            from ..ops.pallas_em import em_raw_cnt_pallas
+
+            raw_m, cnt_m = em_raw_cnt_pallas(
+                Psub, score9, pars.pairwise_del, site_weights=site_weights
+            )
+            # Kernel writes the strict upper triangle; extract pair order.
+            return raw_m[I, J], cnt_m[I, J], None, None
         return em_suffstats(
             Psub, score9, pars.pairwise_del,
             site_weights=site_weights, n_blocks=n_blocks, block_size=block_size,

@@ -1,0 +1,251 @@
+"""Pallas TPU kernel for the pairwise-EM distance path.
+
+The reference runs a tiny 9-cell EM per (pair, site) with an early
+log-likelihood break (/root/reference/emOptim2.cpp:91-135, tole=0.001,
+maxIter=50 from ngsDist.cpp:349).  Because each problem sees one site,
+the E step is an elementwise reweighting: sfs_{t+1} ∝ sfs_t ⊙ W with
+W[g,h] = P1[g]·P2[h].  Hence sfs_t ∝ W^t elementwise, and the reference
+loglik after step t is l_t = log S_{t+1} − log S_t with S_t = Σ_k W_k^t —
+so the convergence test |l_t − l_{t−1}| < tole is a *ratio* test on
+successive sums, and the whole EM needs no normalization at all if W is
+first scaled by its max (scale cancels in both sfs and the test; max
+entry 1 keeps S_t ≥ 1, and f32 underflow of the losing cells only drives
+them to the 0 they converge to anyway).
+
+Kernel shape: individuals are tiled into BxB blocks; a scalar-prefetch
+table enumerates only the upper-triangular block pairs; sites stream as
+the innermost grid dimension, accumulating into the resident [B, B]
+output block (zero-initialised on the first site tile).  The 9
+genotype-combination channels sit on a *leading* axis so every reduction
+is 8 VPU adds over [TS·B, B] lane-aligned tiles; the inner while_loop
+does ~22 flops/lane/iteration with per-lane convergence freezing and
+exits as soon as every lane in the tile has converged.
+
+Numerics vs the reference: identical update order, convergence rule and
+iteration cap; differs only by the exact normalization arithmetic
+(rounding-level) — the bit-exact contract is carried by the CPU engine
+(core/exact.py), and tests pin this kernel to the batched JAX EM
+(core/em.py) at float tolerance.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+EM_TOLE = 0.001
+EM_MAX_ITER = 50
+EPSILON = 1e-5  # miss_data tolerance (gen_func.hpp:16)
+
+# TPU tiling: the [B, B] output block's last dim must be a multiple of
+# 128, so B=128.  site_tile=4 keeps the three [9, TS, B, B] f32 work
+# arrays (W, the while-carry P, its update) at ~2.4 MB each — inside the
+# 16 MB scoped-VMEM limit with room for in/out blocks.
+DEFAULT_BLOCK = 128
+DEFAULT_SITE_TILE = 4
+
+
+def _em_kernel(
+    # scalar prefetch
+    ib_ref, jb_ref,
+    # inputs
+    pi_ref, pj_ref, score_ref,
+    # outputs
+    raw_ref, cnt_ref,
+    *, pairwise_del: bool,
+):
+    st = pl.program_id(1)
+
+    @pl.when(st == 0)
+    def _init():
+        raw_ref[:] = jnp.zeros_like(raw_ref)
+        cnt_ref[:] = jnp.zeros_like(cnt_ref)
+
+    Pi = pi_ref[:]  # [TS, B, 3]
+    Pj = pj_ref[:]
+    dtype = Pi.dtype
+    TS, B, _ = Pi.shape
+
+    # W[g*3+h, s, a, b] = Pi[s, a, g] * Pj[s, b, h]: 9 outer products.
+    cols_i = [Pi[:, :, g][:, :, None] for g in range(3)]   # [TS, B, 1]
+    rows_j = [Pj[:, :, h][:, None, :] for h in range(3)]   # [TS, 1, B]
+    W = jnp.stack(
+        [cols_i[g] * rows_j[h] for g in range(3) for h in range(3)], axis=0
+    )  # [9, TS, B, B]
+
+    wmax = jnp.max(W, axis=0)                       # [TS, B, B]
+    dead = wmax <= 0.0                              # padded / all-zero lanes
+    Wn = W / jnp.where(dead, 1.0, wmax)[None]       # max entry 1 per live lane
+
+    lo = jnp.asarray(np.exp(-EM_TOLE), dtype)
+    hi = jnp.asarray(np.exp(EM_TOLE), dtype)
+
+    # With S_t = Σ_k Wn_k^t (S_0 = 9), sfs after k EM steps is Wn^k/S_k
+    # and its loglik is l_k = log(S_{k+1}/S_k).  The reference updates
+    # first and breaks on |l_k − l_{k−1}| < tole keeping sfs_k
+    # (emOptim2.cpp:112-135), i.e. the test ratio is
+    # (S_{k+1}·S_{k−1})/S_k² and the kept state is the *entering* P_k —
+    # the P_{k+1} computed for the test is discarded on convergence.
+    # Masks are carried as {0,1} floats (Mosaic-friendlier loop carry
+    # than i1 vectors); n_active as a scalar lets the loop exit as soon
+    # as every lane in the tile has converged.
+    def cond(state):
+        k, _P, _S_cur, _S_prev, _active, n_active = state
+        return jnp.logical_and(k < EM_MAX_ITER, n_active > 0.0)
+
+    def body(state):
+        k, P, S_cur, S_prev, active, _na = state
+        Pn = P * Wn                                  # [9, TS, B, B]
+        S_next = jnp.sum(Pn, axis=0)
+        ratio = (S_next * S_prev) / (S_cur * S_cur)  # e^{l_k - l_{k-1}}
+        conv = (ratio > lo) & (ratio < hi)
+        upd = active * (1.0 - conv.astype(dtype))    # active & ~conv
+        P = P + upd[None] * (Pn - P)
+        S_prev = S_prev + upd * (S_cur - S_prev)
+        S_cur = S_cur + upd * (S_next - S_cur)
+        return k + 1, P, S_cur, S_prev, upd, jnp.sum(upd)
+
+    P1 = Wn                                          # after EM step 1
+    S1 = jnp.sum(Wn, axis=0)
+    S0 = jnp.full_like(S1, 9.0)
+    active0 = 1.0 - dead.astype(dtype)
+    _, Pf, _, _, _, _ = jax.lax.while_loop(
+        cond,
+        body,
+        (jnp.asarray(1, jnp.int32), P1, S1, S0, active0, jnp.sum(active0)),
+    )
+
+    # contrib = Σ_k score[k] · sfs_k = (Σ_k score[k] P_k) / Σ_k P_k
+    Sf = jnp.sum(Pf, axis=0)
+    num = jnp.zeros_like(Sf)
+    for k in range(9):
+        num = num + score_ref[0, k] * Pf[k]
+    contrib = jnp.where(dead, 0.0, num / Sf)         # [TS, B, B]
+
+    # Site/individual padding is all-zero probability -> dead lanes;
+    # excluding them reproduces the site mask without a weights input.
+    m = 1.0 - dead.astype(dtype)
+    if pairwise_del:
+        def valid(Pv):
+            d01 = jnp.abs(Pv[:, :, 0] - Pv[:, :, 1])
+            d12 = jnp.abs(Pv[:, :, 1] - Pv[:, :, 2])
+            return ((d01 >= EPSILON) | (d12 >= EPSILON)).astype(dtype)
+        m = m * valid(Pi)[:, :, None] * valid(Pj)[:, None, :]
+
+    raw_ref[:] += jnp.sum(contrib * m, axis=0)
+    cnt_ref[:] += jnp.sum(m, axis=0)
+
+
+def _upper_blocks(nb: int) -> Tuple[np.ndarray, np.ndarray]:
+    iu = np.triu_indices(nb)
+    return iu[0].astype(np.int32), iu[1].astype(np.int32)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("pairwise_del", "block", "site_tile", "interpret"),
+)
+def _em_pallas_padded(
+    P_pad: jnp.ndarray,        # [S_pad, N_pad, 3]
+    score9: jnp.ndarray,       # [1, 9]
+    IB: jnp.ndarray,           # [G] upper-block row ids
+    JB: jnp.ndarray,           # [G] upper-block col ids
+    pairwise_del: bool,
+    block: int,
+    site_tile: int,
+    interpret: bool,
+):
+    S_pad, N_pad, _ = P_pad.shape
+    G = IB.shape[0]
+    n_st = S_pad // site_tile
+    dtype = P_pad.dtype
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(G, n_st),
+        in_specs=[
+            pl.BlockSpec(
+                (site_tile, block, 3),
+                lambda g, st, IB, JB: (st, IB[g], 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (site_tile, block, 3),
+                lambda g, st, IB, JB: (st, JB[g], 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (block, block),
+                lambda g, st, IB, JB: (IB[g], JB[g]),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (block, block),
+                lambda g, st, IB, JB: (IB[g], JB[g]),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+    )
+
+    kernel = functools.partial(_em_kernel, pairwise_del=pairwise_del)
+    raw, cnt = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((N_pad, N_pad), dtype),
+            jax.ShapeDtypeStruct((N_pad, N_pad), dtype),
+        ],
+        interpret=interpret,
+    )(IB, JB, P_pad, P_pad, score9)
+    return raw, cnt
+
+
+def em_raw_cnt_pallas(
+    P: jnp.ndarray,
+    score9,
+    pairwise_del: bool,
+    site_weights: Optional[np.ndarray] = None,
+    *,
+    block: int = DEFAULT_BLOCK,
+    site_tile: int = DEFAULT_SITE_TILE,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """EM-path sufficient statistics via the Pallas kernel.
+
+    P: [S, N, 3] normal-space probabilities.  Returns (raw, cnt) as
+    [N, N] arrays whose strict upper triangle is valid (lower triangle
+    and diagonal are never written by the block enumeration).
+
+    site_weights (integer multiplicities, e.g. bootstrap resampling
+    counts) are realised as a site *gather* before the kernel — the
+    reference's own resampling semantics (ngsDist.cpp:416-437) — so the
+    kernel itself needs no per-site weight input.
+    """
+    if site_weights is not None:
+        w = np.asarray(site_weights)
+        wi = w.astype(np.int64)
+        if not np.array_equal(wi, w):
+            raise ValueError("pallas EM path needs integer site weights")
+        sites = np.repeat(np.arange(P.shape[0]), wi)
+        P = jnp.asarray(P)[jnp.asarray(sites)]
+    S, N, _ = P.shape
+    dtype = P.dtype
+    S_pad = ((S + site_tile - 1) // site_tile) * site_tile
+    N_pad = ((N + block - 1) // block) * block
+    P_pad = jnp.pad(P, ((0, S_pad - S), (0, N_pad - N), (0, 0)))
+    score9 = jnp.asarray(score9, dtype).reshape(1, 9)
+    IB, JB = _upper_blocks(N_pad // block)
+    raw, cnt = _em_pallas_padded(
+        P_pad, score9, jnp.asarray(IB), jnp.asarray(JB),
+        pairwise_del, block, site_tile, interpret,
+    )
+    return raw[:N, :N], cnt[:N, :N]

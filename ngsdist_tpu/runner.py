@@ -108,11 +108,22 @@ def run(
     engine: str = "auto",
     out_fh: Optional[TextIO] = None,
     mesh=None,
+    resume: bool = False,
+    trace_dir: Optional[str] = None,
+    report_throughput: bool = False,
 ) -> List[np.ndarray]:
     """Full pipeline; writes matrices to pars.out (or out_fh) and returns them.
 
     mesh: optional jax.sharding.Mesh — shards the site axis across its
-    devices (jax engine only)."""
+    devices (jax engine only).
+    resume: continue an interrupted run from its .ckpt.json sidecar
+    (matrices already durable in the output file are skipped).
+    trace_dir: capture a jax.profiler trace of the compute section.
+    report_throughput: print pair-site updates/sec to stderr at the end.
+    """
+    from .utils import checkpoint as ckpt
+    from .utils.profiling import Throughput, trace
+
     pars.validate()
     pars.finalize()
     for msg in pars.messages:
@@ -120,22 +131,40 @@ def run(
 
     labels, _pos, P = load_inputs(pars)
 
+    n_done = 0
+    if resume and out_fh is None:
+        got = ckpt.load(pars.out, pars)
+        if got is not None:
+            n_done = got
+            _log(pars, 1, f"==> Resuming: {n_done} matrices already written")
+
     close = False
     if out_fh is None:
         try:
-            out_fh = open(pars.out, "w")
+            out_fh = open(pars.out, "a" if n_done else "w")
         except OSError:
             raise NgsDistError("main", "cannot open output file!")
         close = True
     matrices: List[np.ndarray] = []
+    meter = Throughput(pars.n_comb)
     try:
-        for m in iter_replicates(pars, P, engine=engine, mesh=mesh):
-            _log(pars, 2, "> Printing distance matrix")
-            writers.write_dist_matrix(out_fh, labels, m)
-            out_fh.flush()
-            matrices.append(m)
+        with trace(trace_dir):
+            for rep, m in enumerate(iter_replicates(pars, P, engine=engine, mesh=mesh)):
+                if rep < n_done:
+                    continue  # durable from the interrupted run
+                _log(pars, 2, "> Printing distance matrix")
+                writers.write_dist_matrix(out_fh, labels, m)
+                out_fh.flush()
+                matrices.append(m)
+                meter.update(pars.n_sites)
+                if close:
+                    ckpt.save(pars.out, pars, rep + 1)
     finally:
         if close:
             out_fh.close()
+    if close:
+        ckpt.clear(pars.out)
+    if report_throughput:
+        meter.report()
     _log(pars, 1, "Done!")
     return matrices

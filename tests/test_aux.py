@@ -1,0 +1,95 @@
+"""Aux subsystems: checkpoint/resume, throughput meter, CLI extensions."""
+
+import os
+
+import numpy as np
+import pytest
+
+from ngsdist_tpu import cli, runner
+from ngsdist_tpu.config import Params
+from ngsdist_tpu.utils import checkpoint as ckpt
+from ngsdist_tpu.utils.profiling import Throughput
+
+
+def _write_gt(path, rng, S, N):
+    import gzip
+
+    g = rng.integers(-1, 3, size=(S, N))
+    with gzip.open(path, "wt") as fh:
+        for s in range(S):
+            fh.write("\t".join(str(int(x)) for x in g[s]) + "\n")
+
+
+def _pars(data, out, **kw):
+    base = dict(in_geno=data, n_ind=8, n_sites=60, out=out, seed=11,
+                n_boot_rep=3, boot_block_size=5, verbose=0)
+    base.update(kw)
+    return Params(**base)
+
+
+@pytest.fixture()
+def gt_file(tmp_path):
+    path = str(tmp_path / "gt.geno.gz")
+    _write_gt(path, np.random.default_rng(0), 60, 8)
+    return path
+
+
+def test_checkpoint_resume_identical_output(gt_file, tmp_path):
+    out_full = str(tmp_path / "full.dist")
+    runner.run(_pars(gt_file, out_full), engine="exact")
+    assert not os.path.exists(ckpt.state_path(out_full))  # cleared on success
+
+    # Simulate an interrupted run: write only the first 2 matrices.
+    out_part = str(tmp_path / "part.dist")
+    pars = _pars(gt_file, out_part)
+    with open(out_part, "w") as fh:
+        mats = runner.run(_pars(gt_file, str(tmp_path / "x.dist")), engine="exact")
+        from ngsdist_tpu.io import writers
+        from ngsdist_tpu.io.readers import default_labels
+
+        for m in mats[:2]:
+            writers.write_dist_matrix(fh, default_labels(8), m)
+    ckpt.save(out_part, pars, 2)
+
+    runner.run(_pars(gt_file, out_part), engine="exact", resume=True)
+    assert open(out_part).read() == open(out_full).read()
+
+
+def test_checkpoint_fingerprint_mismatch_ignored(gt_file, tmp_path):
+    out = str(tmp_path / "o.dist")
+    pars = _pars(gt_file, out)
+    open(out, "w").write("stale")
+    ckpt.save(out, _pars(gt_file, out, seed=999), 2)  # different fingerprint
+    assert ckpt.load(out, pars) is None
+
+
+def test_throughput_meter():
+    m = Throughput(n_pairs=10)
+    m.update(100)
+    m.update(100)
+    assert m.updates == 2000
+    assert m.replicates == 2
+    assert m.rate > 0
+
+
+def test_cli_ext_flags_parse():
+    pars, extras = cli.parse_args(
+        ["--geno", "x.gz", "--n_ind", "4", "--n_sites", "10", "--out", "y",
+         "--engine", "exact", "--resume", "--throughput", "--devices", "2"]
+    )
+    assert extras["engine"] == "exact"
+    assert extras["resume"] is True
+    assert extras["throughput"] is True
+    assert extras["devices"] == "2"
+    assert pars.n_ind == 4
+
+
+def test_cli_throughput_runs(gt_file, tmp_path, capsys):
+    out = str(tmp_path / "t.dist")
+    rc = cli.main(
+        ["--geno", gt_file, "--n_ind", "8", "--n_sites", "60", "--out", out,
+         "--verbose", "0", "--engine", "exact", "--throughput"]
+    )
+    assert rc == 0
+    err = capsys.readouterr().err
+    assert "Throughput:" in err
