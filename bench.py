@@ -59,12 +59,18 @@ def main() -> None:
         return raw, cnt
 
     # One fused dispatch: site chunks stream through a fori_loop on
-    # device (per-dispatch tunnel latency would otherwise dominate; the
-    # chunk's *contents* don't affect timing, its shape/masking do).
+    # device (per-dispatch tunnel latency would otherwise dominate).
+    # The loop cycles through NBUF distinct device-resident chunks —
+    # a loop-INVARIANT body would let XLA hoist the whole contraction
+    # out of the loop and the bench would time one chunk, not S_total.
+    NBUF = min(4, n_chunks)
+
     @jax.jit
-    def full_matrix(P, score):
-        def body(_i, rc):
-            return chunk_step(P, score, *rc)
+    def full_matrix(bufs, score):
+        def body(i, rc):
+            Pk = jax.lax.dynamic_index_in_dim(bufs, i % NBUF, axis=0,
+                                              keepdims=False)
+            return chunk_step(Pk, score, *rc)
         raw, cnt = jax.lax.fori_loop(
             0, n_chunks, body,
             (jnp.zeros((N, N), dtype), jnp.zeros((N, N), dtype)),
@@ -73,18 +79,18 @@ def main() -> None:
         return -jnp.log1p(-d) * (1 - jnp.eye(N, dtype=dtype))
 
     key = jax.random.PRNGKey(0)
-    logits = jax.random.normal(key, (chunk, N, 3), dtype=dtype)
-    P = jax.device_put(jax.nn.softmax(logits, axis=-1), dev)
+    logits = jax.random.normal(key, (NBUF, chunk, N, 3), dtype=dtype)
+    bufs = jax.device_put(jax.nn.softmax(logits, axis=-1), dev)
     score = jax.device_put(jnp.asarray(default_score_matrix(), dtype), dev)
 
     # Warmup / compile (np.asarray is the only reliable completion
     # barrier through the remote-device tunnel).
-    _ = np.asarray(full_matrix(P, score))
+    _ = np.asarray(full_matrix(bufs, score))
 
     times = []
     for _ in range(3):
         t0 = time.perf_counter()
-        d = np.asarray(full_matrix(P, score))
+        d = np.asarray(full_matrix(bufs, score))
         times.append(time.perf_counter() - t0)
     elapsed = min(times)
 

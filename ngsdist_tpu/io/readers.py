@@ -73,11 +73,22 @@ def read_geno(
     n_ind: int,
     n_sites: int,
     native: bool = True,
+    site_range: Optional[Tuple[int, int]] = None,
 ) -> np.ndarray:
     """Read a genotype/GL/GP file into [n_sites, n_ind, 3] log-space,
     per-individual normalized probabilities (always returns log scale,
     like the reference reader).
+
+    site_range=(start, stop): read only that site interval (multi-host
+    shard reading — each host loads its own range; binary inputs seek
+    directly, text inputs stream past the skipped lines).  The strict
+    EOF check only applies to a full read.
     """
+    if site_range is not None:
+        return _read_geno_py(
+            path, in_bin, in_probs, in_logscale, n_ind, n_sites,
+            site_range=site_range,
+        )
     if native and path != "-":
         lib = _native.get_lib()
         out = np.empty((n_sites, n_ind, N_GENO), dtype=np.float64)
@@ -103,9 +114,11 @@ def _postprob_py(tri: np.ndarray) -> np.ndarray:
 def _read_geno_py(
     path: str, in_bin: bool, in_probs: bool, in_logscale: bool,
     n_ind: int, n_sites: int,
+    site_range: Optional[Tuple[int, int]] = None,
 ) -> np.ndarray:
     n_geno = N_GENO if in_probs else 1
-    geno = np.full((n_sites, n_ind, N_GENO), -BIGNEG, dtype=np.float64)
+    start, stop = site_range if site_range is not None else (0, n_sites)
+    geno = np.full((stop - start, n_ind, N_GENO), -BIGNEG, dtype=np.float64)
 
     fh = _open_text(path) if not in_bin else (
         sys.stdin.buffer if path == "-" else
@@ -114,7 +127,12 @@ def _read_geno_py(
     try:
         if in_bin:
             want = n_ind * N_GENO * 8
-            for s in range(n_sites):
+            if start and fh.seekable() and not path.endswith(".gz"):
+                fh.seek(start * want)
+            elif start:
+                for _ in range(start):
+                    fh.read(want)
+            for s in range(stop - start):
                 buf = fh.read(want)
                 if len(buf) != want:
                     raise NgsDistError(
@@ -132,7 +150,7 @@ def _read_geno_py(
                 geno[s] = row
         else:
             s = 0
-            while s < n_sites:
+            while s < stop:
                 raw = fh.readline(LINE_MAX)
                 if not raw:
                     raise NgsDistError(
@@ -158,6 +176,9 @@ def _read_geno_py(
                     raise NgsDistError(
                         "read_geno", "wrong GENO file format. Less fields than expected!"
                     )
+                if s < start:  # before this host's shard: advance only
+                    s += 1
+                    continue
                 tail = np.asarray(vals[n_fields - n_ind * n_geno:], dtype=np.float64)
                 if in_probs:
                     row = tail.reshape(n_ind, N_GENO).copy()
@@ -177,14 +198,16 @@ def _read_geno_py(
                     row[miss] = np.log(1.0 / N_GENO)
                     idx = np.where(~miss)[0]
                     row[idx, g[idx]] = 0.0
-                geno[s] = _postprob_py(row)
+                geno[s - start] = _postprob_py(row)
                 s += 1
-        # Strict EOF check (read_data.cpp:106-109).
-        probe = fh.read(1)
-        if probe:
-            raise NgsDistError(
-                "read_geno", "GENO file not at EOF. Check GENO file and number of sites!"
-            )
+        # Strict EOF check (read_data.cpp:106-109); applies whenever the
+        # read runs through the final site.
+        if stop == n_sites:
+            probe = fh.read(1)
+            if probe:
+                raise NgsDistError(
+                    "read_geno", "GENO file not at EOF. Check GENO file and number of sites!"
+                )
     finally:
         if fh is not sys.stdin.buffer:
             fh.close()

@@ -106,9 +106,10 @@ def _em_kernel(
         ratio = (S_next * S_prev) / (S_cur * S_cur)  # e^{l_k - l_{k-1}}
         conv = (ratio > lo) & (ratio < hi)
         upd = active * (1.0 - conv.astype(dtype))    # active & ~conv
-        P = P + upd[None] * (Pn - P)
-        S_prev = S_prev + upd * (S_cur - S_prev)
-        S_cur = S_cur + upd * (S_next - S_cur)
+        sel = upd > 0.0
+        P = jnp.where(sel[None], Pn, P)
+        S_prev = jnp.where(sel, S_cur, S_prev)
+        S_cur = jnp.where(sel, S_next, S_cur)
         return k + 1, P, S_cur, S_prev, upd, jnp.sum(upd)
 
     P1 = Wn                                          # after EM step 1
