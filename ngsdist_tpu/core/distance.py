@@ -265,8 +265,11 @@ def em_suffstats(
 # ------------------------------------------------------------------ #
 
 
-def _finalize(raw: np.ndarray, cnt, pars: Params) -> np.ndarray:
-    """raw/cnt -> averaged, model-corrected float64 matrix with zero diag."""
+def _finalize(raw: np.ndarray, cnt, pars: Params, on_stats=None) -> np.ndarray:
+    """raw/cnt -> averaged, model-corrected float64 matrix with zero diag.
+
+    on_stats(raw, denom): pre-correction sufficient statistics hook
+    (the reference's verbose>=3 per-pair report, ngsDist.cpp:366-367)."""
     raw = np.asarray(raw, dtype=np.float64)
     if pars.tot_sites > 0:
         denom = float(pars.tot_sites)
@@ -274,6 +277,8 @@ def _finalize(raw: np.ndarray, cnt, pars: Params) -> np.ndarray:
         raise ValueError("cnt required when tot_sites is not set")
     else:
         denom = np.asarray(cnt, dtype=np.float64)
+    if on_stats is not None:
+        on_stats(raw, denom)
     with np.errstate(divide="ignore", invalid="ignore"):
         d = raw / denom
         d = models.apply_evol_model(d, pars.evol_model, xp=np)
@@ -288,6 +293,7 @@ def iter_replicates(
     maps: List[np.ndarray],
     n_trunc: int,
     mesh=None,
+    on_stats=None,
 ) -> Iterator[np.ndarray]:
     """Yield the full-data matrix then one matrix per bootstrap replicate,
     computed with the batched engine.
@@ -297,7 +303,9 @@ def iter_replicates(
     (parallel/mesh.py); otherwise everything runs single-device.
     """
     if mesh is not None:
-        yield from _iter_replicates_sharded(pars, P_host, maps, n_trunc, mesh)
+        yield from _iter_replicates_sharded(
+            pars, P_host, maps, n_trunc, mesh, on_stats=on_stats
+        )
         return
     dtype = default_dtype()
     N = pars.n_ind
@@ -342,7 +350,7 @@ def iter_replicates(
     raw, cnt, _, _ = full_stats(P)
     raw_m, cnt_m = to_matrix(raw, cnt)
     denom = cnt_m if pars.pairwise_del else float(S)
-    yield _finalize(raw_m, denom, pars)
+    yield _finalize(raw_m, denom, pars, on_stats)
 
     n_reps = pars.n_boot_rep
     if n_reps == 0:
@@ -369,18 +377,19 @@ def iter_replicates(
         for r in range(n_reps):
             raw_m, cnt_m = to_matrix(raw_r[r], None if cnt_r is None else cnt_r[r])
             denom = cnt_m if pars.pairwise_del else float(n_trunc)
-            yield _finalize(raw_m, denom, pars)
+            yield _finalize(raw_m, denom, pars, on_stats)
     else:
         for r in range(n_reps):
             w = np.bincount(maps[r], minlength=n_trunc).astype(np.float64)
             raw, cnt, _, _ = full_stats(P_trunc, site_weights=w)
             raw_m, cnt_m = to_matrix(raw, cnt)
             denom = cnt_m if pars.pairwise_del else float(n_trunc)
-            yield _finalize(raw_m, denom, pars)
+            yield _finalize(raw_m, denom, pars, on_stats)
 
 
 def _iter_replicates_sharded(
-    pars: Params, P_host: np.ndarray, maps: List[np.ndarray], n_trunc: int, mesh
+    pars: Params, P_host: np.ndarray, maps: List[np.ndarray], n_trunc: int, mesh,
+    on_stats=None,
 ) -> Iterator[np.ndarray]:
     """Mesh-sharded replicate stream (sites sharded, psum-merged)."""
     from ..parallel import mesh as pm
@@ -423,7 +432,7 @@ def _iter_replicates_sharded(
         )
     raw_m, cnt_m = to_matrix(raw, None if not pars.pairwise_del else cnt)
     denom = cnt_m if pars.pairwise_del else float(S)
-    yield _finalize(raw_m, denom, pars)
+    yield _finalize(raw_m, denom, pars, on_stats)
 
     if n_reps == 0:
         return
@@ -439,7 +448,7 @@ def _iter_replicates_sharded(
         for r in range(n_reps):
             raw_m, cnt_m = to_matrix(raw_r[r], None if cnt_r is None else cnt_r[r])
             denom = cnt_m if pars.pairwise_del else float(n_trunc)
-            yield _finalize(raw_m, denom, pars)
+            yield _finalize(raw_m, denom, pars, on_stats)
     else:
         for r in range(n_reps):
             w = np.zeros((S,), np.float64)
@@ -450,4 +459,4 @@ def _iter_replicates_sharded(
             )
             raw_m, cnt_m = to_matrix(raw, cnt)
             denom = cnt_m if pars.pairwise_del else float(n_trunc)
-            yield _finalize(raw_m, denom, pars)
+            yield _finalize(raw_m, denom, pars, on_stats)

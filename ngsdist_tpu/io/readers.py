@@ -240,6 +240,54 @@ def default_labels(n_ind: int) -> List[str]:
     return [f"Ind_{i}" for i in range(n_ind)]
 
 
+def read_pos_dist(rows: List[List[str]], n_sites: int) -> np.ndarray:
+    """Distance of each site to the previous one, infinity at chromosome
+    changes — the reference's read_dist (read_data.cpp:165-218, compiled
+    but never called by ngsDist's main; provided for the evolutionary
+    models that would consume inter-site distances).
+
+    rows: parsed POS rows (chr, pos, ...).  Reference semantics: a row
+    whose position column parses to 0 is a header and is skipped; a
+    within-chromosome distance < 1 is an error.
+    """
+    pos_dist = np.full((n_sites,), np.inf, dtype=np.float64)
+    prev_chr: Optional[str] = None
+    prev_pos = 0
+    s = 0
+    for row in rows:
+        try:
+            p = float(row[1])
+        except ValueError:
+            p = 0.0
+        if p == 0:
+            print("> Header found! Skipping line...", file=sys.stderr)
+            if s != 0:
+                print(
+                    "\n=====\nWARNING: [read_pos_dist]  header found but not "
+                    "on first line. Is this an error?\n=====\n",
+                    file=sys.stderr,
+                )
+            continue
+        if s >= n_sites:
+            raise NgsDistError("read_pos_dist", "wrong number of lines in POS file!")
+        if prev_chr is None:
+            prev_chr = row[0]
+        if prev_chr == row[0]:
+            pos_dist[s] = p - prev_pos
+            if pos_dist[s] < 1:
+                raise NgsDistError(
+                    "read_pos_dist", "invalid distance between adjacent sites!"
+                )
+        else:
+            pos_dist[s] = np.inf
+            prev_chr = row[0]
+        prev_pos = int(p)
+        s += 1
+    if s != n_sites:
+        raise NgsDistError("read_pos_dist", "wrong number of lines in POS file!")
+    return pos_dist
+
+
 def read_pos(path: str, header: bool, n_sites: int) -> List[List[str]]:
     """Position file (chr, pos[, allele1, allele2]): split every kept line
     on single space/tab separators keeping empty fields, with a constant

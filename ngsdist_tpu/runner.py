@@ -60,7 +60,30 @@ def load_inputs(pars: Params):
     return labels, pos_rows, P
 
 
-def iter_replicates(pars: Params, P: np.ndarray, engine: str = "auto", mesh=None):
+def make_pair_report(pars: Params, labels):
+    """verbose>=3 per-pair stats line (ngsDist.cpp:366-367): raw distance
+    sum, valid-site count and their ratio, before model correction."""
+    if pars.verbose < 3:
+        return None
+
+    def on_stats(raw, denom):
+        d = np.asarray(denom)
+        for i1 in range(pars.n_ind):
+            for i2 in range(i1 + 1, pars.n_ind):
+                cnt = d[i1, i2] if d.ndim == 2 else float(denom)
+                avg = raw[i1, i2] / cnt if cnt else float("nan")
+                print(
+                    f"\tDistance of {raw[i1, i2]:f} from {int(cnt)} valid sites "
+                    f"({avg:f}) between {labels[i1]} (ind {i1}) and "
+                    f"{labels[i2]} (ind {i2})!",
+                    file=sys.stderr,
+                )
+
+    return on_stats
+
+
+def iter_replicates(pars: Params, P: np.ndarray, engine: str = "auto", mesh=None,
+                    on_stats=None):
     """Yield the distance matrix for the full data, then one per bootstrap
     replicate (streamed so output durability matches the reference, which
     prints each matrix as its replicate completes, ngsDist.cpp:282-287)."""
@@ -98,7 +121,9 @@ def iter_replicates(pars: Params, P: np.ndarray, engine: str = "auto", mesh=None
     elif engine == "jax":
         from .core import distance as jax_engine
 
-        yield from jax_engine.iter_replicates(pars, P, maps, n_trunc, mesh=mesh)
+        yield from jax_engine.iter_replicates(
+            pars, P, maps, n_trunc, mesh=mesh, on_stats=on_stats
+        )
     else:
         raise ValueError(f"unknown engine: {engine}")
 
@@ -147,9 +172,12 @@ def run(
         close = True
     matrices: List[np.ndarray] = []
     meter = Throughput(pars.n_comb)
+    on_stats = make_pair_report(pars, labels)
     try:
         with trace(trace_dir):
-            for rep, m in enumerate(iter_replicates(pars, P, engine=engine, mesh=mesh)):
+            for rep, m in enumerate(
+                iter_replicates(pars, P, engine=engine, mesh=mesh, on_stats=on_stats)
+            ):
                 if rep < n_done:
                     continue  # durable from the interrupted run
                 _log(pars, 2, "> Printing distance matrix")

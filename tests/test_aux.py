@@ -93,3 +93,30 @@ def test_cli_throughput_runs(gt_file, tmp_path, capsys):
     assert rc == 0
     err = capsys.readouterr().err
     assert "Throughput:" in err
+
+
+def test_read_pos_dist():
+    from ngsdist_tpu.io.readers import read_pos_dist
+
+    rows = [["chr1", "100"], ["chr1", "150"], ["chr2", "10"], ["chr2", "11"]]
+    d = read_pos_dist(rows, 4)
+    assert d[0] == 100.0  # first site: distance from prev_pos=0 (reference)
+    assert d[1] == 50.0
+    assert d[2] == np.inf  # chromosome change
+    assert d[3] == 1.0
+
+
+def test_read_pos_dist_invalid_distance():
+    from ngsdist_tpu.config import NgsDistError
+    from ngsdist_tpu.io.readers import read_pos_dist
+
+    with pytest.raises(NgsDistError):
+        read_pos_dist([["c", "5"], ["c", "5"]], 2)  # distance 0 < 1
+
+
+def test_verbose3_pair_report(gt_file, tmp_path, capsys):
+    out = str(tmp_path / "v3.dist")
+    pars = _pars(gt_file, out, verbose=3, n_boot_rep=0)
+    runner.run(pars, engine="jax")
+    err = capsys.readouterr().err
+    assert "valid sites" in err and "(ind 0)" in err
