@@ -216,7 +216,9 @@ def main(argv: Optional[List[str]] = None) -> int:
     echo_args(pars)
     try:
         from . import runner
+        from .utils import signals
 
+        signals.arm()  # graceful 3-strikes stop (resumable output)
         mesh = None
         devices = extras.get("devices")
         if devices not in (None, "", "0", "1"):

@@ -1,0 +1,182 @@
+"""Pallas TPU kernel for the independent-genotypes distance path.
+
+The XLA formulation (core/distance.py indep_suffstats) computes the full
+[N, N] contraction; this kernel computes only the upper-triangular
+individual blocks (halving MXU work — the matrix is symmetric), and
+fuses the missing-data mask, the probability masking and the score fold
+into the matmul's operand production, so the genotype tensor is read
+from HBM exactly once per block row/column.
+
+Data layout: the host passes the probabilities as three planes
+[3, S, N] (genotype-major).  A [TS, B, 3]-blocked layout would be
+lane-padded 3 -> 128 in VMEM (43x memory blowup — the scoped-VMEM OOM
+this replaced); plane-major blocks (3, TS, B) are tightly tiled.
+
+Per grid step (upper block pair (IB, JB), site tile):
+    vi[s,a]   = site a valid at s              (miss_data, gen_func.cpp:862-868)
+    Qi_g      = Pi_g * vi                      three [TS, B] planes
+    Yj_g      = Σ_h score[g,h]·Qj_h            (score fold on the j side)
+    raw[a,b] += Σ_{g,s} Qi_g[s,a]·Yj_g[s,b]    — MXU dot, K = 3·TS
+    cnt[a,b] += Σ_s vi[s,a]·vj[s,b]            — MXU dot, K = TS
+accumulated across site tiles into the resident [B, B] output block.
+
+Without pairwise deletion the mask is applied only to padding (all-zero
+probability rows are already inert) and cnt counts real sites, matching
+the reference's unconditional site counter (ngsDist.cpp:362).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+EPSILON = 1e-5  # miss_data tolerance (gen_func.hpp:16)
+
+DEFAULT_BLOCK = 128
+DEFAULT_SITE_TILE = 128
+
+
+def _valid(P0, P1, P2, dtype):
+    nonmiss = (jnp.abs(P0 - P1) >= EPSILON) | (jnp.abs(P1 - P2) >= EPSILON)
+    # padded rows are all-zero: treat as missing so cnt excludes them
+    nonzero = (P0 + P1 + P2) > 0.0
+    return (nonmiss & nonzero).astype(dtype), nonzero.astype(dtype)
+
+
+def _indep_kernel(
+    ib_ref, jb_ref,          # scalar prefetch
+    pi_ref, pj_ref, score_ref,
+    raw_ref, cnt_ref,
+    *, pairwise_del: bool,
+):
+    st = pl.program_id(1)
+
+    @pl.when(st == 0)
+    def _init():
+        raw_ref[:] = jnp.zeros_like(raw_ref)
+        cnt_ref[:] = jnp.zeros_like(cnt_ref)
+
+    Pi = [pi_ref[g] for g in range(3)]  # three [TS, B] planes
+    Pj = [pj_ref[g] for g in range(3)]
+    dtype = Pi[0].dtype
+
+    vi_m, vi_z = _valid(*Pi, dtype)
+    vj_m, vj_z = _valid(*Pj, dtype)
+    if pairwise_del:
+        vi, vj = vi_m, vj_m
+    else:
+        # mask only padding; count real sites (missing included)
+        vi, vj = vi_z, vj_z
+
+    Qi = [p * vi for p in Pi]
+    Qj = [p * vj for p in Pj]
+    Yj = [
+        score_ref[0, 3 * g + 0] * Qj[0]
+        + score_ref[0, 3 * g + 1] * Qj[1]
+        + score_ref[0, 3 * g + 2] * Qj[2]
+        for g in range(3)
+    ]
+
+    # Contract over (g, s): [3TS, B] x [3TS, B] -> [B, B] on the MXU.
+    A = jnp.concatenate(Qi, axis=0)
+    Bm = jnp.concatenate(Yj, axis=0)
+    raw_ref[:] += jax.lax.dot_general(
+        A, Bm, (((0,), (0,)), ((), ())), preferred_element_type=dtype
+    )
+    cnt_ref[:] += jax.lax.dot_general(
+        vi, vj, (((0,), (0,)), ((), ())), preferred_element_type=dtype
+    )
+
+
+def _upper_blocks(nb: int) -> Tuple[np.ndarray, np.ndarray]:
+    iu = np.triu_indices(nb)
+    return iu[0].astype(np.int32), iu[1].astype(np.int32)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("pairwise_del", "block", "site_tile", "interpret")
+)
+def _indep_pallas_padded(
+    P3,                      # [3, S_pad, N_pad] plane-major probabilities
+    score9, IB, JB, pairwise_del, block, site_tile, interpret
+):
+    _, S_pad, N_pad = P3.shape
+    G = IB.shape[0]
+    n_st = S_pad // site_tile
+    dtype = P3.dtype
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(G, n_st),
+        in_specs=[
+            pl.BlockSpec(
+                (3, site_tile, block),
+                lambda g, st, IB, JB: (0, st, IB[g]),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (3, site_tile, block),
+                lambda g, st, IB, JB: (0, st, JB[g]),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (block, block),
+                lambda g, st, IB, JB: (IB[g], JB[g]),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (block, block),
+                lambda g, st, IB, JB: (IB[g], JB[g]),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+    )
+    kernel = functools.partial(_indep_kernel, pairwise_del=pairwise_del)
+    raw, cnt = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((N_pad, N_pad), dtype),
+            jax.ShapeDtypeStruct((N_pad, N_pad), dtype),
+        ],
+        interpret=interpret,
+    )(IB, JB, P3, P3, score9)
+    return raw, cnt
+
+
+def indep_raw_cnt_pallas(
+    P: jnp.ndarray,
+    score,
+    pairwise_del: bool,
+    *,
+    block: int = DEFAULT_BLOCK,
+    site_tile: int = DEFAULT_SITE_TILE,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Independent-path sufficient statistics via the fused kernel.
+
+    P: [S, N, 3] normal-space probabilities.  Returns (raw, cnt) [N, N]
+    with valid upper triangle including the diagonal.  cnt counts
+    non-missing pairs under pairwise deletion, real sites otherwise.
+    """
+    S, N, _ = P.shape
+    dtype = P.dtype
+    S_pad = ((S + site_tile - 1) // site_tile) * site_tile
+    N_pad = ((N + block - 1) // block) * block
+    P3 = jnp.moveaxis(jnp.pad(P, ((0, S_pad - S), (0, N_pad - N), (0, 0))), -1, 0)
+    score9 = jnp.asarray(np.asarray(score).reshape(-1), dtype).reshape(1, 9)
+    IB, JB = _upper_blocks(N_pad // block)
+    raw, cnt = _indep_pallas_padded(
+        P3, score9, jnp.asarray(IB), jnp.asarray(JB),
+        pairwise_del, block, site_tile, interpret,
+    )
+    return raw[:N, :N], cnt[:N, :N]

@@ -147,6 +147,7 @@ def run(
     report_throughput: print pair-site updates/sec to stderr at the end.
     """
     from .utils import checkpoint as ckpt
+    from .utils import signals
     from .utils.profiling import Throughput, trace
 
     pars.validate()
@@ -173,6 +174,7 @@ def run(
     matrices: List[np.ndarray] = []
     meter = Throughput(pars.n_comb)
     on_stats = make_pair_report(pars, labels)
+    interrupted = False
     try:
         with trace(trace_dir):
             for rep, m in enumerate(
@@ -187,10 +189,14 @@ def run(
                 meter.update(pars.n_sites)
                 if close:
                     ckpt.save(pars.out, pars, rep + 1)
+                if signals.stop_requested():
+                    _log(pars, 1, "==> Stop requested; output is resumable (--resume)")
+                    interrupted = True
+                    break
     finally:
         if close:
             out_fh.close()
-    if close:
+    if close and not interrupted:
         ckpt.clear(pars.out)
     if report_throughput:
         meter.report()

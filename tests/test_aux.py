@@ -120,3 +120,29 @@ def test_verbose3_pair_report(gt_file, tmp_path, capsys):
     runner.run(pars, engine="jax")
     err = capsys.readouterr().err
     assert "valid sites" in err and "(ind 0)" in err
+
+
+def test_signals_graceful_stop(gt_file, tmp_path):
+    import os
+    import signal as _sig
+
+    from ngsdist_tpu.utils import signals
+
+    signals.arm()
+    try:
+        os.kill(os.getpid(), _sig.SIGTERM)
+        assert signals.stop_requested()
+        # run() finishing current matrix then stopping, leaving a resumable ckpt
+        out = str(tmp_path / "sig.dist")
+        pars = _pars(gt_file, out)
+        mats = runner.run(pars, engine="exact")
+        assert len(mats) == 1  # stopped after the first matrix
+        assert os.path.exists(ckpt.state_path(out))
+        signals.disarm()
+        # resume completes the stream identically to an uninterrupted run
+        runner.run(_pars(gt_file, out), engine="exact", resume=True)
+        full = str(tmp_path / "sigfull.dist")
+        runner.run(_pars(gt_file, full), engine="exact")
+        assert open(out).read() == open(full).read()
+    finally:
+        signals.disarm()
