@@ -39,6 +39,9 @@ def main() -> None:
     sys.path.insert(0, REPO)
     from ngsdist_tpu.config import default_score_matrix
     from ngsdist_tpu.core.distance import missing_mask
+    from ngsdist_tpu.ops.pallas_indep import _indep_pallas_padded, _upper_blocks
+
+    engine = os.environ.get("NGSDIST_BENCH_ENGINE", "pallas")
 
     N = int(os.environ.get("NGSDIST_BENCH_N_IND", 1024))
     S_total = int(os.environ.get("NGSDIST_BENCH_N_SITES", 1 << 20))
@@ -49,14 +52,28 @@ def main() -> None:
     dev = jax.devices()[0]
     dtype = jnp.float32
 
-    def chunk_step(P, score, raw, cnt):
-        """One site-chunk update of the sufficient statistics."""
+    SITE_TILE = 512
+    IB, JB = _upper_blocks(N // 128)
+    IBj, JBj = jnp.asarray(IB), jnp.asarray(JB)
+
+    def chunk_step(P3, score9, raw, cnt):
+        """One site-chunk update via the fused upper-triangular Pallas
+        kernel (P3 is plane-major [3, chunk, N])."""
+        r, c = _indep_pallas_padded(
+            P3, score9, IBj, JBj, True, 128, SITE_TILE, False
+        )
+        return raw + r, cnt + c
+
+    def chunk_step_einsum(P, score, raw, cnt):
         valid = (~missing_mask(P)).astype(dtype)
         Q = P * valid[..., None]
         Y = jnp.einsum("sjh,gh->sjg", Q, score)
         raw = raw + jnp.einsum("sig,sjg->ij", Q, Y, preferred_element_type=dtype)
         cnt = cnt + jnp.einsum("si,sj->ij", valid, valid, preferred_element_type=dtype)
         return raw, cnt
+
+    if engine == "einsum":
+        chunk_step = chunk_step_einsum
 
     # One fused dispatch: site chunks stream through a fori_loop on
     # device (per-dispatch tunnel latency would otherwise dominate).
@@ -75,13 +92,23 @@ def main() -> None:
             0, n_chunks, body,
             (jnp.zeros((N, N), dtype), jnp.zeros((N, N), dtype)),
         )
+        # Pallas path fills the upper triangle; mirror for the final map.
+        if engine != "einsum":
+            raw = jnp.triu(raw) + jnp.triu(raw, 1).T
+            cnt = jnp.triu(cnt) + jnp.triu(cnt, 1).T
         d = raw / jnp.maximum(cnt, 1)
         return -jnp.log1p(-d) * (1 - jnp.eye(N, dtype=dtype))
 
     key = jax.random.PRNGKey(0)
     logits = jax.random.normal(key, (NBUF, chunk, N, 3), dtype=dtype)
-    bufs = jax.device_put(jax.nn.softmax(logits, axis=-1), dev)
-    score = jax.device_put(jnp.asarray(default_score_matrix(), dtype), dev)
+    P4 = jax.nn.softmax(logits, axis=-1)
+    if engine != "einsum":
+        P4 = jnp.moveaxis(P4, -1, 1)  # [NBUF, 3, chunk, N] plane-major
+    bufs = jax.device_put(P4, dev)
+    score_m = jnp.asarray(default_score_matrix(), dtype)
+    score = jax.device_put(
+        score_m if engine == "einsum" else score_m.reshape(1, 9), dev
+    )
 
     # Warmup / compile (np.asarray is the only reliable completion
     # barrier through the remote-device tunnel).

@@ -18,6 +18,7 @@ the capability surface of fgvieira/ngsDist, re-designed TPU-first:
 """
 
 from .config import Params, NgsDistError, default_score_matrix, EVOL_MODEL_NAMES
+from .runner import run
 from .version import __version__
 
 __all__ = [
@@ -25,5 +26,6 @@ __all__ = [
     "NgsDistError",
     "default_score_matrix",
     "EVOL_MODEL_NAMES",
+    "run",
     "__version__",
 ]

@@ -52,16 +52,19 @@ def default_dtype():
     return jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
 
 
-def _use_pallas_em() -> bool:
-    """Route full-data EM stats through the Pallas kernel?  auto = yes on
-    a real TPU backend (the kernel's tiling targets TPU; the interpret
-    path is for tests).  NGSDIST_PALLAS=0/1 forces."""
+def _pallas_mode() -> str:
+    """How to route full-data sufficient statistics through the Pallas
+    kernels: 'on' (TPU lowering), 'interpret' (CPU interpreter, tests),
+    or 'off'.  auto = 'on' on a real TPU backend, 'off' elsewhere;
+    NGSDIST_PALLAS=0/1/interpret forces."""
     mode = os.environ.get("NGSDIST_PALLAS", "auto")
     if mode == "0":
-        return False
+        return "off"
     if mode == "1":
-        return True
-    return jax.default_backend() == "tpu"
+        return "on"
+    if mode == "interpret":
+        return "interpret"
+    return "on" if jax.default_backend() == "tpu" else "off"
 
 
 def missing_mask(P: jnp.ndarray) -> jnp.ndarray:
@@ -99,11 +102,13 @@ def indep_suffstats(
         Q = P
     Y = jnp.einsum("sjh,gh->sjg", Q, score.astype(dtype))
     L = Q if site_weights is None else Q * site_weights[:, None, None].astype(dtype)
-    raw = jnp.einsum("sig,sjg->ij", L, Y, preferred_element_type=dtype)
+    raw = jnp.einsum("sig,sjg->ij", L, Y, preferred_element_type=dtype,
+                     precision=jax.lax.Precision.HIGHEST)
     cnt = None
     if pairwise_del:
         vw = valid if site_weights is None else valid * site_weights[:, None].astype(dtype)
-        cnt = jnp.einsum("si,sj->ij", vw, valid, preferred_element_type=dtype)
+        cnt = jnp.einsum("si,sj->ij", vw, valid, preferred_element_type=dtype,
+                         precision=jax.lax.Precision.HIGHEST)
     return raw, cnt
 
 
@@ -128,11 +133,13 @@ def indep_block_partials(
         Q = P_trunc
     Qb = Q.reshape(n_blocks, block_size, N, 3)
     Yb = jnp.einsum("bsjh,gh->bsjg", Qb, score.astype(dtype))
-    B = jnp.einsum("bsig,bsjg->bij", Qb, Yb, preferred_element_type=dtype)
+    B = jnp.einsum("bsig,bsjg->bij", Qb, Yb, preferred_element_type=dtype,
+                   precision=jax.lax.Precision.HIGHEST)
     C = None
     if pairwise_del:
         vb = valid.reshape(n_blocks, block_size, N)
-        C = jnp.einsum("bsi,bsj->bij", vb, vb, preferred_element_type=dtype)
+        C = jnp.einsum("bsi,bsj->bij", vb, vb, preferred_element_type=dtype,
+                       precision=jax.lax.Precision.HIGHEST)
     return B, C
 
 
@@ -316,21 +323,33 @@ def iter_replicates(
 
     I, J = _pair_indices(N)
 
+    pallas = _pallas_mode()
+    interp = pallas == "interpret"
+
     def full_stats(Psub, site_weights=None, n_blocks=None, block_size=None):
         if pars.indep_geno:
+            if n_blocks is None and site_weights is None and pallas != "off":
+                from ..ops.pallas_indep import indep_raw_cnt_pallas
+
+                raw_m, cnt_m = indep_raw_cnt_pallas(
+                    Psub, score, pars.pairwise_del, interpret=interp
+                )
+                # Kernel writes the upper triangle; extract pair order.
+                cntv = cnt_m[I, J] if pars.pairwise_del else None
+                return raw_m[I, J], cntv, None, None
             w = None if site_weights is None else jnp.asarray(site_weights, dtype)
             if n_blocks is None:
                 raw, cnt = indep_suffstats(Psub, score, pars.pairwise_del, w)
                 return raw, cnt, None, None
             B, C = indep_block_partials(Psub, score, pars.pairwise_del, n_blocks, block_size)
             return None, None, B, C
-        if n_blocks is None and _use_pallas_em():
+        if n_blocks is None and pallas != "off":
             from ..ops.pallas_em import em_raw_cnt_pallas
 
             raw_m, cnt_m = em_raw_cnt_pallas(
-                Psub, score9, pars.pairwise_del, site_weights=site_weights
+                Psub, score9, pars.pairwise_del, site_weights=site_weights,
+                interpret=interp,
             )
-            # Kernel writes the strict upper triangle; extract pair order.
             return raw_m[I, J], cnt_m[I, J], None, None
         return em_suffstats(
             Psub, score9, pars.pairwise_del,

@@ -41,6 +41,14 @@ EPSILON = 1e-5  # miss_data tolerance (gen_func.hpp:16)
 DEFAULT_BLOCK = 128
 DEFAULT_SITE_TILE = 128
 
+import os as _os
+
+_PRECISION = (
+    jax.lax.Precision.DEFAULT
+    if _os.environ.get("NGSDIST_MXU_PRECISION") == "fast"
+    else jax.lax.Precision.HIGHEST
+)
+
 
 def _valid(P0, P1, P2, dtype):
     nonmiss = (jnp.abs(P0 - P1) >= EPSILON) | (jnp.abs(P1 - P2) >= EPSILON)
@@ -86,11 +94,18 @@ def _indep_kernel(
     # Contract over (g, s): [3TS, B] x [3TS, B] -> [B, B] on the MXU.
     A = jnp.concatenate(Qi, axis=0)
     Bm = jnp.concatenate(Yj, axis=0)
+    # HIGHEST: full-f32 MXU passes (default single-pass bf16 rounds the
+    # inputs at ~4e-3 relative, visible in final distances; f32 measures
+    # 2.5e-7 vs f64 at 21ms/65k-site chunk on v5e — and is still 2x the
+    # einsum engine).  NGSDIST_MXU_PRECISION=fast opts into bf16 for
+    # throughput-over-accuracy runs (7.3ms/chunk).
     raw_ref[:] += jax.lax.dot_general(
-        A, Bm, (((0,), (0,)), ((), ())), preferred_element_type=dtype
+        A, Bm, (((0,), (0,)), ((), ())), preferred_element_type=dtype,
+        precision=_PRECISION,
     )
     cnt_ref[:] += jax.lax.dot_general(
-        vi, vj, (((0,), (0,)), ((), ())), preferred_element_type=dtype
+        vi, vj, (((0,), (0,)), ((), ())), preferred_element_type=dtype,
+        precision=_PRECISION,
     )
 
 

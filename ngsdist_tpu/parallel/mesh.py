@@ -111,12 +111,14 @@ def _indep_local(Pl, ml, wl, score, pairwise_del: bool):
         Q = Pl  # padded sites are all-zero -> contribute nothing
     Y = jnp.einsum("sjh,gh->sjg", Q, score.astype(dtype))
     L = Q * wl[:, None, None]
-    raw = jnp.einsum("sig,sjg->ij", L, Y, preferred_element_type=dtype)
+    raw = jnp.einsum("sig,sjg->ij", L, Y, preferred_element_type=dtype,
+                     precision=jax.lax.Precision.HIGHEST)
     raw = jax.lax.psum(raw, AXIS)
     cnt = None
     if pairwise_del:
         cnt = jnp.einsum("si,sj->ij", valid * wl[:, None], valid,
-                         preferred_element_type=dtype)
+                         preferred_element_type=dtype,
+                         precision=jax.lax.Precision.HIGHEST)
         cnt = jax.lax.psum(cnt, AXIS)
     return raw, cnt
 
@@ -145,11 +147,13 @@ def _indep_blocks_local(Pl, ml, score, pairwise_del: bool, block_size: int):
         Q = Pl
     Qb = Q.reshape(nb, block_size, N, 3)
     Yb = jnp.einsum("bsjh,gh->bsjg", Qb, score.astype(dtype))
-    B = jnp.einsum("bsig,bsjg->bij", Qb, Yb, preferred_element_type=dtype)
+    B = jnp.einsum("bsig,bsjg->bij", Qb, Yb, preferred_element_type=dtype,
+                   precision=jax.lax.Precision.HIGHEST)
     C = None
     if pairwise_del:
         vb = valid.reshape(nb, block_size, N)
-        C = jnp.einsum("bsi,bsj->bij", vb, vb, preferred_element_type=dtype)
+        C = jnp.einsum("bsi,bsj->bij", vb, vb, preferred_element_type=dtype,
+                       precision=jax.lax.Precision.HIGHEST)
     return B, C
 
 

@@ -41,3 +41,24 @@ def test_pallas_indep_matches_einsum(pairwise_del, avg_nuc):
         )
     else:
         np.testing.assert_array_equal(np.asarray(cnt)[iu], float(S))
+
+
+@pytest.mark.parametrize("indep", [True, False])
+def test_pipeline_pallas_dispatch_interpret(monkeypatch, indep):
+    """Full replicate pipeline with NGSDIST_PALLAS=interpret must match
+    the scan/einsum engines (same pair order, same finalization)."""
+    from ngsdist_tpu.config import Params
+    from ngsdist_tpu.core import bootstrap as bt
+
+    rng = np.random.default_rng(5)
+    S, N = 41, 7
+    P = _rand_probs(rng, S, N)
+    pars = Params(in_geno="x", n_ind=N, n_sites=S, out="y", seed=3,
+                  indep_geno=indep, pairwise_del=True, in_probs=True)
+    n_trunc, maps = bt.site_maps(pars.seed, 0, S, 1)
+
+    monkeypatch.setenv("NGSDIST_PALLAS", "0")
+    ref = list(dist.iter_replicates(pars, P, maps, n_trunc))[0]
+    monkeypatch.setenv("NGSDIST_PALLAS", "interpret")
+    got = list(dist.iter_replicates(pars, P, maps, n_trunc))[0]
+    np.testing.assert_allclose(got, ref, rtol=0, atol=1e-9)
