@@ -56,42 +56,34 @@ def main() -> None:
     IB, JB = _upper_blocks(N // 128)
     IBj, JBj = jnp.asarray(IB), jnp.asarray(JB)
 
-    def chunk_step(P3, score9, raw, cnt):
-        """One site-chunk update via the fused upper-triangular Pallas
-        kernel (P3 is plane-major [3, chunk, N])."""
-        r, c = _indep_pallas_padded(
+    def chunk_step(P3, score9):
+        """One site-chunk's sufficient statistics via the fused
+        upper-triangular Pallas kernel (P3 plane-major [3, chunk, N])."""
+        return _indep_pallas_padded(
             P3, score9, IBj, JBj, True, 128, SITE_TILE, False
         )
-        return raw + r, cnt + c
 
-    def chunk_step_einsum(P, score, raw, cnt):
+    @jax.jit
+    def chunk_step_einsum(P, score):
         valid = (~missing_mask(P)).astype(dtype)
         Q = P * valid[..., None]
         Y = jnp.einsum("sjh,gh->sjg", Q, score)
-        raw = raw + jnp.einsum("sig,sjg->ij", Q, Y, preferred_element_type=dtype)
-        cnt = cnt + jnp.einsum("si,sj->ij", valid, valid, preferred_element_type=dtype)
+        raw = jnp.einsum("sig,sjg->ij", Q, Y, preferred_element_type=dtype)
+        cnt = jnp.einsum("si,sj->ij", valid, valid, preferred_element_type=dtype)
         return raw, cnt
 
     if engine == "einsum":
         chunk_step = chunk_step_einsum
 
-    # One fused dispatch: site chunks stream through a fori_loop on
-    # device (per-dispatch tunnel latency would otherwise dominate).
-    # The loop cycles through NBUF distinct device-resident chunks —
-    # a loop-INVARIANT body would let XLA hoist the whole contraction
-    # out of the loop and the bench would time one chunk, not S_total.
+    # Site chunks stream as asynchronously queued dispatches (jax
+    # dispatch is async; the single np.asarray at the end is the
+    # completion barrier — also the only reliable one through the
+    # remote-device tunnel).  NBUF distinct device-resident chunks cycle
+    # so no dispatch is a duplicate of the previous one.
     NBUF = min(4, n_chunks)
 
     @jax.jit
-    def full_matrix(bufs, score):
-        def body(i, rc):
-            Pk = jax.lax.dynamic_index_in_dim(bufs, i % NBUF, axis=0,
-                                              keepdims=False)
-            return chunk_step(Pk, score, *rc)
-        raw, cnt = jax.lax.fori_loop(
-            0, n_chunks, body,
-            (jnp.zeros((N, N), dtype), jnp.zeros((N, N), dtype)),
-        )
+    def finalize(raw, cnt):
         # Pallas path fills the upper triangle; mirror for the final map.
         if engine != "einsum":
             raw = jnp.triu(raw) + jnp.triu(raw, 1).T
@@ -99,20 +91,30 @@ def main() -> None:
         d = raw / jnp.maximum(cnt, 1)
         return -jnp.log1p(-d) * (1 - jnp.eye(N, dtype=dtype))
 
+    @jax.jit
+    def reduce_all(rs, cs):
+        return finalize(sum(rs), sum(cs))
+
+    def full_matrix(bufs, score):
+        rs, cs = [], []
+        for i in range(n_chunks):
+            r, c = chunk_step(bufs[i % NBUF], score)
+            rs.append(r)
+            cs.append(c)
+        return reduce_all(rs, cs)
+
     key = jax.random.PRNGKey(0)
     logits = jax.random.normal(key, (NBUF, chunk, N, 3), dtype=dtype)
     P4 = jax.nn.softmax(logits, axis=-1)
     if engine != "einsum":
         P4 = jnp.moveaxis(P4, -1, 1)  # [NBUF, 3, chunk, N] plane-major
-    bufs = jax.device_put(P4, dev)
+    bufs = [jax.device_put(P4[b], dev) for b in range(NBUF)]
     score_m = jnp.asarray(default_score_matrix(), dtype)
     score = jax.device_put(
         score_m if engine == "einsum" else score_m.reshape(1, 9), dev
     )
 
-    # Warmup / compile (np.asarray is the only reliable completion
-    # barrier through the remote-device tunnel).
-    _ = np.asarray(full_matrix(bufs, score))
+    _ = np.asarray(full_matrix(bufs, score))  # warmup / compile
 
     times = []
     for _ in range(3):
