@@ -92,16 +92,16 @@ def main() -> None:
         return -jnp.log1p(-d) * (1 - jnp.eye(N, dtype=dtype))
 
     @jax.jit
-    def reduce_all(rs, cs):
-        return finalize(sum(rs), sum(cs))
+    def acc(raw, cnt, r, c):
+        return raw + r, cnt + c
 
     def full_matrix(bufs, score):
-        rs, cs = [], []
+        raw = jnp.zeros((N, N), dtype)
+        cnt = jnp.zeros((N, N), dtype)
         for i in range(n_chunks):
             r, c = chunk_step(bufs[i % NBUF], score)
-            rs.append(r)
-            cs.append(c)
-        return reduce_all(rs, cs)
+            raw, cnt = acc(raw, cnt, r, c)
+        return finalize(raw, cnt)
 
     key = jax.random.PRNGKey(0)
     logits = jax.random.normal(key, (NBUF, chunk, N, 3), dtype=dtype)
