@@ -153,8 +153,10 @@ def _pair_indices(n_ind: int) -> Tuple[np.ndarray, np.ndarray]:
     return iu[0].astype(np.int32), iu[1].astype(np.int32)
 
 
-def _em_tile_size(n_pairs: int, block_size: Optional[int]) -> int:
+def _em_tile_size(n_pairs: int, block_size: Optional[int], n_sites: int = 0) -> int:
     tile = max(1, EM_TILE_ELEM_BUDGET // max(1, n_pairs * 9))
+    if n_sites:
+        tile = min(tile, n_sites)  # never pad beyond the data
     if block_size:
         tile = max(block_size, (tile // block_size) * block_size)
     return tile
@@ -245,7 +247,7 @@ def em_suffstats(
     I, J = _pair_indices(N)
     n_pairs = len(I)
     want_blocks = n_blocks is not None
-    tile = _em_tile_size(n_pairs, block_size if want_blocks else None)
+    tile = _em_tile_size(n_pairs, block_size if want_blocks else None, S)
     if want_blocks:
         assert S == n_blocks * block_size
     S_pad = ((S + tile - 1) // tile) * tile
@@ -301,6 +303,7 @@ def iter_replicates(
     n_trunc: int,
     mesh=None,
     on_stats=None,
+    alleles=None,
 ) -> Iterator[np.ndarray]:
     """Yield the full-data matrix then one matrix per bootstrap replicate,
     computed with the batched engine.
@@ -308,7 +311,17 @@ def iter_replicates(
     With a `jax.sharding.Mesh` the site axis is sharded across its
     devices and per-shard partial sums are psum-merged
     (parallel/mesh.py); otherwise everything runs single-device.
+
+    alleles: (a1, a2) int8 site allele codes (core/submodels.py) —
+    required for the extended evolutionary models 3-6, which the jax
+    engine implements (the reference and the exact engine abort on
+    them).
     """
+    if pars.evol_model >= 3:
+        yield from _iter_replicates_extended(
+            pars, P_host, maps, n_trunc, alleles, on_stats
+        )
+        return
     if mesh is not None:
         yield from _iter_replicates_sharded(
             pars, P_host, maps, n_trunc, mesh, on_stats=on_stats
@@ -479,3 +492,104 @@ def _iter_replicates_sharded(
             raw_m, cnt_m = to_matrix(raw, cnt)
             denom = cnt_m if pars.pairwise_del else float(n_trunc)
             yield _finalize(raw_m, denom, pars, on_stats)
+
+
+# ------------------------------------------------------------------ #
+# Extended evolutionary models (K80 / F81 / F84 / TN93)               #
+# ------------------------------------------------------------------ #
+
+
+def _iter_replicates_extended(
+    pars: Params,
+    P_host: np.ndarray,
+    maps: List[np.ndarray],
+    n_trunc: int,
+    alleles,
+    on_stats=None,
+) -> Iterator[np.ndarray]:
+    """Replicate stream for evol_model 3-6 (core/submodels.py).
+
+    The expected-mismatch statistics are computed three times with
+    disjoint site masks (A<->G transitions, C<->T transitions,
+    transversions); unclassifiable sites are excluded entirely.
+    Bootstrap replicates take the weighted-recompute path (the masks
+    fold into the per-site multiplicities).
+    """
+    from . import submodels as sm
+
+    if alleles is None:
+        raise ValueError("extended evolutionary models need allele codes")
+    a1, a2 = alleles
+    masks = sm.classify_sites(a1, a2)
+    need_pi = pars.evol_model >= 4
+
+    dtype = default_dtype()
+    N = pars.n_ind
+    S = pars.n_sites
+    score = jnp.asarray(pars.score, dtype)
+    score9 = score.reshape(-1)
+    P = jnp.asarray(P_host, dtype)
+    I, J = _pair_indices(N)
+
+    if pars.pairwise_del:
+        valid_h = (~np.asarray(missing_mask(P))).astype(np.float64)  # [S, N]
+    else:
+        valid_h = None
+    bc = sm.expected_base_counts(np.asarray(P_host, np.float64), a1, a2) if need_pi else None
+
+    def class_stats(w: np.ndarray):
+        """raw matrix for site weights w (indep einsum or batched EM)."""
+        if pars.indep_geno:
+            raw, cnt = indep_suffstats(
+                P, score, pars.pairwise_del, jnp.asarray(w, dtype)
+            )
+            return np.asarray(raw, np.float64), (
+                None if cnt is None else np.asarray(cnt, np.float64)
+            )
+        raw, cnt, _, _ = em_suffstats(
+            P, score9, pars.pairwise_del, site_weights=w
+        )
+        return (
+            _scatter_pairs(np.asarray(raw, np.float64), I, J, N),
+            _scatter_pairs(np.asarray(cnt, np.float64), I, J, N),
+        )
+
+    def pair_pi(w_ok: np.ndarray):
+        """[N, N, 4] per-pair base frequencies over classifiable sites."""
+        if pars.pairwise_del:
+            vw = valid_h * w_ok[:, None]
+            U = np.einsum("six,sj->ijx", bc * vw[:, :, None], valid_h)
+            tot = U + np.transpose(U, (1, 0, 2))
+        else:
+            c = np.einsum("s,six->ix", w_ok, bc)  # [N, 4]
+            tot = c[:, None, :] + c[None, :, :]
+        denom = np.sum(tot, axis=-1, keepdims=True)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            return tot / denom
+
+    def one_matrix(w: np.ndarray, denom_sites: float):
+        raws, cnts = {}, {}
+        for cl in ("ag", "ct", "tv"):
+            raws[cl], cnts[cl] = class_stats(w * masks[cl])
+        if pars.tot_sites > 0:
+            cnt = float(pars.tot_sites)
+        elif pars.pairwise_del:
+            cnt = cnts["ag"] + cnts["ct"] + cnts["tv"]
+        else:
+            cnt = denom_sites
+        pi = pair_pi(w * masks["ok"]) if need_pi else None
+        if on_stats is not None:
+            on_stats(raws["ag"] + raws["ct"] + raws["tv"], cnt)
+        d = sm.apply_extended_model(
+            pars.evol_model, raws["ag"], raws["ct"], raws["tv"], cnt, pi
+        )
+        np.fill_diagonal(d, 0.0)
+        return d
+
+    w_full = np.ones((S,), np.float64)
+    yield one_matrix(w_full, float(np.sum(masks["ok"])))
+
+    for r in range(pars.n_boot_rep):
+        w = np.zeros((S,), np.float64)
+        w[:n_trunc] = np.bincount(maps[r], minlength=n_trunc)
+        yield one_matrix(w, float(np.sum(w * masks["ok"])))

@@ -237,6 +237,10 @@ def em_raw_cnt_pallas(
         if not np.array_equal(wi, w):
             raise ValueError("pallas EM path needs integer site weights")
         sites = np.repeat(np.arange(P.shape[0]), wi)
+        if len(sites) == 0:  # all sites weighted out
+            N = P.shape[1]
+            z = jnp.zeros((N, N), P.dtype)
+            return z, z
         P = jnp.asarray(P)[jnp.asarray(sites)]
     S, N, _ = P.shape
     dtype = P.dtype

@@ -83,7 +83,7 @@ def make_pair_report(pars: Params, labels):
 
 
 def iter_replicates(pars: Params, P: np.ndarray, engine: str = "auto", mesh=None,
-                    on_stats=None):
+                    on_stats=None, alleles=None):
     """Yield the distance matrix for the full data, then one per bootstrap
     replicate (streamed so output durability matches the reference, which
     prints each matrix as its replicate completes, ngsDist.cpp:282-287)."""
@@ -96,8 +96,15 @@ def iter_replicates(pars: Params, P: np.ndarray, engine: str = "auto", mesh=None
             engine = "exact"
 
     # Models 3-6 abort inside the first pair task in the reference
-    # (ngsDist.cpp:387-398); fail before computing anything.
-    models.check_model_supported(pars.evol_model)
+    # (ngsDist.cpp:387-398).  The exact engine reproduces that abort for
+    # drop-in parity; the jax engine implements them (core/submodels.py)
+    # from the POS file's alleles.
+    if engine == "exact" or pars.evol_model < 3:
+        models.check_model_supported(pars.evol_model)
+    elif alleles is None:
+        raise NgsDistError(
+            "main", "evolutionary models need allele info in the POS file!"
+        )
 
     _log(pars, 2, "==> Setting seed for random number generator")
     n_trunc, maps = bt.site_maps(
@@ -122,7 +129,7 @@ def iter_replicates(pars: Params, P: np.ndarray, engine: str = "auto", mesh=None
         from .core import distance as jax_engine
 
         yield from jax_engine.iter_replicates(
-            pars, P, maps, n_trunc, mesh=mesh, on_stats=on_stats
+            pars, P, maps, n_trunc, mesh=mesh, on_stats=on_stats, alleles=alleles
         )
     else:
         raise ValueError(f"unknown engine: {engine}")
@@ -155,7 +162,12 @@ def run(
     for msg in pars.messages:
         print(msg, file=sys.stderr)
 
-    labels, _pos, P = load_inputs(pars)
+    labels, pos_rows, P = load_inputs(pars)
+    alleles = None
+    if pars.evol_model >= 3 and pos_rows is not None and engine != "exact":
+        from .core.submodels import encode_alleles
+
+        alleles = encode_alleles(pos_rows)
 
     n_done = 0
     if resume and out_fh is None:
@@ -178,7 +190,8 @@ def run(
     try:
         with trace(trace_dir):
             for rep, m in enumerate(
-                iter_replicates(pars, P, engine=engine, mesh=mesh, on_stats=on_stats)
+                iter_replicates(pars, P, engine=engine, mesh=mesh,
+                                on_stats=on_stats, alleles=alleles)
             ):
                 if rep < n_done:
                     continue  # durable from the interrupted run
