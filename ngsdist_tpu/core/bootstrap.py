@@ -14,7 +14,7 @@ replicate 0 (the full data) uses the untruncated count.
 
 from __future__ import annotations
 
-from typing import List, Optional, Tuple
+from typing import List, Tuple
 
 import numpy as np
 

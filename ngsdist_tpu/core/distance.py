@@ -315,7 +315,8 @@ def iter_replicates(
     alleles: (a1, a2) int8 site allele codes (core/submodels.py) —
     required for the extended evolutionary models 3-6, which the jax
     engine implements (the reference and the exact engine abort on
-    them).
+    them).  The extended-model path currently runs single-device
+    (mesh is ignored for it).
     """
     if pars.evol_model >= 3:
         yield from _iter_replicates_extended(
@@ -537,6 +538,8 @@ def _iter_replicates_extended(
         valid_h = None
     bc = sm.expected_base_counts(np.asarray(P_host, np.float64), a1, a2) if need_pi else None
 
+    pallas = _pallas_mode()
+
     def class_stats(w: np.ndarray):
         """raw matrix for site weights w (indep einsum or batched EM)."""
         if pars.indep_geno:
@@ -546,12 +549,24 @@ def _iter_replicates_extended(
             return np.asarray(raw, np.float64), (
                 None if cnt is None else np.asarray(cnt, np.float64)
             )
-        raw, cnt, _, _ = em_suffstats(
-            P, score9, pars.pairwise_del, site_weights=w
-        )
+        if pallas != "off":
+            from ..ops.pallas_em import em_raw_cnt_pallas
+
+            raw_m, cnt_m = em_raw_cnt_pallas(
+                P, score9, pars.pairwise_del, site_weights=w,
+                interpret=(pallas == "interpret"),
+            )
+            rawv = np.asarray(raw_m[I, J], np.float64)
+            cntv = np.asarray(cnt_m[I, J], np.float64)
+        else:
+            raw, cnt, _, _ = em_suffstats(
+                P, score9, pars.pairwise_del, site_weights=w
+            )
+            rawv = np.asarray(raw, np.float64)
+            cntv = np.asarray(cnt, np.float64)
         return (
-            _scatter_pairs(np.asarray(raw, np.float64), I, J, N),
-            _scatter_pairs(np.asarray(cnt, np.float64), I, J, N),
+            _scatter_pairs(rawv, I, J, N),
+            _scatter_pairs(cntv, I, J, N),
         )
 
     def pair_pi(w_ok: np.ndarray):

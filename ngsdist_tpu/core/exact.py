@@ -13,7 +13,6 @@ from typing import Optional
 
 import numpy as np
 
-from ..config import NgsDistError
 from ..utils import native as _native
 
 

@@ -11,7 +11,7 @@ gradients, and it batches/vmaps like everything else in JAX.
 
 from __future__ import annotations
 
-from typing import Callable, NamedTuple, Optional, Tuple
+from typing import Callable, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp

@@ -12,7 +12,7 @@ import contextlib
 import sys
 import time
 from dataclasses import dataclass, field
-from typing import List, Optional
+from typing import Optional
 
 
 @contextlib.contextmanager
