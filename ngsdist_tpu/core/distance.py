@@ -52,6 +52,13 @@ def default_dtype():
     return jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
 
 
+def _device_budget_bytes() -> int:
+    """Device-memory budget for the resident probability tensor; above
+    it the engine streams site chunks.  Default 8 GiB (half a v5e HBM);
+    NGSDIST_DEVICE_BUDGET overrides (bytes)."""
+    return int(os.environ.get("NGSDIST_DEVICE_BUDGET", 8 << 30))
+
+
 def _pallas_mode() -> str:
     """How to route full-data sufficient statistics through the Pallas
     kernels: 'on' (TPU lowering), 'interpret' (CPU interpreter, tests),
@@ -357,12 +364,14 @@ def iter_replicates(
                 return raw, cnt, None, None
             B, C = indep_block_partials(Psub, score, pars.pairwise_del, n_blocks, block_size)
             return None, None, B, C
-        if n_blocks is None and pallas != "off":
+        if n_blocks is None and site_weights is None and pallas != "off":
+            # Weighted EM stats stay on the scan engine: the kernel's
+            # gather realisation would recompile for every distinct
+            # resampled length.
             from ..ops.pallas_em import em_raw_cnt_pallas
 
             raw_m, cnt_m = em_raw_cnt_pallas(
-                Psub, score9, pars.pairwise_del, site_weights=site_weights,
-                interpret=interp,
+                Psub, score9, pars.pairwise_del, interpret=interp
             )
             return raw_m[I, J], cnt_m[I, J], None, None
         return em_suffstats(
@@ -379,8 +388,35 @@ def iter_replicates(
             cnt_m = None if cnt is None else np.asarray(cnt, np.float64)
         return raw_m, cnt_m
 
+    # Long genomes: when [S, N, 3] exceeds the device budget, stream
+    # site chunks through the engine and accumulate the [pairs]/[N,N]
+    # sufficient statistics (the analogue of sequence-length scaling —
+    # the site reduction is a plain sum, SURVEY.md §5).
+    itemsize = np.dtype(np.float64 if dtype == jnp.float64 else np.float32).itemsize
+    budget = _device_budget_bytes()
+    chunked = S * N * 3 * itemsize > budget
+    chunk = max(1, budget // max(1, N * 3 * itemsize)) if chunked else S
+    if not chunked:
+        P = jnp.asarray(P_host, dtype)
+
+    def stats_stream(site_weights=None, n_used=S):
+        if not chunked:
+            Psub = P if n_used == S else P[:n_used]
+            raw, cnt, _, _ = full_stats(Psub, site_weights=site_weights)
+            return raw, cnt
+        acc_raw = acc_cnt = None
+        for start in range(0, n_used, chunk):
+            stop = min(start + chunk, n_used)
+            Pc = jnp.asarray(P_host[start:stop], dtype)
+            wc = None if site_weights is None else site_weights[start:stop]
+            raw, cnt, _, _ = full_stats(Pc, site_weights=wc)
+            acc_raw = raw if acc_raw is None else acc_raw + raw
+            if cnt is not None:
+                acc_cnt = cnt if acc_cnt is None else acc_cnt + cnt
+        return acc_raw, acc_cnt
+
     # Replicate 0: full dataset.
-    raw, cnt, _, _ = full_stats(P)
+    raw, cnt = stats_stream()
     raw_m, cnt_m = to_matrix(raw, cnt)
     denom = cnt_m if pars.pairwise_del else float(S)
     yield _finalize(raw_m, denom, pars, on_stats)
@@ -390,16 +426,14 @@ def iter_replicates(
         return
     block_size = pars.boot_block_size
     n_blocks = n_trunc // block_size
-    P_trunc = P[:n_trunc]
 
-    itemsize = np.dtype(np.float64 if dtype == jnp.float64 else np.float32).itemsize
     partial_bytes = n_blocks * N * N * itemsize * (2 if pars.pairwise_del else 1)
-    use_partials = partial_bytes <= PARTIALS_BUDGET_BYTES
+    use_partials = (not chunked) and partial_bytes <= PARTIALS_BUDGET_BYTES
 
     table = bt.block_index_table(pars.seed, n_reps, n_blocks)
 
     if use_partials:
-        _, _, B, C = full_stats(P_trunc, n_blocks=n_blocks, block_size=block_size)
+        _, _, B, C = full_stats(P[:n_trunc], n_blocks=n_blocks, block_size=block_size)
         M = jnp.asarray(bt.block_multiplicity(table, n_blocks), dtype)
         if B.ndim == 2:  # EM path: [n_blocks, n_pairs]
             raw_r = jnp.einsum("rb,bp->rp", M, B, preferred_element_type=dtype)
@@ -414,7 +448,7 @@ def iter_replicates(
     else:
         for r in range(n_reps):
             w = np.bincount(maps[r], minlength=n_trunc).astype(np.float64)
-            raw, cnt, _, _ = full_stats(P_trunc, site_weights=w)
+            raw, cnt = stats_stream(site_weights=w, n_used=n_trunc)
             raw_m, cnt_m = to_matrix(raw, cnt)
             denom = cnt_m if pars.pairwise_del else float(n_trunc)
             yield _finalize(raw_m, denom, pars, on_stats)

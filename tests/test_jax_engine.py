@@ -95,3 +95,32 @@ def test_f32_reasonable():
     np.testing.assert_allclose(
         np.asarray(raw32), np.asarray(raw64), rtol=2e-5, atol=0
     )
+
+
+def test_chunked_streaming_matches_resident(monkeypatch):
+    """NGSDIST_DEVICE_BUDGET small enough to force site-chunk streaming:
+    results must match the device-resident path exactly (same per-chunk
+    contractions, plain sum across chunks)."""
+    import numpy as np
+
+    from ngsdist_tpu.config import Params
+    from ngsdist_tpu.core import bootstrap as bt
+    from ngsdist_tpu.core import distance as dist
+
+    rng = np.random.default_rng(21)
+    S, N = 83, 6
+    P = rng.dirichlet(np.ones(3), size=(S, N))
+    P[rng.random((S, N)) < 0.15] = 1 / 3
+
+    for indep, pdel in [(True, False), (True, True), (False, True)]:
+        pars = Params(in_geno="x", n_ind=N, n_sites=S, out="y", seed=5,
+                      indep_geno=indep, pairwise_del=pdel, in_probs=True,
+                      n_boot_rep=2, boot_block_size=7)
+        n_trunc, maps = bt.site_maps(pars.seed, 2, S, 7)
+        monkeypatch.delenv("NGSDIST_DEVICE_BUDGET", raising=False)
+        full = list(dist.iter_replicates(pars, P, maps, n_trunc))
+        monkeypatch.setenv("NGSDIST_DEVICE_BUDGET", str(20 * N * 3 * 8))  # ~20-site chunks
+        chunked = list(dist.iter_replicates(pars, P, maps, n_trunc))
+        assert len(full) == len(chunked) == 3
+        for a, b in zip(full, chunked):
+            np.testing.assert_allclose(b, a, rtol=0, atol=1e-12, err_msg=f"{indep} {pdel}")
