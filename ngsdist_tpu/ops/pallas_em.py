@@ -44,11 +44,12 @@ EM_MAX_ITER = 50
 EPSILON = 1e-5  # miss_data tolerance (gen_func.hpp:16)
 
 # TPU tiling: the [B, B] output block's last dim must be a multiple of
-# 128, so B=128.  site_tile=4 keeps the three [9, TS, B, B] f32 work
-# arrays (W, the while-carry P, its update) at ~2.4 MB each — inside the
-# 16 MB scoped-VMEM limit with room for in/out blocks.
+# 128, so B=128.  site_tile bounds the three [9, TS, B, B] f32 work
+# arrays (W, the while-carry P, its update): TS<=4 fits the 16 MB
+# scoped-VMEM limit; TS=2 measures ~8% faster than TS=4 on v5e (smaller
+# tiles exit the convergence while_loop sooner).
 DEFAULT_BLOCK = 128
-DEFAULT_SITE_TILE = 4
+DEFAULT_SITE_TILE = 2
 
 
 def _em_kernel(
