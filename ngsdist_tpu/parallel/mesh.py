@@ -94,6 +94,31 @@ def shard_sites(arr, mesh: Mesh):
     return jax.device_put(arr, NamedSharding(mesh, spec))
 
 
+def global_site_vector(vals_fn, s_pad: int, mesh: Mesh, dtype):
+    """[s_pad] site vector sharded over the mesh, assembled per process.
+
+    vals_fn(start, stop) -> numpy slice for that site range.  Single
+    process: plain device_put; multi-process: each process contributes
+    its own range (jax.make_array_from_process_local_data)."""
+    sharding = NamedSharding(mesh, P(AXIS))
+    if jax.process_count() == 1:
+        return jax.device_put(np.asarray(vals_fn(0, s_pad), dtype), sharding)
+    from .multihost import host_site_range
+
+    start, stop = host_site_range(s_pad, mesh)
+    local = np.asarray(vals_fn(start, stop), dtype)
+    return jax.make_array_from_process_local_data(sharding, local, (s_pad,))
+
+
+def _divisor_at_most(n: int, cap: int) -> int:
+    """Largest divisor of n that is <= cap."""
+    cap = max(1, min(cap, n))
+    for d in range(cap, 0, -1):
+        if n % d == 0:
+            return d
+    return 1
+
+
 # ------------------------------------------------------------------ #
 # Independent-genotypes path                                          #
 # ------------------------------------------------------------------ #
@@ -315,31 +340,67 @@ def sharded_suffstats(
     """
     if dtype is None:
         dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    np_dtype = np.float64 if dtype == jnp.float64 else np.float32
     S, N, _ = P_host.shape
     n_dev = mesh.devices.size
     want_blocks = n_blocks is not None
     I, J = _pair_indices(N)
     n_pairs = int(I.shape[0])
 
-    if indep:
-        granule = block_size if want_blocks else 1
-        tile = None
-    else:
-        s_loc_est = _round_up(S, n_dev) // n_dev
-        tile = _em_tile(n_pairs, _round_up(s_loc_est, block_size), block_size)
-        granule = tile
+    prebuilt = isinstance(P_host, jax.Array)
 
-    s_pad = _plan_padding(S, n_dev, granule)
-    Pp = shard_sites(pad_sites(np.asarray(P_host, dtype=np.float64 if dtype == jnp.float64 else np.float32), s_pad), mesh)
-    mask_h = np.zeros((s_pad,), dtype=np.float64 if dtype == jnp.float64 else np.float32)
-    mask_h[:S] = 1.0
-    mask = shard_sites(mask_h, mesh)
-    if site_weights is not None:
-        w_h = np.zeros_like(mask_h)
-        w_h[:S] = site_weights
+    if prebuilt:
+        # Caller supplied the padded, sharded global array (multi-host
+        # path: parallel/multihost.load_global_probs).
+        s_pad = int(P_host.shape[0])
+        if s_pad % n_dev:
+            raise ValueError("prebuilt array not evenly sharded over devices")
+        s_loc = s_pad // n_dev
+        if indep:
+            if want_blocks and s_loc % block_size:
+                raise ValueError("prebuilt shard length not a block multiple")
+            tile = None
+        else:
+            base = block_size if want_blocks else 1
+            if s_loc % base:
+                raise ValueError("prebuilt shard length not a block multiple")
+            # tile = base * (divisor of s_loc/base), capped near the
+            # preferred tile: divides s_loc AND is a block multiple.
+            pref = _em_tile(n_pairs, s_loc, block_size)
+            tile = base * _divisor_at_most(s_loc // base, max(1, pref // base))
+        Pp = P_host
     else:
-        w_h = mask_h
-    w = shard_sites(w_h, mesh)
+        if indep:
+            granule = block_size if want_blocks else 1
+            tile = None
+        else:
+            s_loc_est = _round_up(S, n_dev) // n_dev
+            tile = _em_tile(n_pairs, _round_up(s_loc_est, block_size), block_size)
+            granule = tile
+        s_pad = _plan_padding(S, n_dev, granule)
+        Pp = shard_sites(pad_sites(np.asarray(P_host, dtype=np_dtype), s_pad), mesh)
+
+    def mask_fn(start, stop):
+        out = np.zeros((stop - start,), np_dtype)
+        hi = min(stop, S)
+        if hi > start:
+            out[: hi - start] = 1.0
+        return out
+
+    mask = global_site_vector(mask_fn, s_pad, mesh, np_dtype)
+    if site_weights is not None:
+        sw = np.asarray(site_weights)
+
+        def w_fn(start, stop):
+            out = np.zeros((stop - start,), np_dtype)
+            hi = min(stop, len(sw))
+            if hi > start:
+                out[: hi - start] = sw[start:hi]
+            return out
+
+        w = global_site_vector(w_fn, s_pad, mesh, np_dtype)
+    else:
+        w = mask
     score_d = jnp.asarray(score, dtype)
     score9 = score_d.reshape(-1)
 

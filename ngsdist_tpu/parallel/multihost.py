@@ -92,3 +92,67 @@ def load_global_probs(pars: Params, mesh: Mesh, granule: int = 1):
         sharding, np.ascontiguousarray(local), (s_pad, pars.n_ind, 3)
     )
     return arr, s_pad
+
+
+def plan_granule(pars: Params) -> int:
+    """Per-device shard-length multiple for load_global_probs so that
+    every sharded_suffstats variant a run needs is satisfiable: block
+    alignment for bootstrap partials, plus a composite factor so the EM
+    tile divisor search finds a healthy tile."""
+    g = pars.boot_block_size if pars.n_boot_rep else 1
+    if not pars.indep_geno:
+        g = int(np.lcm(g, 256))
+    return g
+
+
+def run_distributed(pars: Params, coordinator: Optional[str] = None,
+                    num_processes: Optional[int] = None,
+                    process_id: Optional[int] = None):
+    """Full multi-host pipeline (BASELINE.json scale-out config): every
+    process reads its own site shard, the mesh engine psum-merges
+    sufficient statistics over all devices of all processes, and process
+    0 streams the phylip matrices to pars.out.
+
+    Single-process invocations run the same code over the local devices.
+    Returns the matrices on process 0, [] elsewhere.
+    """
+    import jax
+
+    from ..core import bootstrap as bt
+    from ..core import models
+    from ..core.distance import _iter_replicates_sharded
+    from ..io import readers, writers
+    from .mesh import make_mesh
+
+    bring_up(coordinator, num_processes, process_id)
+    pars.validate()
+    pars.finalize()
+    models.check_model_supported(pars.evol_model)
+
+    mesh = make_mesh()
+    arr, _s_pad = load_global_probs(pars, mesh, granule=plan_granule(pars))
+
+    n_trunc, maps = bt.site_maps(
+        pars.seed, pars.n_boot_rep, pars.n_sites, pars.boot_block_size
+    )
+
+    is_writer = jax.process_index() == 0
+    labels = None
+    out_fh = None
+    if is_writer:
+        labels = (
+            readers.read_labels(pars.in_labels, pars.in_labels_header, pars.n_ind)
+            if pars.in_labels else readers.default_labels(pars.n_ind)
+        )
+        out_fh = open(pars.out, "w")
+    matrices = []
+    try:
+        for m in _iter_replicates_sharded(pars, arr, maps, n_trunc, mesh):
+            if is_writer:
+                writers.write_dist_matrix(out_fh, labels, m)
+                out_fh.flush()
+                matrices.append(m)
+    finally:
+        if out_fh is not None:
+            out_fh.close()
+    return matrices

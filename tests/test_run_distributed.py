@@ -1,0 +1,97 @@
+"""run_distributed end-to-end: 2 processes, full pipeline with bootstrap.
+
+Process 0's output file must match a single-process jax-engine run of
+the same configuration numerically (float64 CPU; formatted output is
+compared with a tolerance-parse since reduction orders differ at shard
+boundaries)."""
+
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+_WORKER = r"""
+import os, sys
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+pid, nproc, port, workdir = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3], sys.argv[4]
+sys.path.insert(0, {repo!r})
+from ngsdist_tpu.config import Params
+from ngsdist_tpu.parallel.multihost import run_distributed
+
+pars = Params(in_geno=os.path.join(workdir, "gp.bin"), in_bin=True,
+              in_probs=True, n_ind=6, n_sites=57, seed=9,
+              n_boot_rep=3, boot_block_size=5, pairwise_del=True,
+              out=os.path.join(workdir, "mh.dist"), verbose=0)
+mats = run_distributed(pars, coordinator="127.0.0.1:" + port,
+                       num_processes=nproc, process_id=pid)
+print("OK", pid, len(mats))
+"""
+
+
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def _load(path):
+    mats, cur = [], None
+    for line in open(path):
+        t = line.split("\t")
+        if len(t) > 1:
+            cur.append([float(x) for x in t[1:]])
+        elif line.strip().isdigit():
+            cur = []
+            mats.append(cur)
+    return [np.array(m) for m in mats]
+
+
+@pytest.mark.slow
+def test_run_distributed_two_processes(tmp_path):
+    rng = np.random.default_rng(13)
+    gp = rng.dirichlet(np.ones(3), size=(57, 6))
+    gp[rng.random((57, 6)) < 0.15] = 1 / 3
+    gp.tofile(str(tmp_path / "gp.bin"))
+
+    worker = str(tmp_path / "worker.py")
+    with open(worker, "w") as fh:
+        fh.write(_WORKER.format(repo=REPO))
+    port = str(_free_port())
+    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, str(pid), "2", port, str(tmp_path)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env, text=True,
+        )
+        for pid in range(2)
+    ]
+    outs = [p.communicate(timeout=300)[0] for p in procs]
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, out
+
+    # single-process reference run (jax engine, same config)
+    from ngsdist_tpu import runner
+    from ngsdist_tpu.config import Params
+
+    pars = Params(in_geno=str(tmp_path / "gp.bin"), in_bin=True,
+                  in_probs=True, n_ind=6, n_sites=57, seed=9,
+                  n_boot_rep=3, boot_block_size=5, pairwise_del=True,
+                  out=str(tmp_path / "single.dist"), verbose=0)
+    runner.run(pars, engine="jax")
+
+    mh = _load(str(tmp_path / "mh.dist"))
+    single = _load(str(tmp_path / "single.dist"))
+    assert len(mh) == len(single) == 4
+    for a, b in zip(mh, single):
+        np.testing.assert_allclose(a, b, rtol=0, atol=1e-10)
