@@ -49,11 +49,14 @@ _BY_SHORT = {short: (name, arg, short) for name, arg, short in _OPTIONS}
 
 # Extra long options unique to the TPU framework (not in the reference).
 _EXT_OPTIONS = [
-    ("engine", True),      # exact | jax | auto
-    ("devices", True),     # shard sites over N devices ("all" = every device)
-    ("resume", False),     # continue an interrupted run (.ckpt.json sidecar)
-    ("trace_dir", True),   # capture a jax.profiler trace here
-    ("throughput", False), # report pair-site updates/sec on stderr
+    ("engine", True),       # exact | jax | auto
+    ("devices", True),      # shard sites over N devices ("all" = every device)
+    ("resume", False),      # continue an interrupted run (.ckpt.json sidecar)
+    ("trace_dir", True),    # capture a jax.profiler trace here
+    ("throughput", False),  # report pair-site updates/sec on stderr
+    ("coordinator", True),  # multi-host: coordinator host:port -> run_distributed
+    ("num_processes", True),
+    ("process_id", True),
 ]
 _EXT_BY_NAME = dict(_EXT_OPTIONS)
 
@@ -219,6 +222,22 @@ def main(argv: Optional[List[str]] = None) -> int:
         from .utils import signals
 
         signals.arm()  # graceful 3-strikes stop (resumable output)
+
+        if extras.get("coordinator"):
+            # Multi-host run: per-process shard reads, psum over all
+            # devices of all processes, output written by process 0.
+            from .parallel.multihost import run_distributed
+
+            run_distributed(
+                pars,
+                coordinator=extras["coordinator"],
+                num_processes=_atol(extras.get("num_processes") or "0") or None,
+                process_id=(
+                    _atol(extras["process_id"])
+                    if extras.get("process_id") is not None else None
+                ),
+            )
+            return 0
         mesh = None
         devices = extras.get("devices")
         if devices not in (None, "", "0", "1"):

@@ -146,3 +146,18 @@ def test_signals_graceful_stop(gt_file, tmp_path):
         assert open(out).read() == open(full).read()
     finally:
         signals.disarm()
+
+
+def test_cli_multihost_flags_parse():
+    pars, extras = cli.parse_args(
+        ["--geno", "x.gz", "--n_ind", "4", "--n_sites", "10", "--out", "y",
+         "--coordinator", "10.0.0.1:1234", "--num_processes", "4",
+         "--process_id", "2"]
+    )
+    assert extras["coordinator"] == "10.0.0.1:1234"
+    assert extras["num_processes"] == "4"
+    assert extras["process_id"] == "2"
+    # reference prefixes unaffected by the new ext names
+    pars2, _ = cli.parse_args(["--geno", "g", "--n_ind", "2", "--n_sites", "3",
+                               "--out", "o", "--pos", "p.txt"])
+    assert pars2.in_pos == "p.txt"
