@@ -115,11 +115,12 @@ def _upper_blocks(nb: int) -> Tuple[np.ndarray, np.ndarray]:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("pairwise_del", "block", "site_tile", "interpret")
+    jax.jit,
+    static_argnames=("pairwise_del", "block", "site_tile", "interpret", "vma"),
 )
 def _indep_pallas_padded(
     P3,                      # [3, S_pad, N_pad] plane-major probabilities
-    score9, IB, JB, pairwise_del, block, site_tile, interpret
+    score9, IB, JB, pairwise_del, block, site_tile, interpret, vma=None
 ):
     _, S_pad, N_pad = P3.shape
     G = IB.shape[0]
@@ -156,12 +157,15 @@ def _indep_pallas_padded(
         ],
     )
     kernel = functools.partial(_indep_kernel, pairwise_del=pairwise_del)
+    # vma: varying-mesh-axes annotation, required when the kernel runs
+    # per-device inside shard_map (outputs vary over the shard axis).
+    kw = {} if vma is None else {"vma": frozenset(vma)}
     raw, cnt = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((N_pad, N_pad), dtype),
-            jax.ShapeDtypeStruct((N_pad, N_pad), dtype),
+            jax.ShapeDtypeStruct((N_pad, N_pad), dtype, **kw),
+            jax.ShapeDtypeStruct((N_pad, N_pad), dtype, **kw),
         ],
         interpret=interpret,
     )(IB, JB, P3, P3, score9)
@@ -176,6 +180,7 @@ def indep_raw_cnt_pallas(
     block: int = DEFAULT_BLOCK,
     site_tile: int = DEFAULT_SITE_TILE,
     interpret: bool = False,
+    vma=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Independent-path sufficient statistics via the fused kernel.
 
@@ -188,10 +193,11 @@ def indep_raw_cnt_pallas(
     S_pad = ((S + site_tile - 1) // site_tile) * site_tile
     N_pad = ((N + block - 1) // block) * block
     P3 = jnp.moveaxis(jnp.pad(P, ((0, S_pad - S), (0, N_pad - N), (0, 0))), -1, 0)
-    score9 = jnp.asarray(np.asarray(score).reshape(-1), dtype).reshape(1, 9)
+    score9 = jnp.asarray(score, dtype).reshape(1, 9)  # traced-safe
     IB, JB = _upper_blocks(N_pad // block)
     raw, cnt = _indep_pallas_padded(
         P3, score9, jnp.asarray(IB), jnp.asarray(JB),
         pairwise_del, block, site_tile, interpret,
+        None if vma is None else tuple(vma),
     )
     return raw[:N, :N], cnt[:N, :N]

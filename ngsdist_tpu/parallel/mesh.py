@@ -124,10 +124,32 @@ def _divisor_at_most(n: int, cap: int) -> int:
 # ------------------------------------------------------------------ #
 
 
-def _indep_local(Pl, ml, wl, score, pairwise_del: bool):
-    """Per-shard einsum reduction.  Pl [Sl,N,3] local sites, ml [Sl]
-    1.0 for real sites, wl [Sl] site multiplicities."""
+def _use_pallas_local() -> bool:
+    """Per-device Pallas kernels inside shard_map on real TPU backends
+    (trace-time static; CPU meshes keep the portable XLA formulations)."""
+    import os
+
+    if os.environ.get("NGSDIST_PALLAS") == "0":
+        return False
+    return jax.default_backend() == "tpu"
+
+
+def _indep_local(Pl, ml, wl, score, pairwise_del: bool, unweighted: bool = False):
+    """Per-shard reduction.  Pl [Sl,N,3] local sites, ml [Sl] 1.0 for
+    real sites, wl [Sl] site multiplicities.  On TPU the unweighted path
+    runs the fused upper-triangular Pallas kernel per device."""
     dtype = Pl.dtype
+    if unweighted and _use_pallas_local():
+        from ..ops.pallas_indep import indep_raw_cnt_pallas
+
+        raw_m, cnt_m = indep_raw_cnt_pallas(Pl, score, pairwise_del, vma=(AXIS,))
+        raw_m = jnp.triu(raw_m) + jnp.triu(raw_m, 1).T
+        raw = jax.lax.psum(raw_m, AXIS)
+        cnt = None
+        if pairwise_del:
+            cnt_m = jnp.triu(cnt_m) + jnp.triu(cnt_m, 1).T
+            cnt = jax.lax.psum(cnt_m, AXIS)
+        return raw, cnt
     if pairwise_del:
         valid = (~missing_mask(Pl)).astype(dtype) * ml[:, None]
         Q = Pl * valid[..., None]
@@ -148,9 +170,11 @@ def _indep_local(Pl, ml, wl, score, pairwise_del: bool):
     return raw, cnt
 
 
-@functools.partial(jax.jit, static_argnames=("pairwise_del", "mesh"))
-def _indep_sharded(P_pad, mask, w, score, pairwise_del: bool, mesh: Mesh):
-    fn = lambda Pl, ml, wl: _indep_local(Pl, ml, wl, score, pairwise_del)
+@functools.partial(jax.jit, static_argnames=("pairwise_del", "mesh", "unweighted"))
+def _indep_sharded(P_pad, mask, w, score, pairwise_del: bool, mesh: Mesh,
+                   unweighted: bool = False):
+    fn = lambda Pl, ml, wl: _indep_local(Pl, ml, wl, score, pairwise_del,
+                                         unweighted)
     out_specs = (P(), P()) if pairwise_del else (P(), None)
     raw, cnt = shard_map(
         fn, mesh=mesh,
@@ -409,7 +433,8 @@ def sharded_suffstats(
             B, C = _indep_blocks_sharded(Pp, mask, score_d, pairwise_del,
                                          block_size, mesh)
             return None, None, B, C
-        raw, cnt = _indep_sharded(Pp, mask, w, score_d, pairwise_del, mesh)
+        raw, cnt = _indep_sharded(Pp, mask, w, score_d, pairwise_del, mesh,
+                                  unweighted=site_weights is None)
         return raw, cnt, None, None
 
     out = _em_sharded(Pp, mask, w, score9, I, J, pairwise_del, tile,
