@@ -151,7 +151,7 @@ def _upper_blocks(nb: int) -> Tuple[np.ndarray, np.ndarray]:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("pairwise_del", "block", "site_tile", "interpret"),
+    static_argnames=("pairwise_del", "block", "site_tile", "interpret", "vma"),
 )
 def _em_pallas_padded(
     P_pad: jnp.ndarray,        # [S_pad, N_pad, 3]
@@ -162,6 +162,7 @@ def _em_pallas_padded(
     block: int,
     site_tile: int,
     interpret: bool,
+    vma=None,
 ):
     S_pad, N_pad, _ = P_pad.shape
     G = IB.shape[0]
@@ -199,12 +200,14 @@ def _em_pallas_padded(
     )
 
     kernel = functools.partial(_em_kernel, pairwise_del=pairwise_del)
+    # vma: varying-mesh-axes annotation for per-device use in shard_map.
+    kw = {} if vma is None else {"vma": frozenset(vma)}
     raw, cnt = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((N_pad, N_pad), dtype),
-            jax.ShapeDtypeStruct((N_pad, N_pad), dtype),
+            jax.ShapeDtypeStruct((N_pad, N_pad), dtype, **kw),
+            jax.ShapeDtypeStruct((N_pad, N_pad), dtype, **kw),
         ],
         interpret=interpret,
     )(IB, JB, P_pad, P_pad, score9)
@@ -220,6 +223,7 @@ def em_raw_cnt_pallas(
     block: int = DEFAULT_BLOCK,
     site_tile: int = DEFAULT_SITE_TILE,
     interpret: bool = False,
+    vma=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """EM-path sufficient statistics via the Pallas kernel.
 
@@ -250,8 +254,14 @@ def em_raw_cnt_pallas(
     P_pad = jnp.pad(P, ((0, S_pad - S), (0, N_pad - N), (0, 0)))
     score9 = jnp.asarray(score9, dtype).reshape(1, 9)
     IB, JB = _upper_blocks(N_pad // block)
+    if interpret and vma is not None:
+        raise ValueError(
+            "interpret mode cannot run under shard_map (vma requires the "
+            "compiled Mosaic path); drop vma or run outside shard_map"
+        )
     raw, cnt = _em_pallas_padded(
         P_pad, score9, jnp.asarray(IB), jnp.asarray(JB),
         pairwise_del, block, site_tile, interpret,
+        None if vma is None else tuple(vma),
     )
     return raw[:N, :N], cnt[:N, :N]

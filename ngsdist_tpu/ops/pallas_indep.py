@@ -188,6 +188,11 @@ def indep_raw_cnt_pallas(
     with valid upper triangle including the diagonal.  cnt counts
     non-missing pairs under pairwise deletion, real sites otherwise.
     """
+    if interpret and vma is not None:
+        raise ValueError(
+            "interpret mode cannot run under shard_map (vma requires the "
+            "compiled Mosaic path); drop vma or run outside shard_map"
+        )
     S, N, _ = P.shape
     dtype = P.dtype
     S_pad = ((S + site_tile - 1) // site_tile) * site_tile

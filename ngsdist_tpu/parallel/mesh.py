@@ -124,22 +124,13 @@ def _divisor_at_most(n: int, cap: int) -> int:
 # ------------------------------------------------------------------ #
 
 
-def _use_pallas_local() -> bool:
-    """Per-device Pallas kernels inside shard_map on real TPU backends
-    (trace-time static; CPU meshes keep the portable XLA formulations)."""
-    import os
-
-    if os.environ.get("NGSDIST_PALLAS") == "0":
-        return False
-    return jax.default_backend() == "tpu"
-
-
-def _indep_local(Pl, ml, wl, score, pairwise_del: bool, unweighted: bool = False):
+def _indep_local(Pl, ml, wl, score, pairwise_del: bool, use_pallas: bool = False):
     """Per-shard reduction.  Pl [Sl,N,3] local sites, ml [Sl] 1.0 for
-    real sites, wl [Sl] site multiplicities.  On TPU the unweighted path
-    runs the fused upper-triangular Pallas kernel per device."""
+    real sites, wl [Sl] site multiplicities.  With use_pallas (decided
+    by the caller OUTSIDE jit so it participates in the cache key), the
+    fused upper-triangular Pallas kernel runs per device."""
     dtype = Pl.dtype
-    if unweighted and _use_pallas_local():
+    if use_pallas:
         from ..ops.pallas_indep import indep_raw_cnt_pallas
 
         raw_m, cnt_m = indep_raw_cnt_pallas(Pl, score, pairwise_del, vma=(AXIS,))
@@ -170,11 +161,11 @@ def _indep_local(Pl, ml, wl, score, pairwise_del: bool, unweighted: bool = False
     return raw, cnt
 
 
-@functools.partial(jax.jit, static_argnames=("pairwise_del", "mesh", "unweighted"))
+@functools.partial(jax.jit, static_argnames=("pairwise_del", "mesh", "use_pallas"))
 def _indep_sharded(P_pad, mask, w, score, pairwise_del: bool, mesh: Mesh,
-                   unweighted: bool = False):
+                   use_pallas: bool = False):
     fn = lambda Pl, ml, wl: _indep_local(Pl, ml, wl, score, pairwise_del,
-                                         unweighted)
+                                         use_pallas)
     out_specs = (P(), P()) if pairwise_del else (P(), None)
     raw, cnt = shard_map(
         fn, mesh=mesh,
@@ -225,11 +216,21 @@ def _indep_blocks_sharded(P_pad, mask, score, pairwise_del, block_size, mesh):
 
 
 def _em_local(Pl, ml, wl, score9, I, J, pairwise_del: bool, tile: int,
-              block_size: int, want_blocks: bool):
+              block_size: int, want_blocks: bool, use_pallas: bool = False):
     """Per-shard masked-EM reduction over local site tiles (mirrors
     core/distance._em_scan, but runs device-local under shard_map so the
-    EM while_loop's trip count is local to this shard)."""
+    EM while_loop's trip count is local to this shard).  With use_pallas
+    (full-data, unweighted, no blocks) the power-iteration EM kernel
+    runs per device instead of the scan."""
     dtype = Pl.dtype
+    if use_pallas and not want_blocks:
+        from ..ops.pallas_em import em_raw_cnt_pallas
+
+        raw_m, cnt_m = em_raw_cnt_pallas(Pl, score9, pairwise_del,
+                                         vma=(AXIS,))
+        raw = jax.lax.psum(raw_m[I, J], AXIS)
+        cnt = jax.lax.psum(cnt_m[I, J], AXIS)
+        return raw, cnt
     Sl = Pl.shape[0]
     n_tiles = Sl // tile
     n_pairs = I.shape[0]
@@ -277,12 +278,14 @@ def _em_local(Pl, ml, wl, score9, I, J, pairwise_del: bool, tile: int,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("pairwise_del", "tile", "block_size", "want_blocks", "mesh"),
+    static_argnames=("pairwise_del", "tile", "block_size", "want_blocks",
+                     "mesh", "use_pallas"),
 )
 def _em_sharded(P_pad, mask, w, score9, I, J, pairwise_del, tile,
-                block_size, want_blocks, mesh):
+                block_size, want_blocks, mesh, use_pallas=False):
     fn = lambda Pl, ml, wl: _em_local(
-        Pl, ml, wl, score9, I, J, pairwise_del, tile, block_size, want_blocks
+        Pl, ml, wl, score9, I, J, pairwise_del, tile, block_size, want_blocks,
+        use_pallas,
     )
     if want_blocks:
         out_specs = (P(), P(), P(AXIS, None), P(AXIS, None))
@@ -433,12 +436,26 @@ def sharded_suffstats(
             B, C = _indep_blocks_sharded(Pp, mask, score_d, pairwise_del,
                                          block_size, mesh)
             return None, None, B, C
+        # Kernel dispatch decided here (outside jit) so NGSDIST_PALLAS
+        # participates in the cache key via the static argument; the
+        # kernel serves only the unweighted case, and interpret mode
+        # cannot run under shard_map (jax vma limitation) so it falls
+        # back to the XLA formulation.
+        from ..core.distance import _pallas_mode
+
+        use_pallas = site_weights is None and _pallas_mode() == "on"
         raw, cnt = _indep_sharded(Pp, mask, w, score_d, pairwise_del, mesh,
-                                  unweighted=site_weights is None)
+                                  use_pallas=use_pallas)
         return raw, cnt, None, None
 
+    from ..core.distance import _pallas_mode
+
+    em_pallas = (
+        site_weights is None and not want_blocks and _pallas_mode() == "on"
+    )
     out = _em_sharded(Pp, mask, w, score9, I, J, pairwise_del, tile,
-                      block_size if want_blocks else 1, want_blocks, mesh)
+                      block_size if want_blocks else 1, want_blocks, mesh,
+                      use_pallas=em_pallas)
     if want_blocks:
         return out
     raw, cnt = out

@@ -121,3 +121,38 @@ def test_single_device_mesh_ok():
     )
     np.testing.assert_allclose(np.asarray(raw), np.asarray(raw1), atol=1e-12)
     np.testing.assert_allclose(np.asarray(cnt), np.asarray(cnt1), atol=0)
+
+
+def test_sharded_pallas_gate_is_per_call(mesh8, monkeypatch):
+    """The kernel dispatch must be decided per call (static jit arg), so
+    toggling NGSDIST_PALLAS between calls is honoured — not frozen into
+    a cached trace (the gate lives outside jit)."""
+    import ngsdist_tpu.parallel.mesh as m
+
+    seen = []
+    orig = m._indep_sharded
+
+    def spy(P_pad, mask, w, score, pairwise_del, mesh, use_pallas=False):
+        seen.append(use_pallas)
+        return orig(P_pad, mask, w, score, pairwise_del, mesh,
+                    use_pallas=False)  # CPU: always run the XLA path
+
+    monkeypatch.setattr(m, "_indep_sharded", spy)
+    rng = np.random.default_rng(6)
+    P = _rand_probs(rng, 16, 3)
+    monkeypatch.setenv("NGSDIST_PALLAS", "1")
+    pm.sharded_suffstats(P, default_score_matrix(), mesh8, indep=True,
+                         pairwise_del=False)
+    monkeypatch.setenv("NGSDIST_PALLAS", "0")
+    pm.sharded_suffstats(P, default_score_matrix(), mesh8, indep=True,
+                         pairwise_del=False)
+    assert seen == [True, False]
+
+
+def test_interpret_plus_vma_rejected():
+    from ngsdist_tpu.ops.pallas_indep import indep_raw_cnt_pallas
+
+    P = jnp.asarray(np.full((8, 4, 3), 1 / 3))
+    with pytest.raises(ValueError, match="interpret mode"):
+        indep_raw_cnt_pallas(P, default_score_matrix(), True,
+                             interpret=True, vma=("sites",))
