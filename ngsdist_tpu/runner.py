@@ -110,6 +110,19 @@ def iter_replicates(pars: Params, P: np.ndarray, engine: str = "auto", mesh=None
     n_trunc, maps = bt.site_maps(
         pars.seed, pars.n_boot_rep, pars.n_sites, pars.boot_block_size
     )
+    if pars.verbose >= 5 and maps:
+        # bootstrap block-mapping dump (rnd_map_data, ngsDist.cpp:430-431)
+        bs = pars.boot_block_size
+        for site_map in maps:
+            for block in range(len(site_map) // bs):
+                for s_off in range(bs):
+                    dest = block * bs + s_off
+                    src = int(site_map[dest])
+                    print(
+                        f"block: {block}	orig_site: {dest}	"
+                        f"rand_block:{src // bs}	rand_site: {src}",
+                        file=sys.stderr,
+                    )
 
     if engine == "exact":
         P_ind = exact_engine.to_ind_major(P)
