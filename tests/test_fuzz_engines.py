@@ -1,0 +1,70 @@
+"""Randomized-config cross-engine fuzz: jax engine vs bit-exact oracle.
+
+Draws random flag combinations (indep/EM, pairwise deletion, calling
+thresholds, avg_nuc_dist, models 0-2, tot_sites, bootstrap shapes) and
+random GL/GP/genotype tensors, runs both engines end-to-end through the
+runner, and requires float64 agreement to 1e-10 on every matrix of every
+replicate.  Complements the fixed golden suite by sweeping corners the
+goldens don't enumerate.
+"""
+
+import gzip
+
+import numpy as np
+import pytest
+
+from ngsdist_tpu import runner
+from ngsdist_tpu.config import Params
+
+
+def _write_inputs(tmp_path, rng, S, N, kind):
+    path = str(tmp_path / f"in_{kind}.geno.gz")
+    if kind == "gt":
+        g = rng.integers(-1, 3, size=(S, N))
+        with gzip.open(path, "wt") as fh:
+            for s in range(S):
+                fh.write("\t".join(str(int(x)) for x in g[s]) + "\n")
+        return path, dict()
+    gp = rng.dirichlet(np.ones(3) * rng.uniform(0.5, 8), size=(S, N))
+    if rng.random() < 0.3:
+        gp[rng.random((S, N)) < 0.2] = 1 / 3  # missing
+    with gzip.open(path, "wt") as fh:
+        for s in range(S):
+            fh.write("\t".join(f"{x:.8f}" for x in gp[s].reshape(-1)) + "\n")
+    return path, dict(in_probs=True)
+
+
+@pytest.mark.parametrize("trial", range(12))
+def test_random_config_engines_agree(tmp_path, trial):
+    rng = np.random.default_rng(1000 + trial)
+    S = int(rng.integers(20, 150))
+    N = int(rng.integers(3, 9))
+    kind = rng.choice(["gt", "gp"])
+    path, extra = _write_inputs(tmp_path, rng, S, N, kind)
+
+    kw = dict(extra)
+    if kind == "gp":
+        if rng.random() < 0.4:
+            kw["indep_geno"] = True
+        if rng.random() < 0.3:
+            kw["call_geno"] = True
+            if rng.random() < 0.5:
+                kw["N_thresh"] = float(rng.uniform(0, 0.4))
+                kw["call_thresh"] = float(rng.uniform(0.5, 0.95))
+    pairwise_del = bool(rng.random() < 0.5)
+    kw["pairwise_del"] = pairwise_del
+    if not pairwise_del and rng.random() < 0.3:
+        kw["tot_sites"] = int(S + rng.integers(0, 50))
+    kw["avg_nuc_dist"] = bool(rng.random() < 0.3)
+    kw["evol_model"] = int(rng.integers(0, 3))
+    if rng.random() < 0.6:
+        kw["n_boot_rep"] = int(rng.integers(1, 4))
+        kw["boot_block_size"] = int(rng.integers(1, max(2, S // 4)))
+
+    base = dict(in_geno=path, n_ind=N, n_sites=S, seed=int(rng.integers(1, 10000)),
+                verbose=0, **kw)
+    a = runner.run(Params(out=str(tmp_path / "a.dist"), **base), engine="exact")
+    b = runner.run(Params(out=str(tmp_path / "b.dist"), **base), engine="jax")
+    assert len(a) == len(b)
+    for ma, mb in zip(a, b):
+        np.testing.assert_allclose(mb, ma, rtol=0, atol=1e-10, err_msg=str(kw))
