@@ -226,6 +226,19 @@ def main(argv: Optional[List[str]] = None) -> int:
         if extras.get("coordinator"):
             # Multi-host run: per-process shard reads, psum over all
             # devices of all processes, output written by process 0.
+            # Flags the distributed runner cannot honor are rejected
+            # rather than silently ignored.
+            for bad in ("resume", "trace_dir", "throughput", "devices"):
+                if extras.get(bad):
+                    raise NgsDistError(
+                        "main", f"--{bad} is not supported with --coordinator"
+                    )
+            if extras.get("engine") not in ("auto", "jax", None):
+                raise NgsDistError(
+                    "main",
+                    "--coordinator runs the jax mesh engine (--engine "
+                    f"{extras['engine']} is not supported)",
+                )
             from .parallel.multihost import run_distributed
 
             run_distributed(

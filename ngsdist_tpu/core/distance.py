@@ -340,7 +340,9 @@ def iter_replicates(
     S = pars.n_sites
     score = jnp.asarray(pars.score, dtype)
     score9 = score.reshape(-1)
-    P = jnp.asarray(P_host, dtype)
+    # NOTE: the probability tensor is only device-put below once the
+    # chunk-streaming decision is made (NGSDIST_DEVICE_BUDGET) — an
+    # unconditional jnp.asarray here would defeat streaming.
 
     I, J = _pair_indices(N)
 
@@ -489,13 +491,13 @@ def _iter_replicates_sharded(
     if pars.indep_geno or not use_partials:
         raw, cnt, _, _ = pm.sharded_suffstats(
             P_host, score, mesh, indep=pars.indep_geno,
-            pairwise_del=pars.pairwise_del, dtype=dtype,
+            pairwise_del=pars.pairwise_del, dtype=dtype, n_sites=S,
         )
     else:
         # EM path: one sharded pass yields rep-0 stats AND block partials.
         raw, cnt, B, C = pm.sharded_suffstats(
             P_host, score, mesh, indep=False, pairwise_del=pars.pairwise_del,
-            n_blocks=n_blocks, block_size=block_size, dtype=dtype,
+            n_blocks=n_blocks, block_size=block_size, dtype=dtype, n_sites=S,
         )
     raw_m, cnt_m = to_matrix(raw, None if not pars.pairwise_del else cnt)
     denom = cnt_m if pars.pairwise_del else float(S)
@@ -509,7 +511,7 @@ def _iter_replicates_sharded(
         if pars.indep_geno:
             _, _, B, C = pm.sharded_suffstats(
                 P_host, score, mesh, indep=True, pairwise_del=pars.pairwise_del,
-                n_blocks=n_blocks, block_size=block_size, dtype=dtype,
+                n_blocks=n_blocks, block_size=block_size, dtype=dtype, n_sites=S,
             )
         raw_r, cnt_r = pm.bootstrap_replicates(table, B, C, n_blocks, mesh)
         for r in range(n_reps):
@@ -523,6 +525,7 @@ def _iter_replicates_sharded(
             raw, cnt, _, _ = pm.sharded_suffstats(
                 P_host, score, mesh, indep=pars.indep_geno,
                 pairwise_del=pars.pairwise_del, site_weights=w, dtype=dtype,
+                n_sites=S,
             )
             raw_m, cnt_m = to_matrix(raw, cnt)
             denom = cnt_m if pars.pairwise_del else float(n_trunc)
@@ -563,38 +566,45 @@ def _iter_replicates_extended(
     S = pars.n_sites
     score = jnp.asarray(pars.score, dtype)
     score9 = score.reshape(-1)
-    P = jnp.asarray(P_host, dtype)
     I, J = _pair_indices(N)
 
+    # Long genomes: stream site chunks like the model 0-2 path does.
+    itemsize = np.dtype(np.float64 if dtype == jnp.float64 else np.float32).itemsize
+    budget = _device_budget_bytes()
+    chunked = S * N * 3 * itemsize > budget
+    chunk = max(1, budget // max(1, N * 3 * itemsize)) if chunked else S
+    P = None if chunked else jnp.asarray(P_host, dtype)
+
     if pars.pairwise_del:
-        valid_h = (~np.asarray(missing_mask(P))).astype(np.float64)  # [S, N]
+        valid_h = (~np.asarray(missing_mask(jnp.asarray(P_host)))).astype(np.float64)
     else:
         valid_h = None
     bc = sm.expected_base_counts(np.asarray(P_host, np.float64), a1, a2) if need_pi else None
 
     pallas = _pallas_mode()
 
-    def class_stats(w: np.ndarray):
-        """raw matrix for site weights w (indep einsum or batched EM)."""
+    def _class_stats_one(Psub, w: np.ndarray, static_weights: bool):
         if pars.indep_geno:
             raw, cnt = indep_suffstats(
-                P, score, pars.pairwise_del, jnp.asarray(w, dtype)
+                Psub, score, pars.pairwise_del, jnp.asarray(w, dtype)
             )
             return np.asarray(raw, np.float64), (
                 None if cnt is None else np.asarray(cnt, np.float64)
             )
-        if pallas != "off":
+        # Replicate weights realise a distinct gathered length per call;
+        # only the run-constant class masks go through the kernel.
+        if pallas != "off" and static_weights:
             from ..ops.pallas_em import em_raw_cnt_pallas
 
             raw_m, cnt_m = em_raw_cnt_pallas(
-                P, score9, pars.pairwise_del, site_weights=w,
+                Psub, score9, pars.pairwise_del, site_weights=w,
                 interpret=(pallas == "interpret"),
             )
             rawv = np.asarray(raw_m[I, J], np.float64)
             cntv = np.asarray(cnt_m[I, J], np.float64)
         else:
             raw, cnt, _, _ = em_suffstats(
-                P, score9, pars.pairwise_del, site_weights=w
+                Psub, score9, pars.pairwise_del, site_weights=w
             )
             rawv = np.asarray(raw, np.float64)
             cntv = np.asarray(cnt, np.float64)
@@ -602,6 +612,20 @@ def _iter_replicates_extended(
             _scatter_pairs(rawv, I, J, N),
             _scatter_pairs(cntv, I, J, N),
         )
+
+    def class_stats(w: np.ndarray, static_weights: bool):
+        """raw/cnt matrices for site weights w, streamed when chunked."""
+        if not chunked:
+            return _class_stats_one(P, w, static_weights)
+        acc_r = acc_c = None
+        for start in range(0, S, chunk):
+            stop = min(start + chunk, S)
+            Pc = jnp.asarray(P_host[start:stop], dtype)
+            r, c = _class_stats_one(Pc, w[start:stop], static_weights)
+            acc_r = r if acc_r is None else acc_r + r
+            if c is not None:
+                acc_c = c if acc_c is None else acc_c + c
+        return acc_r, acc_c
 
     def pair_pi(w_ok: np.ndarray):
         """[N, N, 4] per-pair base frequencies over classifiable sites."""
@@ -616,10 +640,10 @@ def _iter_replicates_extended(
         with np.errstate(divide="ignore", invalid="ignore"):
             return tot / denom
 
-    def one_matrix(w: np.ndarray, denom_sites: float):
+    def one_matrix(w: np.ndarray, denom_sites: float, static_weights: bool):
         raws, cnts = {}, {}
         for cl in ("ag", "ct", "tv"):
-            raws[cl], cnts[cl] = class_stats(w * masks[cl])
+            raws[cl], cnts[cl] = class_stats(w * masks[cl], static_weights)
         if pars.tot_sites > 0:
             cnt = float(pars.tot_sites)
         elif pars.pairwise_del:
@@ -636,9 +660,9 @@ def _iter_replicates_extended(
         return d
 
     w_full = np.ones((S,), np.float64)
-    yield one_matrix(w_full, float(np.sum(masks["ok"])))
+    yield one_matrix(w_full, float(np.sum(masks["ok"])), True)
 
     for r in range(pars.n_boot_rep):
         w = np.zeros((S,), np.float64)
         w[:n_trunc] = np.bincount(maps[r], minlength=n_trunc)
-        yield one_matrix(w, float(np.sum(w * masks["ok"])))
+        yield one_matrix(w, float(np.sum(w * masks["ok"])), False)

@@ -75,8 +75,6 @@ def expected_base_counts(P: np.ndarray, a1: np.ndarray, a2: np.ndarray) -> np.nd
     d1 = 2.0 - d2
     bc = np.zeros((S, N, 4), np.float64)
     ok = (a1 >= 0) & (a2 >= 0)
-    idx = np.where(ok)[0]
-    bc[idx, :, :] = 0.0
     # scatter by allele code (vectorized per base letter)
     for b in range(4):
         m1 = ok & (a1 == b)
@@ -107,9 +105,12 @@ def k80(Pp: np.ndarray, Q: np.ndarray) -> np.ndarray:
 
 
 def f81(p: np.ndarray, pi: np.ndarray) -> np.ndarray:
-    """Felsenstein 1981: d = -E ln(1 - p/E), E = 1 - sum(pi^2)."""
+    """Felsenstein 1981: d = -E ln(1 - p/E), E = 1 - sum(pi^2).
+
+    E = 0 (composition concentrated on one base) makes p/E = 0/0; the
+    correct limit is a vanishing distance, handled by _sdiv."""
     E = 1.0 - np.sum(pi ** 2, axis=-1)
-    return -E * _safe_log(1 - p / E)
+    return -E * _safe_log(1 - _sdiv(p, E))
 
 
 def f84(Pp: np.ndarray, Q: np.ndarray, pi: np.ndarray) -> np.ndarray:

@@ -354,6 +354,7 @@ def sharded_suffstats(
     n_blocks: Optional[int] = None,
     block_size: int = 1,
     dtype=None,
+    n_sites: Optional[int] = None,
 ):
     """Sufficient statistics over the mesh.
 
@@ -369,6 +370,13 @@ def sharded_suffstats(
         dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
     np_dtype = np.float64 if dtype == jnp.float64 else np.float32
     S, N, _ = P_host.shape
+    # Prebuilt global arrays are PADDED, so their leading dim is NOT the
+    # real site count — the caller must pass n_sites so the site mask
+    # ends at the data, not at the padding.
+    if n_sites is not None:
+        S = int(n_sites)
+    elif isinstance(P_host, jax.Array):
+        raise ValueError("prebuilt sharded arrays require explicit n_sites")
     n_dev = mesh.devices.size
     want_blocks = n_blocks is not None
     I, J = _pair_indices(N)

@@ -128,6 +128,11 @@ def run_distributed(pars: Params, coordinator: Optional[str] = None,
     pars.validate()
     pars.finalize()
     models.check_model_supported(pars.evol_model)
+    if jax.process_index() == 0:
+        import sys
+
+        for msg in pars.messages:
+            print(msg, file=sys.stderr)
 
     mesh = make_mesh()
     arr, _s_pad = load_global_probs(pars, mesh, granule=plan_granule(pars))

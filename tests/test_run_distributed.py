@@ -27,9 +27,10 @@ sys.path.insert(0, {repo!r})
 from ngsdist_tpu.config import Params
 from ngsdist_tpu.parallel.multihost import run_distributed
 
+pdel = sys.argv[5] == "1"
 pars = Params(in_geno=os.path.join(workdir, "gp.bin"), in_bin=True,
               in_probs=True, n_ind=6, n_sites=57, seed=9,
-              n_boot_rep=3, boot_block_size=5, pairwise_del=True,
+              n_boot_rep=3, boot_block_size=5, pairwise_del=pdel,
               out=os.path.join(workdir, "mh.dist"), verbose=0)
 mats = run_distributed(pars, coordinator="127.0.0.1:" + port,
                        num_processes=nproc, process_id=pid)
@@ -58,7 +59,10 @@ def _load(path):
 
 
 @pytest.mark.slow
-def test_run_distributed_two_processes(tmp_path):
+@pytest.mark.parametrize("pairwise_del", [True, False])
+def test_run_distributed_two_processes(tmp_path, pairwise_del):
+    """pairwise_del=False is the regression case for the prebuilt-array
+    padding bug: padded sites must not count toward the EM statistics."""
     rng = np.random.default_rng(13)
     gp = rng.dirichlet(np.ones(3), size=(57, 6))
     gp[rng.random((57, 6)) < 0.15] = 1 / 3
@@ -71,7 +75,8 @@ def test_run_distributed_two_processes(tmp_path):
     env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
     procs = [
         subprocess.Popen(
-            [sys.executable, worker, str(pid), "2", port, str(tmp_path)],
+            [sys.executable, worker, str(pid), "2", port, str(tmp_path),
+             "1" if pairwise_del else "0"],
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env, text=True,
         )
         for pid in range(2)
@@ -86,7 +91,7 @@ def test_run_distributed_two_processes(tmp_path):
 
     pars = Params(in_geno=str(tmp_path / "gp.bin"), in_bin=True,
                   in_probs=True, n_ind=6, n_sites=57, seed=9,
-                  n_boot_rep=3, boot_block_size=5, pairwise_del=True,
+                  n_boot_rep=3, boot_block_size=5, pairwise_del=pairwise_del,
                   out=str(tmp_path / "single.dist"), verbose=0)
     runner.run(pars, engine="jax")
 

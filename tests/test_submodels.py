@@ -183,3 +183,31 @@ def test_degenerate_base_composition_two_bases():
     assert np.isfinite(d_tn) and d_tn > 0
     d_f84 = sm.f84(np.array(0.0), np.array(0.1), pi)
     assert np.isfinite(d_f84) and d_f84 > 0
+
+
+def test_f81_degenerate_composition():
+    """Regression: E = 1 - sum(pi^2) = 0 (single-base composition) must
+    give a vanishing distance, not 0/0 = nan."""
+    pi = np.array([1.0, 0.0, 0.0, 0.0])
+    assert sm.f81(np.array(0.0), pi) == 0.0
+
+
+def test_extended_chunked_streaming(monkeypatch):
+    """Extended models under NGSDIST_DEVICE_BUDGET chunking must match
+    the resident path."""
+    rng = np.random.default_rng(31)
+    S, N = 70, 4
+    P = rng.dirichlet(np.ones(3) * 5, size=(S, N))
+    a = np.array([rng.choice(4, size=2, replace=False) for _ in range(S)], np.int8)
+    pars = Params(in_geno="x", n_ind=N, n_sites=S, out="y", seed=3,
+                  indep_geno=False, in_probs=True, evol_model=6,
+                  n_boot_rep=2, boot_block_size=7)
+    n_trunc, maps = bt.site_maps(pars.seed, 2, S, 7)
+    monkeypatch.delenv("NGSDIST_DEVICE_BUDGET", raising=False)
+    full = list(dist.iter_replicates(pars, P, maps, n_trunc,
+                                     alleles=(a[:, 0], a[:, 1])))
+    monkeypatch.setenv("NGSDIST_DEVICE_BUDGET", str(16 * N * 3 * 8))
+    chunked = list(dist.iter_replicates(pars, P, maps, n_trunc,
+                                        alleles=(a[:, 0], a[:, 1])))
+    for x, y in zip(full, chunked):
+        np.testing.assert_allclose(y, x, rtol=0, atol=1e-11)
