@@ -576,7 +576,11 @@ def _iter_replicates_extended(
     P = None if chunked else jnp.asarray(P_host, dtype)
 
     if pars.pairwise_del:
-        valid_h = (~np.asarray(missing_mask(jnp.asarray(P_host)))).astype(np.float64)
+        # host-side miss_data (keeps chunk streaming device-free here)
+        Ph = np.asarray(P_host)
+        d01 = np.abs(Ph[..., 0] - Ph[..., 1])
+        d12 = np.abs(Ph[..., 1] - Ph[..., 2])
+        valid_h = (~((d01 < EPSILON) & (d12 < EPSILON))).astype(np.float64)
     else:
         valid_h = None
     bc = sm.expected_base_counts(np.asarray(P_host, np.float64), a1, a2) if need_pi else None
