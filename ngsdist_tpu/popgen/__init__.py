@@ -14,7 +14,9 @@ computation.
 from .freqs import calc_hwe, est_maf, est_maf_sites, haplo_freq  # noqa: F401
 from .hmm import (  # noqa: F401
     calc_emission,
+    calc_emission_ld,
     calc_emission_two_mafs,
+    joint_geno_prob,
     forward,
     backward,
     posterior_decode,

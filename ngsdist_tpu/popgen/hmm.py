@@ -156,3 +156,43 @@ def viterbi(
     first, rest = jax.lax.scan(trace, last, backs[1:], reverse=True)
     path = jnp.concatenate([first[None].astype(jnp.int32), rest.astype(jnp.int32)])
     return path, jnp.max(v_last)
+
+
+def joint_geno_prob(hap_freq: jnp.ndarray, F: int) -> jnp.ndarray:
+    """[3, 3] joint genotype probability table P(g_prev, g_cur) from the
+    four haplotype frequencies [P_BA, P_Ba, P_bA, P_ba]
+    (joint_geno_prob, HMM.cpp:205-236).  F is the shared inbreeding
+    level of both positions: 0 = outbred (haplotypes pair independently),
+    1 = fully inbred (the two haplotypes are identical, so heterozygous
+    combinations are impossible)."""
+    f0, f1, f2, f3 = (hap_freq[..., k] for k in range(4))
+    if F == 0:
+        rows = [
+            [f0 ** 2, 2 * f0 * f1, f1 ** 2],
+            [2 * f0 * f2, 2 * (f0 * f3 + f1 * f2), 2 * f1 * f3],
+            [f2 ** 2, 2 * f2 * f3, f3 ** 2],
+        ]
+    else:
+        z = jnp.zeros_like(f0)
+        rows = [[f0, z, f1], [z, z, z], [f2, z, f3]]
+    return jnp.stack([jnp.stack(r, axis=-1) for r in rows], axis=-2)
+
+
+def calc_emission_ld(
+    hap_freq: jnp.ndarray,
+    gl_prev: jnp.ndarray,
+    gl_cur: jnp.ndarray,
+    maf_prev,
+    F: int,
+) -> jnp.ndarray:
+    """LD-aware emission: log P(GL_cur | GL_prev, haplotype freqs, F)
+    (calc_emissionLD's live branch, HMM.cpp:175-203: the joint
+    probability under the two-site haplotype model divided by the
+    previous site's single-site emission).
+
+    gl_prev/gl_cur are log-scale [..., 3]; hap_freq [..., 4]."""
+    s_p = jnp.exp(gl_prev)
+    s_c = jnp.exp(gl_cur)
+    J = joint_geno_prob(hap_freq, F)                   # [..., 3, 3]
+    joint = jnp.einsum("...pc,...p,...c->...", J, s_p, s_c)
+    return jnp.log(joint) - calc_emission(gl_prev, maf_prev, F)

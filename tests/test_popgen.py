@@ -277,3 +277,42 @@ def test_lbfgsb_rosenbrock_unbounded():
 
     res = lbfgsb(rosen, jnp.zeros(4), max_iter=500, tol=1e-10)
     np.testing.assert_allclose(np.asarray(res.x), np.ones(4), atol=1e-4)
+
+
+def _joint_oracle(h, gp, gc, F):
+    """Direct transcription of HMM.cpp:175-236 (live branch)."""
+    def jg(g_p, g_c):
+        table = {
+            (0, 0): h[0] ** 2 if F == 0 else h[0],
+            (0, 1): 2 * h[0] * h[1] if F == 0 else 0.0,
+            (0, 2): h[1] ** 2 if F == 0 else h[1],
+            (1, 0): 2 * h[0] * h[2] if F == 0 else 0.0,
+            (1, 1): 2 * (h[0] * h[3] + h[1] * h[2]) if F == 0 else 0.0,
+            (1, 2): 2 * h[1] * h[3] if F == 0 else 0.0,
+            (2, 0): h[2] ** 2 if F == 0 else h[2],
+            (2, 1): 2 * h[2] * h[3] if F == 0 else 0.0,
+            (2, 2): h[3] ** 2 if F == 0 else h[3],
+        }
+        return table[(g_p, g_c)]
+
+    s = 0.0
+    for g_c in range(3):
+        for g_p in range(3):
+            s += jg(g_p, g_c) * np.exp(gp[g_p]) * np.exp(gc[g_c])
+    return s
+
+
+@pytest.mark.parametrize("F", [0, 1])
+def test_calc_emission_ld_matches_oracle(F):
+    from ngsdist_tpu.popgen import calc_emission_ld
+
+    rng = np.random.default_rng(7)
+    h = rng.dirichlet(np.ones(4))
+    gp = np.log(rng.dirichlet(np.ones(3)))
+    gc = np.log(rng.dirichlet(np.ones(3)))
+    maf_p = 0.3
+    got = float(calc_emission_ld(jnp.asarray(h), jnp.asarray(gp),
+                                 jnp.asarray(gc), maf_p, F))
+    prior = np.asarray(calc_hwe(maf_p, float(F)))
+    want = np.log(_joint_oracle(h, gp, gc, F)) - _logsum(gp + np.log(prior))
+    np.testing.assert_allclose(got, want, atol=1e-10)
