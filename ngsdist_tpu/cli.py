@@ -57,6 +57,9 @@ _EXT_OPTIONS = [
     ("coordinator", True),  # multi-host: coordinator host:port -> run_distributed
     ("num_processes", True),
     ("process_id", True),
+    ("platform", True),     # pin the jax backend (cpu | tpu); overrides the
+                            # environment's default (e.g. for md5-parity CPU runs)
+    ("x64", False),         # enable float64 (bit-parity with the C reference)
 ]
 _EXT_BY_NAME = dict(_EXT_OPTIONS)
 
@@ -218,6 +221,19 @@ def main(argv: Optional[List[str]] = None) -> int:
     pars, extras = parse_args(argv)
     echo_args(pars)
     try:
+        # Backend pinning must land before any engine code dispatches.
+        # In environments whose sitecustomize overrides JAX_PLATFORMS,
+        # a post-import config update is the only reliable pin — this is
+        # how md5-parity runs (--platform cpu --x64 --engine jax) become
+        # reachable from the user surface.
+        if extras.get("platform") or extras.get("x64"):
+            import jax
+
+            if extras.get("platform"):
+                jax.config.update("jax_platforms", extras["platform"])
+            if extras.get("x64"):
+                jax.config.update("jax_enable_x64", True)
+
         from . import runner
         from .utils import signals
 

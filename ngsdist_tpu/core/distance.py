@@ -62,8 +62,9 @@ def _device_budget_bytes() -> int:
 def _pallas_mode() -> str:
     """How to route full-data sufficient statistics through the Pallas
     kernels: 'on' (TPU lowering), 'interpret' (CPU interpreter, tests),
-    or 'off'.  auto = 'on' on a real TPU backend, 'off' elsewhere;
-    NGSDIST_PALLAS=0/1/interpret forces."""
+    or 'off'.  auto = 'on' on a real TPU backend unless x64 is enabled
+    (Mosaic has no 64-bit types — parity runs fall back to the XLA
+    engine), 'off' elsewhere; NGSDIST_PALLAS=0/1/interpret forces."""
     mode = os.environ.get("NGSDIST_PALLAS", "auto")
     if mode == "0":
         return "off"
@@ -71,6 +72,8 @@ def _pallas_mode() -> str:
         return "on"
     if mode == "interpret":
         return "interpret"
+    if jax.config.jax_enable_x64:
+        return "off"
     return "on" if jax.default_backend() == "tpu" else "off"
 
 
@@ -284,17 +287,22 @@ def em_suffstats(
 def _finalize(raw: np.ndarray, cnt, pars: Params, on_stats=None) -> np.ndarray:
     """raw/cnt -> averaged, model-corrected float64 matrix with zero diag.
 
-    on_stats(raw, denom): pre-correction sufficient statistics hook
-    (the reference's verbose>=3 per-pair report, ngsDist.cpp:366-367)."""
+    on_stats(raw, cnt): pre-correction sufficient statistics hook with
+    the TRUE valid-site count — the reference's verbose>=3 report prints
+    cnt before the --tot_sites override (ngsDist.cpp:366-373), and the
+    throughput meter counts the updates the hot loop actually executed."""
     raw = np.asarray(raw, dtype=np.float64)
+    true_cnt = None if cnt is None else (
+        np.asarray(cnt, dtype=np.float64) if isinstance(cnt, np.ndarray) else float(cnt)
+    )
     if pars.tot_sites > 0:
         denom = float(pars.tot_sites)
     elif cnt is None:
         raise ValueError("cnt required when tot_sites is not set")
     else:
-        denom = np.asarray(cnt, dtype=np.float64)
+        denom = true_cnt
     if on_stats is not None:
-        on_stats(raw, denom)
+        on_stats(raw, true_cnt if true_cnt is not None else denom)
     with np.errstate(divide="ignore", invalid="ignore"):
         d = raw / denom
         d = models.apply_evol_model(d, pars.evol_model, xp=np)
@@ -648,15 +656,14 @@ def _iter_replicates_extended(
         raws, cnts = {}, {}
         for cl in ("ag", "ct", "tv"):
             raws[cl], cnts[cl] = class_stats(w * masks[cl], static_weights)
-        if pars.tot_sites > 0:
-            cnt = float(pars.tot_sites)
-        elif pars.pairwise_del:
-            cnt = cnts["ag"] + cnts["ct"] + cnts["tv"]
+        if pars.pairwise_del:
+            true_cnt = cnts["ag"] + cnts["ct"] + cnts["tv"]
         else:
-            cnt = denom_sites
+            true_cnt = denom_sites
+        cnt = float(pars.tot_sites) if pars.tot_sites > 0 else true_cnt
         pi = pair_pi(w * masks["ok"]) if need_pi else None
         if on_stats is not None:
-            on_stats(raws["ag"] + raws["ct"] + raws["tv"], cnt)
+            on_stats(raws["ag"] + raws["ct"] + raws["tv"], true_cnt)
         d = sm.apply_extended_model(
             pars.evol_model, raws["ag"], raws["ct"], raws["tv"], cnt, pi
         )

@@ -249,6 +249,13 @@ def read_pos_dist(rows: List[List[str]], n_sites: int) -> np.ndarray:
     rows: parsed POS rows (chr, pos, ...).  Reference semantics: a row
     whose position column parses to 0 is a header and is skipped; a
     within-chromosome distance < 1 is an error.
+
+    Known divergence (dormant API, unreachable from the CLI): header
+    rows here do NOT count toward n_sites, so a file with headers needs
+    n_sites + n_headers rows to pass the final count check, whereas the
+    reference's read_dist (read_data.cpp:165-218) pre-validates exactly
+    n_sites rows via read_split before scanning and would reject the
+    same file up front.
     """
     pos_dist = np.full((n_sites,), np.inf, dtype=np.float64)
     prev_chr: Optional[str] = None

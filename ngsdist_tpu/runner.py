@@ -82,18 +82,26 @@ def make_pair_report(pars: Params, labels):
     return on_stats
 
 
+def resolve_engine(engine: str) -> str:
+    """Resolve 'auto' to a concrete engine: jax when importable, exact
+    otherwise.  Behavior gated on the engine (e.g. whether models 3-6
+    reproduce the reference abort) must use the resolved name."""
+    if engine != "auto":
+        return engine
+    try:
+        from .core import distance as _  # noqa: F401
+
+        return "jax"
+    except Exception:
+        return "exact"
+
+
 def iter_replicates(pars: Params, P: np.ndarray, engine: str = "auto", mesh=None,
                     on_stats=None, alleles=None):
     """Yield the distance matrix for the full data, then one per bootstrap
     replicate (streamed so output durability matches the reference, which
     prints each matrix as its replicate completes, ngsDist.cpp:282-287)."""
-    if engine == "auto":
-        try:
-            from .core import distance as _  # noqa: F401
-
-            engine = "jax"
-        except Exception:
-            engine = "exact"
+    engine = resolve_engine(engine)
 
     # Models 3-6 abort inside the first pair task in the reference
     # (ngsDist.cpp:387-398).  The exact engine reproduces that abort for
@@ -176,6 +184,7 @@ def run(
         print(msg, file=sys.stderr)
 
     labels, pos_rows, P = load_inputs(pars)
+    engine = resolve_engine(engine)
     alleles = None
     if pars.evol_model >= 3 and pos_rows is not None and engine != "exact":
         from .core.submodels import encode_alleles
@@ -198,7 +207,25 @@ def run(
         close = True
     matrices: List[np.ndarray] = []
     meter = Throughput(pars.n_comb)
-    on_stats = make_pair_report(pars, labels)
+    # True per-replicate update counts come through the stats hook (the
+    # jax engine reports the pre-override valid-site counts); engines
+    # that don't call it fall back to n_pairs * per-replicate sites.
+    pending_updates: List[float] = []
+    user_stats = make_pair_report(pars, labels)
+
+    def on_stats(raw, cnt):
+        if isinstance(cnt, np.ndarray):
+            iu = np.triu_indices(pars.n_ind, 1)
+            pending_updates.append(float(np.sum(cnt[iu])))
+        else:
+            pending_updates.append(float(pars.n_comb) * float(cnt))
+        if user_stats is not None:
+            user_stats(raw, cnt)
+
+    # Bootstrap replicates run over the block-truncated site count
+    # (ngsDist.cpp:235-237).
+    bs = pars.boot_block_size
+    n_trunc = pars.n_sites - pars.n_sites % bs if pars.n_boot_rep else pars.n_sites
     interrupted = False
     try:
         with trace(trace_dir):
@@ -206,13 +233,17 @@ def run(
                 iter_replicates(pars, P, engine=engine, mesh=mesh,
                                 on_stats=on_stats, alleles=alleles)
             ):
+                n_used = pars.n_sites if rep == 0 else n_trunc
+                got = pending_updates.pop() if pending_updates else (
+                    float(pars.n_comb) * float(n_used)
+                )
                 if rep < n_done:
                     continue  # durable from the interrupted run
                 _log(pars, 2, "> Printing distance matrix")
                 writers.write_dist_matrix(out_fh, labels, m)
                 out_fh.flush()
                 matrices.append(m)
-                meter.update(pars.n_sites)
+                meter.add_updates(got)
                 if close:
                     ckpt.save(pars.out, pars, rep + 1)
                 if signals.stop_requested():

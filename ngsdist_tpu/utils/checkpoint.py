@@ -31,9 +31,18 @@ _FIELDS = [
 
 
 def run_fingerprint(pars: Params) -> str:
-    """Hash of every parameter that affects the output stream."""
+    """Hash of every parameter that affects the output stream, plus the
+    input file's size and mtime — resuming after the genotype file
+    changed must not silently append matrices computed from different
+    data to the old output."""
     d = asdict(pars)
-    payload = json.dumps({k: d[k] for k in _FIELDS}, sort_keys=True)
+    fields = {k: d[k] for k in _FIELDS}
+    try:
+        st = os.stat(pars.in_geno)
+        fields["_geno_stat"] = [st.st_size, st.st_mtime_ns]
+    except (OSError, TypeError):  # stdin ("-") or vanished file
+        fields["_geno_stat"] = None
+    payload = json.dumps(fields, sort_keys=True)
     return hashlib.sha256(payload.encode()).hexdigest()[:16]
 
 

@@ -35,9 +35,12 @@ def trace(trace_dir: Optional[str]):
 class Throughput:
     """Pair-site updates/sec meter.
 
-    One `update` per completed replicate: n_pairs * n_sites pair-site
-    distance updates (the unit of /root/reference/ngsDist.cpp:333-353's
-    hot loop, used as the cross-implementation throughput currency).
+    One `update`/`add_updates` per completed replicate, counting the
+    pair-site distance updates the reference hot loop would execute
+    (/root/reference/ngsDist.cpp:333-353): bootstrap replicates run over
+    the block-truncated site count and pairwise deletion skips missing
+    sites entirely, so the caller passes the actual per-replicate
+    valid-update total, not n_pairs * n_sites.
     """
 
     n_pairs: int
@@ -46,7 +49,10 @@ class Throughput:
     replicates: int = 0
 
     def update(self, n_sites: int) -> None:
-        self.updates += float(self.n_pairs) * float(n_sites)
+        self.add_updates(float(self.n_pairs) * float(n_sites))
+
+    def add_updates(self, updates: float) -> None:
+        self.updates += float(updates)
         self.replicates += 1
 
     @property
