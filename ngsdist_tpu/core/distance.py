@@ -374,14 +374,15 @@ def iter_replicates(
                 return raw, cnt, None, None
             B, C = indep_block_partials(Psub, score, pars.pairwise_del, n_blocks, block_size)
             return None, None, B, C
-        if n_blocks is None and site_weights is None and pallas != "off":
-            # Weighted EM stats stay on the scan engine: the kernel's
-            # gather realisation would recompile for every distinct
-            # resampled length.
+        if n_blocks is None and pallas != "off":
+            # Weighted or not, EM stats run on the kernel: per-site
+            # weights stream as a [site_tile, 1] block, so bootstrap
+            # replicates reuse one compiled shape (no gather).
             from ..ops.pallas_em import em_raw_cnt_pallas
 
             raw_m, cnt_m = em_raw_cnt_pallas(
-                Psub, score9, pars.pairwise_del, interpret=interp
+                Psub, score9, pars.pairwise_del, site_weights=site_weights,
+                interpret=interp,
             )
             return raw_m[I, J], cnt_m[I, J], None, None
         return em_suffstats(
@@ -595,7 +596,7 @@ def _iter_replicates_extended(
 
     pallas = _pallas_mode()
 
-    def _class_stats_one(Psub, w: np.ndarray, static_weights: bool):
+    def _class_stats_one(Psub, w: np.ndarray):
         if pars.indep_geno:
             raw, cnt = indep_suffstats(
                 Psub, score, pars.pairwise_del, jnp.asarray(w, dtype)
@@ -603,9 +604,11 @@ def _iter_replicates_extended(
             return np.asarray(raw, np.float64), (
                 None if cnt is None else np.asarray(cnt, np.float64)
             )
-        # Replicate weights realise a distinct gathered length per call;
-        # only the run-constant class masks go through the kernel.
-        if pallas != "off" and static_weights:
+        # Weights (class masks x replicate multiplicities) stream
+        # through the kernel's per-site weight block, so every
+        # (chunk, class, replicate) combination reuses one compiled
+        # shape per chunk length.
+        if pallas != "off":
             from ..ops.pallas_em import em_raw_cnt_pallas
 
             raw_m, cnt_m = em_raw_cnt_pallas(
@@ -625,15 +628,15 @@ def _iter_replicates_extended(
             _scatter_pairs(cntv, I, J, N),
         )
 
-    def class_stats(w: np.ndarray, static_weights: bool):
+    def class_stats(w: np.ndarray):
         """raw/cnt matrices for site weights w, streamed when chunked."""
         if not chunked:
-            return _class_stats_one(P, w, static_weights)
+            return _class_stats_one(P, w)
         acc_r = acc_c = None
         for start in range(0, S, chunk):
             stop = min(start + chunk, S)
             Pc = jnp.asarray(P_host[start:stop], dtype)
-            r, c = _class_stats_one(Pc, w[start:stop], static_weights)
+            r, c = _class_stats_one(Pc, w[start:stop])
             acc_r = r if acc_r is None else acc_r + r
             if c is not None:
                 acc_c = c if acc_c is None else acc_c + c
@@ -652,10 +655,10 @@ def _iter_replicates_extended(
         with np.errstate(divide="ignore", invalid="ignore"):
             return tot / denom
 
-    def one_matrix(w: np.ndarray, denom_sites: float, static_weights: bool):
+    def one_matrix(w: np.ndarray, denom_sites: float):
         raws, cnts = {}, {}
         for cl in ("ag", "ct", "tv"):
-            raws[cl], cnts[cl] = class_stats(w * masks[cl], static_weights)
+            raws[cl], cnts[cl] = class_stats(w * masks[cl])
         if pars.pairwise_del:
             true_cnt = cnts["ag"] + cnts["ct"] + cnts["tv"]
         else:
@@ -671,9 +674,9 @@ def _iter_replicates_extended(
         return d
 
     w_full = np.ones((S,), np.float64)
-    yield one_matrix(w_full, float(np.sum(masks["ok"])), True)
+    yield one_matrix(w_full, float(np.sum(masks["ok"])))
 
     for r in range(pars.n_boot_rep):
         w = np.zeros((S,), np.float64)
         w[:n_trunc] = np.bincount(maps[r], minlength=n_trunc)
-        yield one_matrix(w, float(np.sum(w * masks["ok"])), False)
+        yield one_matrix(w, float(np.sum(w * masks["ok"])))

@@ -44,43 +44,34 @@ EM_MAX_ITER = 50
 EPSILON = 1e-5  # miss_data tolerance (gen_func.hpp:16)
 
 # TPU tiling: the [B, B] output block's last dim must be a multiple of
-# 128, so B=128.  site_tile bounds the three [9, TS, B, B] f32 work
-# arrays (W, the while-carry P, its update): TS<=4 fits the 16 MB
-# scoped-VMEM limit; TS=2 measures ~8% faster than TS=4 on v5e (smaller
-# tiles exit the convergence while_loop sooner).
+# 128, so B=128.  site_tile is the DMA granularity per grid step; its
+# sublane position in the [TS, B, 3] / [TS, 1] blocks must be
+# 8-divisible (Mosaic block constraint), so TS=8.  sub_tile is the
+# inner COMPUTE slab: it bounds the three [9, sub, B, B] f32 work
+# arrays (W, the while-carry P, its update) against the 16 MB
+# scoped-VMEM limit, and sub=2 measures ~8% faster than sub=4 on v5e
+# (smaller slabs exit the convergence while_loop sooner).
 DEFAULT_BLOCK = 128
-DEFAULT_SITE_TILE = 2
+DEFAULT_SITE_TILE = 8
+DEFAULT_SUB_TILE = 2
 
 
-def _em_kernel(
-    # scalar prefetch
-    ib_ref, jb_ref,
-    # inputs
-    pi_ref, pj_ref, score_ref,
-    # outputs
-    raw_ref, cnt_ref,
-    *, pairwise_del: bool,
-):
-    st = pl.program_id(1)
+def _em_slab(Pi, Pj, score_ref, pairwise_del: bool):
+    """EM-converged expected-mismatch contributions for one compute slab.
 
-    @pl.when(st == 0)
-    def _init():
-        raw_ref[:] = jnp.zeros_like(raw_ref)
-        cnt_ref[:] = jnp.zeros_like(cnt_ref)
-
-    Pi = pi_ref[:]  # [TS, B, 3]
-    Pj = pj_ref[:]
+    Pi, Pj: [sub, B, 3] normal-space probabilities.  Returns
+    (contrib, m): per-lane score-weighted sfs sums and validity masks,
+    both [sub, B, B]."""
     dtype = Pi.dtype
-    TS, B, _ = Pi.shape
 
     # W[g*3+h, s, a, b] = Pi[s, a, g] * Pj[s, b, h]: 9 outer products.
-    cols_i = [Pi[:, :, g][:, :, None] for g in range(3)]   # [TS, B, 1]
-    rows_j = [Pj[:, :, h][:, None, :] for h in range(3)]   # [TS, 1, B]
+    cols_i = [Pi[:, :, g][:, :, None] for g in range(3)]   # [sub, B, 1]
+    rows_j = [Pj[:, :, h][:, None, :] for h in range(3)]   # [sub, 1, B]
     W = jnp.stack(
         [cols_i[g] * rows_j[h] for g in range(3) for h in range(3)], axis=0
-    )  # [9, TS, B, B]
+    )  # [9, sub, B, B]
 
-    wmax = jnp.max(W, axis=0)                       # [TS, B, B]
+    wmax = jnp.max(W, axis=0)                       # [sub, B, B]
     dead = wmax <= 0.0                              # padded / all-zero lanes
     Wn = W / jnp.where(dead, 1.0, wmax)[None]       # max entry 1 per live lane
 
@@ -106,7 +97,7 @@ def _em_kernel(
 
     def body(state):
         k, P, S_cur, S_prev, kstar, active, _na = state
-        P = P * Wn                                   # [9, TS, B, B]
+        P = P * Wn                                   # [9, sub, B, B]
         S_next = jnp.sum(P, axis=0)
         ratio = (S_next * S_prev) / (S_cur * S_cur)  # e^{l_k - l_{k-1}}
         conv = ((ratio > lo) & (ratio < hi)).astype(dtype)
@@ -136,7 +127,7 @@ def _em_kernel(
         Pk = jnp.exp(kstar * lnW[k])
         Sf = Sf + Pk
         num = num + score_ref[0, k] * Pk
-    contrib = jnp.where(dead, 0.0, num / Sf)         # [TS, B, B]
+    contrib = jnp.where(dead, 0.0, num / Sf)         # [sub, B, B]
 
     # Site/individual padding is all-zero probability -> dead lanes;
     # excluding them reproduces the site mask without a weights input.
@@ -147,9 +138,56 @@ def _em_kernel(
             d12 = jnp.abs(Pv[:, :, 1] - Pv[:, :, 2])
             return ((d01 >= EPSILON) | (d12 >= EPSILON)).astype(dtype)
         m = m * valid(Pi)[:, :, None] * valid(Pj)[:, None, :]
+    return contrib, m
 
-    raw_ref[:] += jnp.sum(contrib * m, axis=0)
-    cnt_ref[:] += jnp.sum(m, axis=0)
+
+def _em_kernel(
+    # scalar prefetch
+    ib_ref, jb_ref,
+    # inputs
+    pi_ref, pj_ref, score_ref, w_ref,
+    # outputs
+    raw_ref, cnt_ref,
+    *, pairwise_del: bool, sub_tile: int,
+):
+    st = pl.program_id(1)
+
+    @pl.when(st == 0)
+    def _init():
+        raw_ref[:] = jnp.zeros_like(raw_ref)
+        cnt_ref[:] = jnp.zeros_like(cnt_ref)
+
+    Pi_all = pi_ref[:]  # [TS, B, 3] DMA block
+    Pj_all = pj_ref[:]
+    TS = Pi_all.shape[0]
+
+    # Per-site weights (bootstrap multiplicities, class masks) multiply
+    # both the contribution and the valid count: a site of weight w
+    # behaves exactly like w aliased copies of itself — the reference's
+    # resampling semantics (ngsDist.cpp:416-437) with no data movement
+    # and ONE compiled shape for every replicate.  The [TS, 1] weight
+    # block lives in SMEM (a scalar-per-site has no useful lane layout)
+    # and scales each site's [B, B] plane by a scalar read, unrolled
+    # over the static tile.  The EM itself runs on sub_tile-site slabs
+    # so the [9, sub, B, B] work arrays stay inside scoped VMEM even
+    # though the DMA block carries 8 sites (Mosaic's sublane-granule
+    # minimum for a blocked site axis).
+    raw_acc = None
+    cnt_acc = None
+    for s0 in range(0, TS, sub_tile):
+        contrib, m = _em_slab(
+            Pi_all[s0:s0 + sub_tile], Pj_all[s0:s0 + sub_tile],
+            score_ref, pairwise_del,
+        )
+        cm = contrib * m
+        for s in range(sub_tile):
+            w = w_ref[s0 + s, 0]
+            r = w * cm[s]
+            c = w * m[s]
+            raw_acc = r if raw_acc is None else raw_acc + r
+            cnt_acc = c if cnt_acc is None else cnt_acc + c
+    raw_ref[:] += raw_acc
+    cnt_ref[:] += cnt_acc
 
 
 def _upper_blocks(nb: int) -> Tuple[np.ndarray, np.ndarray]:
@@ -159,16 +197,19 @@ def _upper_blocks(nb: int) -> Tuple[np.ndarray, np.ndarray]:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("pairwise_del", "block", "site_tile", "interpret", "vma"),
+    static_argnames=("pairwise_del", "block", "site_tile", "sub_tile",
+                     "interpret", "vma"),
 )
 def _em_pallas_padded(
     P_pad: jnp.ndarray,        # [S_pad, N_pad, 3]
     score9: jnp.ndarray,       # [1, 9]
+    w_pad: jnp.ndarray,        # [S_pad, 1] per-site weights
     IB: jnp.ndarray,           # [G] upper-block row ids
     JB: jnp.ndarray,           # [G] upper-block col ids
     pairwise_del: bool,
     block: int,
     site_tile: int,
+    sub_tile: int,
     interpret: bool,
     vma=None,
 ):
@@ -192,6 +233,11 @@ def _em_pallas_padded(
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(
+                (site_tile, 1),
+                lambda g, st, IB, JB: (st, 0),
+                memory_space=pltpu.SMEM,
+            ),
         ],
         out_specs=[
             pl.BlockSpec(
@@ -207,7 +253,8 @@ def _em_pallas_padded(
         ],
     )
 
-    kernel = functools.partial(_em_kernel, pairwise_del=pairwise_del)
+    kernel = functools.partial(_em_kernel, pairwise_del=pairwise_del,
+                               sub_tile=sub_tile)
     # vma: varying-mesh-axes annotation for per-device use in shard_map.
     kw = {} if vma is None else {"vma": frozenset(vma)}
     raw, cnt = pl.pallas_call(
@@ -218,7 +265,7 @@ def _em_pallas_padded(
             jax.ShapeDtypeStruct((N_pad, N_pad), dtype, **kw),
         ],
         interpret=interpret,
-    )(IB, JB, P_pad, P_pad, score9)
+    )(IB, JB, P_pad, P_pad, score9, w_pad)
     return raw, cnt
 
 
@@ -230,6 +277,7 @@ def em_raw_cnt_pallas(
     *,
     block: int = DEFAULT_BLOCK,
     site_tile: int = DEFAULT_SITE_TILE,
+    sub_tile: int = DEFAULT_SUB_TILE,
     interpret: bool = False,
     vma=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -239,27 +287,27 @@ def em_raw_cnt_pallas(
     [N, N] arrays whose strict upper triangle is valid (lower triangle
     and diagonal are never written by the block enumeration).
 
-    site_weights (integer multiplicities, e.g. bootstrap resampling
-    counts) are realised as a site *gather* before the kernel — the
-    reference's own resampling semantics (ngsDist.cpp:416-437) — so the
-    kernel itself needs no per-site weight input.
+    site_weights (any nonnegative floats: bootstrap multiplicities,
+    substitution-class masks, or their products) stream through the
+    kernel as a [site_tile, 1] SMEM block, so every replicate of a
+    bootstrap run reuses ONE compiled kernel shape — no gather, no
+    per-replicate recompilation.  May be a traced array (per-device
+    weights under shard_map).
     """
-    if site_weights is not None:
-        w = np.asarray(site_weights)
-        wi = w.astype(np.int64)
-        if not np.array_equal(wi, w):
-            raise ValueError("pallas EM path needs integer site weights")
-        sites = np.repeat(np.arange(P.shape[0]), wi)
-        if len(sites) == 0:  # all sites weighted out
-            N = P.shape[1]
-            z = jnp.zeros((N, N), P.dtype)
-            return z, z
-        P = jnp.asarray(P)[jnp.asarray(sites)]
+    if site_tile % sub_tile:
+        raise ValueError("site_tile must be a multiple of sub_tile")
     S, N, _ = P.shape
     dtype = P.dtype
     S_pad = ((S + site_tile - 1) // site_tile) * site_tile
     N_pad = ((N + block - 1) // block) * block
     P_pad = jnp.pad(P, ((0, S_pad - S), (0, N_pad - N), (0, 0)))
+    if site_weights is None:
+        w_pad = jnp.ones((S_pad, 1), dtype)
+    else:
+        w_pad = jnp.pad(
+            jnp.asarray(site_weights, dtype).reshape(-1, 1),
+            ((0, S_pad - S), (0, 0)),
+        )
     score9 = jnp.asarray(score9, dtype).reshape(1, 9)
     IB, JB = _upper_blocks(N_pad // block)
     if interpret and vma is not None:
@@ -268,8 +316,8 @@ def em_raw_cnt_pallas(
             "compiled Mosaic path); drop vma or run outside shard_map"
         )
     raw, cnt = _em_pallas_padded(
-        P_pad, score9, jnp.asarray(IB), jnp.asarray(JB),
-        pairwise_del, block, site_tile, interpret,
+        P_pad, score9, w_pad, jnp.asarray(IB), jnp.asarray(JB),
+        pairwise_del, block, site_tile, sub_tile, interpret,
         None if vma is None else tuple(vma),
     )
     return raw[:N, :N], cnt[:N, :N]

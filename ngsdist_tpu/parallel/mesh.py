@@ -226,8 +226,10 @@ def _em_local(Pl, ml, wl, score9, I, J, pairwise_del: bool, tile: int,
     if use_pallas and not want_blocks:
         from ..ops.pallas_em import em_raw_cnt_pallas
 
+        # wl carries both the real-site mask and any bootstrap/class
+        # weights; the kernel streams it as a [site_tile, 1] block.
         raw_m, cnt_m = em_raw_cnt_pallas(Pl, score9, pairwise_del,
-                                         vma=(AXIS,))
+                                         site_weights=wl, vma=(AXIS,))
         raw = jax.lax.psum(raw_m[I, J], AXIS)
         cnt = jax.lax.psum(cnt_m[I, J], AXIS)
         return raw, cnt
@@ -458,9 +460,9 @@ def sharded_suffstats(
 
     from ..core.distance import _pallas_mode
 
-    em_pallas = (
-        site_weights is None and not want_blocks and _pallas_mode() == "on"
-    )
+    # The weighted kernel serves bootstrap replicates too; only the
+    # block-partials variant needs the scan formulation.
+    em_pallas = not want_blocks and _pallas_mode() == "on"
     out = _em_sharded(Pp, mask, w, score9, I, J, pairwise_del, tile,
                       block_size if want_blocks else 1, want_blocks, mesh,
                       use_pallas=em_pallas)

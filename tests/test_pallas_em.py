@@ -74,6 +74,58 @@ def test_pallas_em_site_weights():
     )
 
 
+def test_pallas_em_float_weights():
+    """Non-integer weights (substitution-class masks scaled by bootstrap
+    multiplicities) stream through the kernel's weight block — no
+    integer-multiplicity restriction, no site gather."""
+    rng = np.random.default_rng(3)
+    S, N = 24, 6
+    P = _rand_probs(rng, S, N)
+    score9 = default_score_matrix().reshape(-1)
+    w = rng.random(S)  # arbitrary floats incl. values in (0, 1)
+    w[::5] = 0.0
+
+    raw_ref, cnt_ref, _, _ = dist.em_suffstats(
+        jnp.asarray(P), jnp.asarray(score9), True, site_weights=w
+    )
+    iu = np.triu_indices(N, k=1)
+    raw, cnt = em_raw_cnt_pallas(
+        jnp.asarray(P), score9, True, site_weights=w,
+        block=8, site_tile=8, interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(raw)[iu], np.asarray(raw_ref), rtol=1e-9, atol=1e-9
+    )
+    np.testing.assert_allclose(
+        np.asarray(cnt)[iu], np.asarray(cnt_ref), rtol=1e-12, atol=1e-9
+    )
+
+
+def test_pallas_em_weighted_single_compile():
+    """Bootstrap replicates differ only in weight VALUES; every replicate
+    must reuse the one compiled kernel shape (the round-1 gather path
+    recompiled per distinct resampled length)."""
+    from ngsdist_tpu.ops import pallas_em as pe
+
+    rng = np.random.default_rng(4)
+    S, N = 20, 5
+    P = jnp.asarray(_rand_probs(rng, S, N))
+    score9 = default_score_matrix().reshape(-1)
+
+    before = pe._em_pallas_padded._cache_size()
+    outs = []
+    for rep in range(3):
+        w = rng.integers(0, 4, size=S).astype(np.float64)
+        raw, _ = em_raw_cnt_pallas(
+            P, score9, False, site_weights=w, block=8, site_tile=8,
+            interpret=True,
+        )
+        outs.append(np.asarray(raw))
+    added = pe._em_pallas_padded._cache_size() - before
+    assert added <= 1, f"weighted kernel recompiled per replicate ({added} entries)"
+    assert not np.allclose(outs[0], outs[1])  # weights actually applied
+
+
 def test_pallas_em_hard_genotype_lanes():
     """One-hot (called) genotypes: EM converges immediately; kernel must
     agree on the degenerate lanes too."""
