@@ -330,12 +330,14 @@ def iter_replicates(
     alleles: (a1, a2) int8 site allele codes (core/submodels.py) —
     required for the extended evolutionary models 3-6, which the jax
     engine implements (the reference and the exact engine abort on
-    them).  The extended-model path currently runs single-device
-    (mesh is ignored for it).
+    them).  With a mesh, the extended path shards exactly like models
+    0-2: the class masks are site-weight vectors through
+    pm.sharded_suffstats, and the per-pair base frequencies are a
+    sharded contraction (pm.sharded_pair_pi).
     """
     if pars.evol_model >= 3:
         yield from _iter_replicates_extended(
-            pars, P_host, maps, n_trunc, alleles, on_stats
+            pars, P_host, maps, n_trunc, alleles, on_stats, mesh=mesh
         )
         return
     if mesh is not None:
@@ -553,6 +555,7 @@ def _iter_replicates_extended(
     n_trunc: int,
     alleles,
     on_stats=None,
+    mesh=None,
 ) -> Iterator[np.ndarray]:
     """Replicate stream for evol_model 3-6 (core/submodels.py).
 
@@ -561,6 +564,11 @@ def _iter_replicates_extended(
     transversions); unclassifiable sites are excluded entirely.
     Bootstrap replicates take the weighted-recompute path (the masks
     fold into the per-site multiplicities).
+
+    With a mesh, every contraction shards over the 'sites' axis —
+    class-masked sufficient statistics via pm.sharded_suffstats and
+    base frequencies via pm.sharded_pair_pi — so models 3-6 scale out
+    exactly like models 0-2 (including multi-host prebuilt arrays).
     """
     from . import submodels as sm
 
@@ -569,6 +577,13 @@ def _iter_replicates_extended(
     a1, a2 = alleles
     masks = sm.classify_sites(a1, a2)
     need_pi = pars.evol_model >= 4
+
+    if mesh is not None:
+        yield from _extended_mesh(
+            pars, P_host, maps, n_trunc, a1, a2, masks, need_pi, on_stats,
+            mesh,
+        )
+        return
 
     dtype = default_dtype()
     N = pars.n_ind
@@ -665,6 +680,91 @@ def _iter_replicates_extended(
             true_cnt = denom_sites
         cnt = float(pars.tot_sites) if pars.tot_sites > 0 else true_cnt
         pi = pair_pi(w * masks["ok"]) if need_pi else None
+        if on_stats is not None:
+            on_stats(raws["ag"] + raws["ct"] + raws["tv"], true_cnt)
+        d = sm.apply_extended_model(
+            pars.evol_model, raws["ag"], raws["ct"], raws["tv"], cnt, pi
+        )
+        np.fill_diagonal(d, 0.0)
+        return d
+
+    w_full = np.ones((S,), np.float64)
+    yield one_matrix(w_full, float(np.sum(masks["ok"])))
+
+    for r in range(pars.n_boot_rep):
+        w = np.zeros((S,), np.float64)
+        w[:n_trunc] = np.bincount(maps[r], minlength=n_trunc)
+        yield one_matrix(w, float(np.sum(w * masks["ok"])))
+
+
+def _extended_mesh(
+    pars: Params,
+    P_host,
+    maps: List[np.ndarray],
+    n_trunc: int,
+    a1: np.ndarray,
+    a2: np.ndarray,
+    masks,
+    need_pi: bool,
+    on_stats,
+    mesh,
+) -> Iterator[np.ndarray]:
+    """Mesh-sharded replicate stream for evol_model 3-6.
+
+    P_host: numpy [S, N, 3] (sharded here once, then reused for every
+    class/replicate contraction) or a prebuilt padded global jax.Array
+    (multi-host path, parallel/multihost.load_global_probs)."""
+    import jax
+
+    from . import submodels as sm
+    from ..parallel import mesh as pm
+
+    dtype = default_dtype()
+    np_dtype = np.float64 if dtype == jnp.float64 else np.float32
+    N = pars.n_ind
+    S = pars.n_sites
+    score = pars.score
+    I, J = _pair_indices(N)
+
+    if isinstance(P_host, jax.Array):
+        Pp = P_host
+    else:
+        # EM tiles want a composite per-shard length (the prebuilt-array
+        # branch of sharded_suffstats picks a tile that divides it).
+        granule = 1 if pars.indep_geno else 256
+        s_pad = pm._plan_padding(S, mesh.devices.size, granule)
+        Pp = pm.shard_sites(pm.pad_sites(np.asarray(P_host, np_dtype), s_pad),
+                            mesh)
+
+    def class_stats(w: np.ndarray):
+        raw, cnt, _, _ = pm.sharded_suffstats(
+            Pp, score, mesh, indep=pars.indep_geno,
+            pairwise_del=pars.pairwise_del, site_weights=w, dtype=dtype,
+            n_sites=S,
+        )
+        raw = np.asarray(raw, np.float64)
+        if raw.ndim == 1:  # EM pair-vector
+            return (
+                _scatter_pairs(raw, I, J, N),
+                _scatter_pairs(np.asarray(cnt, np.float64), I, J, N),
+            )
+        return raw, None if cnt is None else np.asarray(cnt, np.float64)
+
+    def one_matrix(w: np.ndarray, denom_sites: float):
+        raws, cnts = {}, {}
+        for cl in ("ag", "ct", "tv"):
+            raws[cl], cnts[cl] = class_stats(w * masks[cl])
+        if pars.pairwise_del:
+            true_cnt = cnts["ag"] + cnts["ct"] + cnts["tv"]
+        else:
+            true_cnt = denom_sites
+        cnt = float(pars.tot_sites) if pars.tot_sites > 0 else true_cnt
+        pi = None
+        if need_pi:
+            pi = pm.sharded_pair_pi(
+                Pp, a1, a2, w * masks["ok"], mesh,
+                pairwise_del=pars.pairwise_del, dtype=dtype, n_sites=S,
+            )
         if on_stats is not None:
             on_stats(raws["ag"] + raws["ct"] + raws["tv"], true_cnt)
         d = sm.apply_extended_model(

@@ -301,6 +301,130 @@ def _em_sharded(P_pad, mask, w, score9, I, J, pairwise_del, tile,
 
 
 # ------------------------------------------------------------------ #
+# Extended evolutionary models: per-pair base frequencies             #
+# ------------------------------------------------------------------ #
+
+
+@functools.partial(jax.jit, static_argnames=("pairwise_del", "mesh"))
+def _pair_pi_sharded(Pp, A1, A2, w, pairwise_del: bool, mesh: Mesh):
+    """Sharded expected-base-count contraction for models 4-6
+    (core/submodels.expected_base_counts + the pair_pi accumulators in
+    core/distance._iter_replicates_extended, computed device-side so
+    the mesh path never materializes the [S, N, 4] count tensor on
+    host).
+
+    Pp [S_pad, N, 3] sharded sites; A1/A2 [S_pad, 4] one-hot allele
+    rows (all-zero on invalid/padded sites — keeps padding inert even
+    though d1 = 2 there); w [S_pad] classifiable-site weights.  Returns
+    U [N, N, 4] (pairwise_del: weighted i-side counts against valid
+    j-sides, to be symmetrized by the caller) or c [N, 4].
+    """
+    def fn(Pl, a1l, a2l, wl):
+        dtype = Pl.dtype
+        d2 = Pl[..., 1] + 2.0 * Pl[..., 2]     # expected allele2 dosage
+        d1 = 2.0 - d2
+        bc = (d1[:, :, None] * a1l[:, None, :]
+              + d2[:, :, None] * a2l[:, None, :])  # [Sl, N, 4]
+        if pairwise_del:
+            valid = (~missing_mask(Pl)).astype(dtype)
+            vw = valid * wl[:, None]
+            U = jnp.einsum("six,sj->ijx", bc * vw[:, :, None], valid,
+                           preferred_element_type=dtype,
+                           precision=jax.lax.Precision.HIGHEST)
+            return jax.lax.psum(U, AXIS)
+        c = jnp.einsum("s,six->ix", wl, bc, preferred_element_type=dtype,
+                       precision=jax.lax.Precision.HIGHEST)
+        return jax.lax.psum(c, AXIS)
+
+    return shard_map(
+        fn, mesh=mesh,
+        in_specs=(P(AXIS, None, None), P(AXIS, None), P(AXIS, None), P(AXIS)),
+        out_specs=P(),
+    )(Pp, A1, A2, w)
+
+
+def sharded_pair_pi(
+    P_host,
+    a1: np.ndarray,
+    a2: np.ndarray,
+    w_ok: np.ndarray,
+    mesh: Mesh,
+    *,
+    pairwise_del: bool,
+    dtype=None,
+    n_sites: Optional[int] = None,
+):
+    """[N, N, 4] per-pair base frequencies over the mesh (models 4-6).
+
+    P_host: numpy [S, N, 3] or a prebuilt padded sharded jax.Array
+    (multi-host path; pass n_sites).  a1/a2: [S] allele codes
+    (core/submodels.encode_alleles).  w_ok: [S] classifiable-site
+    weights (class mask x bootstrap multiplicities).
+    """
+    if dtype is None:
+        dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    np_dtype = np.float64 if dtype == jnp.float64 else np.float32
+    S, N = int(P_host.shape[0]), int(P_host.shape[1])
+    if n_sites is not None:
+        S = int(n_sites)
+    elif isinstance(P_host, jax.Array):
+        raise ValueError("prebuilt sharded arrays require explicit n_sites")
+    n_dev = mesh.devices.size
+
+    if isinstance(P_host, jax.Array):
+        s_pad = int(P_host.shape[0])
+        Pp = P_host
+    else:
+        s_pad = _plan_padding(S, n_dev, 1)
+        Pp = shard_sites(pad_sites(np.asarray(P_host, dtype=np_dtype), s_pad), mesh)
+
+    ok = (a1 >= 0) & (a2 >= 0)
+    A1h = np.where(ok[:, None], np.eye(4, dtype=np_dtype)[np.clip(a1, 0, 3)], 0)
+    A2h = np.where(ok[:, None], np.eye(4, dtype=np_dtype)[np.clip(a2, 0, 3)], 0)
+
+    def slice2(arr):
+        def fn(start, stop):
+            out = np.zeros((stop - start, 4), np_dtype)
+            hi = min(stop, S)
+            if hi > start:
+                out[: hi - start] = arr[start:hi]
+            return out
+        return fn
+
+    spec2 = NamedSharding(mesh, P(AXIS, None))
+    if jax.process_count() == 1:
+        A1 = jax.device_put(slice2(A1h)(0, s_pad), spec2)
+        A2 = jax.device_put(slice2(A2h)(0, s_pad), spec2)
+    else:
+        from .multihost import host_site_range
+
+        start, stop = host_site_range(s_pad, mesh)
+        A1 = jax.make_array_from_process_local_data(
+            spec2, slice2(A1h)(start, stop), (s_pad, 4))
+        A2 = jax.make_array_from_process_local_data(
+            spec2, slice2(A2h)(start, stop), (s_pad, 4))
+
+    def w_fn(start, stop):
+        out = np.zeros((stop - start,), np_dtype)
+        hi = min(stop, len(w_ok))
+        if hi > start:
+            out[: hi - start] = w_ok[start:hi]
+        return out
+
+    w = global_site_vector(w_fn, s_pad, mesh, np_dtype)
+
+    out = np.asarray(_pair_pi_sharded(Pp, A1, A2, w, pairwise_del, mesh),
+                     np.float64)
+    if pairwise_del:
+        tot = out + np.transpose(out, (1, 0, 2))
+    else:
+        tot = out[:, None, :] + out[None, :, :]
+    denom = np.sum(tot, axis=-1, keepdims=True)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        return tot / denom
+
+
+# ------------------------------------------------------------------ #
 # Bootstrap resummation over sharded block partials                   #
 # ------------------------------------------------------------------ #
 

@@ -120,14 +120,30 @@ def run_distributed(pars: Params, coordinator: Optional[str] = None,
 
     from ..core import bootstrap as bt
     from ..core import models
-    from ..core.distance import _iter_replicates_sharded
+    from ..core.distance import _iter_replicates_extended, _iter_replicates_sharded
     from ..io import readers, writers
     from .mesh import make_mesh
 
     bring_up(coordinator, num_processes, process_id)
     pars.validate()
     pars.finalize()
-    models.check_model_supported(pars.evol_model)
+    # Models 3-6 run the sharded extended path (the reference aborts on
+    # them, ngsDist.cpp:387-398; the jax engine implements them) — every
+    # process reads the small POS file whole for the allele codes.
+    alleles = None
+    if pars.evol_model >= 3:
+        from ..core.submodels import encode_alleles
+
+        if not pars.in_pos:
+            from ..config import NgsDistError
+
+            raise NgsDistError(
+                "main", "evolutionary models need allele info in the POS file!"
+            )
+        pos_rows = readers.read_pos(pars.in_pos, pars.in_pos_header, pars.n_sites)
+        alleles = encode_alleles(pos_rows)
+    else:
+        models.check_model_supported(pars.evol_model)
     if jax.process_index() == 0:
         import sys
 
@@ -150,9 +166,15 @@ def run_distributed(pars: Params, coordinator: Optional[str] = None,
             if pars.in_labels else readers.default_labels(pars.n_ind)
         )
         out_fh = open(pars.out, "w")
+    if pars.evol_model >= 3:
+        stream = _iter_replicates_extended(
+            pars, arr, maps, n_trunc, alleles, mesh=mesh
+        )
+    else:
+        stream = _iter_replicates_sharded(pars, arr, maps, n_trunc, mesh)
     matrices = []
     try:
-        for m in _iter_replicates_sharded(pars, arr, maps, n_trunc, mesh):
+        for m in stream:
             if is_writer:
                 writers.write_dist_matrix(out_fh, labels, m)
                 out_fh.flush()

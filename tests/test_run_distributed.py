@@ -28,9 +28,12 @@ from ngsdist_tpu.config import Params
 from ngsdist_tpu.parallel.multihost import run_distributed
 
 pdel = sys.argv[5] == "1"
+evol = int(sys.argv[6]) if len(sys.argv) > 6 else 1
+pos = sys.argv[7] if len(sys.argv) > 7 and sys.argv[7] != "-" else None
 pars = Params(in_geno=os.path.join(workdir, "gp.bin"), in_bin=True,
               in_probs=True, n_ind=6, n_sites=57, seed=9,
               n_boot_rep=3, boot_block_size=5, pairwise_del=pdel,
+              evol_model=evol, in_pos=pos,
               out=os.path.join(workdir, "mh.dist"), verbose=0)
 mats = run_distributed(pars, coordinator="127.0.0.1:" + port,
                        num_processes=nproc, process_id=pid)
@@ -92,6 +95,56 @@ def test_run_distributed_two_processes(tmp_path, pairwise_del):
     pars = Params(in_geno=str(tmp_path / "gp.bin"), in_bin=True,
                   in_probs=True, n_ind=6, n_sites=57, seed=9,
                   n_boot_rep=3, boot_block_size=5, pairwise_del=pairwise_del,
+                  out=str(tmp_path / "single.dist"), verbose=0)
+    runner.run(pars, engine="jax")
+
+    mh = _load(str(tmp_path / "mh.dist"))
+    single = _load(str(tmp_path / "single.dist"))
+    assert len(mh) == len(single) == 4
+    for a, b in zip(mh, single):
+        np.testing.assert_allclose(a, b, rtol=0, atol=1e-10)
+
+
+@pytest.mark.slow
+def test_run_distributed_extended_model(tmp_path):
+    """--evol_model 6 (TN93) over 2 processes: the sharded extended path
+    (class-masked stats + sharded base frequencies) must match the
+    single-process jax run, incl. bootstrap replicates."""
+    rng = np.random.default_rng(17)
+    gp = rng.dirichlet(np.ones(3) * 5, size=(57, 6))
+    gp[rng.random((57, 6)) < 0.1] = 1 / 3
+    gp.tofile(str(tmp_path / "gp.bin"))
+    bases = "ACGT"
+    pos = str(tmp_path / "pos.txt")
+    with open(pos, "w") as fh:
+        for s in range(57):
+            b = rng.choice(4, size=2, replace=False)
+            fh.write(f"chr1\t{s+1}\t{bases[b[0]]}\t{bases[b[1]]}\n")
+
+    worker = str(tmp_path / "worker.py")
+    with open(worker, "w") as fh:
+        fh.write(_WORKER.format(repo=REPO))
+    port = str(_free_port())
+    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, str(pid), "2", port, str(tmp_path),
+             "1", "6", pos],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env, text=True,
+        )
+        for pid in range(2)
+    ]
+    outs = [p.communicate(timeout=300)[0] for p in procs]
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, out
+
+    from ngsdist_tpu import runner
+    from ngsdist_tpu.config import Params
+
+    pars = Params(in_geno=str(tmp_path / "gp.bin"), in_bin=True,
+                  in_probs=True, n_ind=6, n_sites=57, seed=9,
+                  n_boot_rep=3, boot_block_size=5, pairwise_del=True,
+                  evol_model=6, in_pos=pos,
                   out=str(tmp_path / "single.dist"), verbose=0)
     runner.run(pars, engine="jax")
 

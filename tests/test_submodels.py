@@ -192,6 +192,40 @@ def test_f81_degenerate_composition():
     assert sm.f81(np.array(0.0), pi) == 0.0
 
 
+@pytest.mark.parametrize("model", [3, 4, 5, 6])
+@pytest.mark.parametrize("indep,pairwise_del", [(True, False), (True, True),
+                                                (False, False)])
+def test_extended_mesh_matches_single(model, indep, pairwise_del):
+    """Models 3-6 sharded over an 8-device mesh (class-masked stats +
+    sharded per-pair base frequencies) must reproduce the single-device
+    extended path, incl. bootstrap replicates."""
+    import jax
+
+    from ngsdist_tpu.parallel import mesh as pm
+
+    assert len(jax.devices()) >= 8
+    mesh = pm.make_mesh(n_devices=8)
+    rng = np.random.default_rng(100 * model + 2 * indep + pairwise_del)
+    S, N = 61, 5  # not divisible by 8: padding path
+    P = rng.dirichlet(np.ones(3) * 5, size=(S, N))
+    if pairwise_del:
+        P[rng.random((S, N)) < 0.2] = 1 / 3
+    a = np.array([rng.choice(4, size=2, replace=False) for _ in range(S)], np.int8)
+    a1, a2 = a[:, 0].copy(), a[:, 1].copy()
+    a1[::9] = -1  # some unclassifiable sites
+    pars = Params(in_geno="x", n_ind=N, n_sites=S, out="y", seed=7,
+                  indep_geno=indep, in_probs=True, evol_model=model,
+                  pairwise_del=pairwise_del, n_boot_rep=2, boot_block_size=6)
+    n_trunc, maps = bt.site_maps(pars.seed, 2, S, 6)
+    single = list(dist.iter_replicates(pars, P, maps, n_trunc,
+                                       alleles=(a1, a2)))
+    sharded = list(dist.iter_replicates(pars, P, maps, n_trunc, mesh=mesh,
+                                        alleles=(a1, a2)))
+    assert len(sharded) == len(single) == 3
+    for x, y in zip(single, sharded):
+        np.testing.assert_allclose(y, x, rtol=0, atol=1e-10)
+
+
 def test_extended_chunked_streaming(monkeypatch):
     """Extended models under NGSDIST_DEVICE_BUDGET chunking must match
     the resident path."""
