@@ -467,11 +467,32 @@ def iter_replicates(
             yield _finalize(raw_m, denom, pars, on_stats)
 
 
+def _as_stream(pars: Params, P_src, mesh):
+    """Normalize the sharded engine's input into a SiteStream (or None
+    for a prebuilt legacy global array)."""
+    from ..parallel.multihost import SiteStream
+
+    if isinstance(P_src, SiteStream):
+        return P_src
+    if isinstance(P_src, np.ndarray):
+        dtype = default_dtype()
+        np_dtype = np.float64 if dtype == jnp.float64 else np.float32
+        return SiteStream.from_array(P_src, pars, mesh, np_dtype)
+    return None  # prebuilt jax.Array
+
+
 def _iter_replicates_sharded(
-    pars: Params, P_host: np.ndarray, maps: List[np.ndarray], n_trunc: int, mesh,
+    pars: Params, P_src, maps: List[np.ndarray], n_trunc: int, mesh,
     on_stats=None,
 ) -> Iterator[np.ndarray]:
-    """Mesh-sharded replicate stream (sites sharded, psum-merged)."""
+    """Mesh-sharded replicate stream (sites sharded, psum-merged).
+
+    P_src: numpy [S, N, 3], a SiteStream, or a prebuilt padded global
+    jax.Array.  When the per-device shard exceeds NGSDIST_DEVICE_BUDGET
+    the stream iterates fixed-shape site rounds (SiteStream) and every
+    matrix — full data and bootstrap replicates alike — is a weighted
+    sum of per-round sharded sufficient statistics, so per-device HBM
+    no longer bounds genome length (SURVEY.md §5 long-context)."""
     from ..parallel import mesh as pm
 
     dtype = default_dtype()
@@ -480,6 +501,17 @@ def _iter_replicates_sharded(
     score = pars.score
     I, J = _pair_indices(N)
     n_reps = pars.n_boot_rep
+
+    stream = _as_stream(pars, P_src, mesh)
+    if stream is None:
+        arr = P_src          # legacy prebuilt resident array
+        streaming = False
+    elif stream.resident:
+        arr = stream.global_array()
+        streaming = False
+    else:
+        arr = None
+        streaming = True
 
     def to_matrix(raw, cnt):
         raw = np.asarray(raw, np.float64)
@@ -491,6 +523,38 @@ def _iter_replicates_sharded(
             cnt_m = None if cnt is None else np.asarray(cnt, np.float64)
         return raw_m, cnt_m
 
+    if streaming:
+        def stats_rounds(w_full: np.ndarray):
+            acc_raw = acc_cnt = None
+            for r in range(stream.n_rounds):
+                Pr = stream.round_data(r)
+                wr = stream.round_cols(r, w_full)
+                raw, cnt, _, _ = pm.sharded_suffstats(
+                    Pr, score, mesh, indep=pars.indep_geno,
+                    pairwise_del=pars.pairwise_del, site_weights=wr,
+                    dtype=dtype, n_sites=int(Pr.shape[0]),
+                )
+                raw = np.asarray(raw, np.float64)
+                acc_raw = raw if acc_raw is None else acc_raw + raw
+                if cnt is not None:
+                    cnt = np.asarray(cnt, np.float64)
+                    acc_cnt = cnt if acc_cnt is None else acc_cnt + cnt
+            return acc_raw, acc_cnt
+
+        for rep in range(n_reps + 1):
+            if rep == 0:
+                w_full = np.ones((S,), np.float64)
+                denom_sites = float(S)
+            else:
+                w_full = np.zeros((S,), np.float64)
+                w_full[:n_trunc] = np.bincount(maps[rep - 1], minlength=n_trunc)
+                denom_sites = float(n_trunc)
+            raw, cnt = stats_rounds(w_full)
+            raw_m, cnt_m = to_matrix(raw, cnt)
+            denom = cnt_m if pars.pairwise_del else denom_sites
+            yield _finalize(raw_m, denom, pars, on_stats)
+        return
+
     block_size = pars.boot_block_size
     n_blocks = n_trunc // block_size if n_reps else 0
     itemsize = 8 if dtype == jnp.float64 else 4
@@ -501,13 +565,13 @@ def _iter_replicates_sharded(
     B = C = None
     if pars.indep_geno or not use_partials:
         raw, cnt, _, _ = pm.sharded_suffstats(
-            P_host, score, mesh, indep=pars.indep_geno,
+            arr, score, mesh, indep=pars.indep_geno,
             pairwise_del=pars.pairwise_del, dtype=dtype, n_sites=S,
         )
     else:
         # EM path: one sharded pass yields rep-0 stats AND block partials.
         raw, cnt, B, C = pm.sharded_suffstats(
-            P_host, score, mesh, indep=False, pairwise_del=pars.pairwise_del,
+            arr, score, mesh, indep=False, pairwise_del=pars.pairwise_del,
             n_blocks=n_blocks, block_size=block_size, dtype=dtype, n_sites=S,
         )
     raw_m, cnt_m = to_matrix(raw, None if not pars.pairwise_del else cnt)
@@ -521,7 +585,7 @@ def _iter_replicates_sharded(
     if use_partials:
         if pars.indep_geno:
             _, _, B, C = pm.sharded_suffstats(
-                P_host, score, mesh, indep=True, pairwise_del=pars.pairwise_del,
+                arr, score, mesh, indep=True, pairwise_del=pars.pairwise_del,
                 n_blocks=n_blocks, block_size=block_size, dtype=dtype, n_sites=S,
             )
         raw_r, cnt_r = pm.bootstrap_replicates(table, B, C, n_blocks, mesh)
@@ -534,7 +598,7 @@ def _iter_replicates_sharded(
             w = np.zeros((S,), np.float64)
             w[:n_trunc] = np.bincount(maps[r], minlength=n_trunc)
             raw, cnt, _, _ = pm.sharded_suffstats(
-                P_host, score, mesh, indep=pars.indep_geno,
+                arr, score, mesh, indep=pars.indep_geno,
                 pairwise_del=pars.pairwise_del, site_weights=w, dtype=dtype,
                 n_sites=S,
             )
@@ -711,9 +775,11 @@ def _extended_mesh(
 ) -> Iterator[np.ndarray]:
     """Mesh-sharded replicate stream for evol_model 3-6.
 
-    P_host: numpy [S, N, 3] (sharded here once, then reused for every
-    class/replicate contraction) or a prebuilt padded global jax.Array
-    (multi-host path, parallel/multihost.load_global_probs)."""
+    P_host: numpy [S, N, 3], a SiteStream, or a prebuilt padded global
+    jax.Array.  Over-budget genomes iterate fixed-shape site rounds
+    (SiteStream): the class-masked statistics AND the base-frequency
+    counts are both additive over sites, so each is accumulated across
+    rounds and combined exactly as in the resident path."""
     import jax
 
     from . import submodels as sm
@@ -726,21 +792,23 @@ def _extended_mesh(
     score = pars.score
     I, J = _pair_indices(N)
 
-    if isinstance(P_host, jax.Array):
-        Pp = P_host
+    stream = _as_stream(pars, P_host, mesh)
+    streaming = stream is not None and not stream.resident
+    if stream is None:
+        Pp = P_host          # legacy prebuilt resident array
+    elif not streaming:
+        Pp = stream.global_array()
     else:
-        # EM tiles want a composite per-shard length (the prebuilt-array
-        # branch of sharded_suffstats picks a tile that divides it).
-        granule = 1 if pars.indep_geno else 256
-        s_pad = pm._plan_padding(S, mesh.devices.size, granule)
-        Pp = pm.shard_sites(pm.pad_sites(np.asarray(P_host, np_dtype), s_pad),
-                            mesh)
+        Pp = None
+    A1h = A2h = None
+    if need_pi:
+        A1h, A2h = pm.allele_onehots(a1, a2, np_dtype)
 
-    def class_stats(w: np.ndarray):
+    def suffstats_one(Parr, w, n_sites):
         raw, cnt, _, _ = pm.sharded_suffstats(
-            Pp, score, mesh, indep=pars.indep_geno,
+            Parr, score, mesh, indep=pars.indep_geno,
             pairwise_del=pars.pairwise_del, site_weights=w, dtype=dtype,
-            n_sites=S,
+            n_sites=n_sites,
         )
         raw = np.asarray(raw, np.float64)
         if raw.ndim == 1:  # EM pair-vector
@@ -749,6 +817,36 @@ def _extended_mesh(
                 _scatter_pairs(np.asarray(cnt, np.float64), I, J, N),
             )
         return raw, None if cnt is None else np.asarray(cnt, np.float64)
+
+    def class_stats(w: np.ndarray):
+        if not streaming:
+            return suffstats_one(Pp, w, S)
+        acc_r = acc_c = None
+        for r in range(stream.n_rounds):
+            rr, cc = suffstats_one(
+                stream.round_data(r), stream.round_cols(r, w),
+                stream.round_sites,
+            )
+            acc_r = rr if acc_r is None else acc_r + rr
+            if cc is not None:
+                acc_c = cc if acc_c is None else acc_c + cc
+        return acc_r, acc_c
+
+    def pair_pi(w_ok: np.ndarray):
+        if not streaming:
+            return pm.sharded_pair_pi(
+                Pp, a1, a2, w_ok, mesh,
+                pairwise_del=pars.pairwise_del, dtype=dtype, n_sites=S,
+            )
+        spec = lambda r, M: stream.round_cols(r, M)  # noqa: E731
+        acc = None
+        for r in range(stream.n_rounds):
+            c = pm.pair_pi_counts(
+                stream.round_data(r), spec(r, A1h), spec(r, A2h),
+                spec(r, w_ok), mesh, pairwise_del=pars.pairwise_del,
+            )
+            acc = c if acc is None else acc + c
+        return pm.normalize_pair_pi(acc, pars.pairwise_del)
 
     def one_matrix(w: np.ndarray, denom_sites: float):
         raws, cnts = {}, {}
@@ -759,12 +857,7 @@ def _extended_mesh(
         else:
             true_cnt = denom_sites
         cnt = float(pars.tot_sites) if pars.tot_sites > 0 else true_cnt
-        pi = None
-        if need_pi:
-            pi = pm.sharded_pair_pi(
-                Pp, a1, a2, w * masks["ok"], mesh,
-                pairwise_del=pars.pairwise_del, dtype=dtype, n_sites=S,
-            )
+        pi = pair_pi(w * masks["ok"]) if need_pi else None
         if on_stats is not None:
             on_stats(raws["ag"] + raws["ct"] + raws["tv"], true_cnt)
         d = sm.apply_extended_model(

@@ -343,6 +343,34 @@ def _pair_pi_sharded(Pp, A1, A2, w, pairwise_del: bool, mesh: Mesh):
     )(Pp, A1, A2, w)
 
 
+def allele_onehots(a1: np.ndarray, a2: np.ndarray, np_dtype=np.float64):
+    """[S, 4] one-hot allele rows, all-zero on invalid sites — the
+    host-side inputs to the sharded base-count contraction."""
+    ok = (a1 >= 0) & (a2 >= 0)
+    A1h = np.where(ok[:, None], np.eye(4, dtype=np_dtype)[np.clip(a1, 0, 3)], 0)
+    A2h = np.where(ok[:, None], np.eye(4, dtype=np_dtype)[np.clip(a2, 0, 3)], 0)
+    return A1h, A2h
+
+
+def pair_pi_counts(Pp, A1, A2, w, mesh: Mesh, *, pairwise_del: bool) -> np.ndarray:
+    """Unnormalized expected-base-count accumulators for one (round of
+    a) sharded array: U [N, N, 4] (pairwise_del) or c [N, 4], float64.
+    Additive over site rounds; normalize once with normalize_pair_pi."""
+    return np.asarray(_pair_pi_sharded(Pp, A1, A2, w, pairwise_del, mesh),
+                      np.float64)
+
+
+def normalize_pair_pi(acc: np.ndarray, pairwise_del: bool) -> np.ndarray:
+    """[N, N, 4] per-pair base frequencies from the accumulated counts."""
+    if pairwise_del:
+        tot = acc + np.transpose(acc, (1, 0, 2))
+    else:
+        tot = acc[:, None, :] + acc[None, :, :]
+    denom = np.sum(tot, axis=-1, keepdims=True)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        return tot / denom
+
+
 def sharded_pair_pi(
     P_host,
     a1: np.ndarray,
@@ -378,9 +406,7 @@ def sharded_pair_pi(
         s_pad = _plan_padding(S, n_dev, 1)
         Pp = shard_sites(pad_sites(np.asarray(P_host, dtype=np_dtype), s_pad), mesh)
 
-    ok = (a1 >= 0) & (a2 >= 0)
-    A1h = np.where(ok[:, None], np.eye(4, dtype=np_dtype)[np.clip(a1, 0, 3)], 0)
-    A2h = np.where(ok[:, None], np.eye(4, dtype=np_dtype)[np.clip(a2, 0, 3)], 0)
+    A1h, A2h = allele_onehots(a1, a2, np_dtype)
 
     def slice2(arr):
         def fn(start, stop):
@@ -413,15 +439,8 @@ def sharded_pair_pi(
 
     w = global_site_vector(w_fn, s_pad, mesh, np_dtype)
 
-    out = np.asarray(_pair_pi_sharded(Pp, A1, A2, w, pairwise_del, mesh),
-                     np.float64)
-    if pairwise_del:
-        tot = out + np.transpose(out, (1, 0, 2))
-    else:
-        tot = out[:, None, :] + out[None, :, :]
-    denom = np.sum(tot, axis=-1, keepdims=True)
-    with np.errstate(divide="ignore", invalid="ignore"):
-        return tot / denom
+    acc = pair_pi_counts(Pp, A1, A2, w, mesh, pairwise_del=pairwise_del)
+    return normalize_pair_pi(acc, pairwise_del)
 
 
 # ------------------------------------------------------------------ #
@@ -549,7 +568,15 @@ def sharded_suffstats(
         return out
 
     mask = global_site_vector(mask_fn, s_pad, mesh, np_dtype)
-    if site_weights is not None:
+    if site_weights is None:
+        w = mask
+    elif isinstance(site_weights, jax.Array) and site_weights.ndim == 1:
+        # Prebuilt sharded weight vector (SiteStream.round_cols) — must
+        # already be padded to the sharded site axis.
+        if int(site_weights.shape[0]) != s_pad:
+            raise ValueError("prebuilt site_weights length != padded sites")
+        w = site_weights
+    else:
         sw = np.asarray(site_weights)
 
         def w_fn(start, stop):
@@ -560,8 +587,6 @@ def sharded_suffstats(
             return out
 
         w = global_site_vector(w_fn, s_pad, mesh, np_dtype)
-    else:
-        w = mask
     score_d = jnp.asarray(score, dtype)
     score9 = score_d.reshape(-1)
 

@@ -47,15 +47,24 @@ def host_site_range(n_sites_pad: int, mesh: Mesh) -> Tuple[int, int]:
 
     The padded site count divides evenly over devices; a host owns the
     union of its local devices' shards, which is contiguous for a 1-D
-    mesh enumerated in process order.
+    mesh enumerated in process order.  A mesh whose process's devices
+    are NOT contiguous in the axis order would silently compute a
+    too-wide range (and fail later with an opaque shape error), so it
+    is rejected here explicitly.
     """
     n_dev = mesh.devices.size
     per_dev = n_sites_pad // n_dev
-    local = [d for d in mesh.devices.flat if d.process_index == jax.process_index()]
-    if not local:
-        return 0, 0
     idx = sorted(np.where([d.process_index == jax.process_index()
                            for d in mesh.devices.flat])[0])
+    if not idx:
+        return 0, 0
+    if idx[-1] - idx[0] + 1 != len(idx):
+        raise ValueError(
+            "mesh devices of this process are not contiguous along the "
+            f"'{AXIS}' axis (positions {idx}); per-host shard reading "
+            "requires process-contiguous device order — construct the "
+            "mesh from jax.devices() in default order"
+        )
     return idx[0] * per_dev, (idx[-1] + 1) * per_dev
 
 
@@ -92,6 +101,169 @@ def load_global_probs(pars: Params, mesh: Mesh, granule: int = 1):
         sharding, np.ascontiguousarray(local), (s_pad, pars.n_ind, 3)
     )
     return arr, s_pad
+
+
+class SiteStream:
+    """Host-resident per-process site shard with chunked device rounds.
+
+    The reference's only capacity bound is host RAM — it materializes
+    the whole [n_ind][n_sites][3] tensor (read_data.cpp:21).  The mesh
+    engine's resident path additionally bounds genome length by
+    per-device HBM.  This class restores the reference's bound: each
+    process keeps its contiguous site range in HOST memory (read once),
+    and when the per-device shard exceeds NGSDIST_DEVICE_BUDGET the
+    engine iterates fixed-shape ROUNDS — round r places local sites
+    [r*chunk, (r+1)*chunk) of every device's shard as one global sharded
+    array, so a round's sufficient statistics psum exactly like the
+    resident array's, and the site reduction sums over rounds.
+
+    Per-round global site order is a permutation of the padded global
+    order (device-major), which is why per-site vectors must be sliced
+    with `round_cols` rather than linearly.
+    """
+
+    def __init__(self, pars: Params, mesh: Mesh, np_dtype,
+                 local_rows: np.ndarray, s_pad: int, chunk: int,
+                 start: int, stop: int):
+        self.mesh = mesh
+        self.N = pars.n_ind
+        self.S = pars.n_sites
+        self.np_dtype = np_dtype
+        self.s_pad = s_pad
+        self.n_dev = mesh.devices.size
+        self.s_loc = s_pad // self.n_dev
+        self.start, self.stop = start, stop
+        self.n_local_dev = (stop - start) // self.s_loc
+        self.local = local_rows  # [(stop-start), N, 3], padded rows zero
+        self.chunk = int(min(chunk, self.s_loc))
+        self.resident = self.chunk >= self.s_loc
+
+    # -------------------------- planning ----------------------------- #
+
+    @staticmethod
+    def _plan(pars: Params, mesh: Mesh, np_dtype) -> Tuple[int, int]:
+        """(s_loc, chunk): per-device shard length and per-round chunk.
+
+        Alignment granule is the bootstrap block size (resum partials
+        need block-aligned shards); when the device budget allows a
+        RESIDENT shard, the length prefers an lcm(block, 256) multiple
+        so the EM tile divisor search finds a healthy tile.  Streaming
+        chunks keep the small alignment granule so a tiny budget can
+        actually force rounds (the 256 floor must not defeat it) but
+        round down to pref multiples when there is room.
+        """
+        from ..core.distance import _device_budget_bytes
+
+        n_dev = mesh.devices.size
+        g = pars.boot_block_size if pars.n_boot_rep else 1
+        pref = int(np.lcm(g, 256)) if not pars.indep_geno else g
+        itemsize = np.dtype(np_dtype).itemsize
+        budget_sites = _device_budget_bytes() // max(1, pars.n_ind * 3 * itemsize)
+        s_min = _round_up(pars.n_sites, n_dev) // n_dev
+        s_loc_pref = _round_up(s_min, pref)
+        if budget_sites >= s_loc_pref:
+            return s_loc_pref, s_loc_pref           # resident, healthy tiles
+        s_loc = _round_up(s_min, g)
+        if budget_sites >= s_loc:
+            return s_loc, s_loc                     # resident, minimal padding
+        chunk = (budget_sites // pref) * pref or (budget_sites // g) * g or g
+        return s_loc, chunk
+
+    # -------------------------- constructors ------------------------- #
+
+    @classmethod
+    def from_array(cls, P_host: np.ndarray, pars: Params, mesh: Mesh,
+                   np_dtype) -> "SiteStream":
+        """Full tensor already in host RAM (single-host runner path)."""
+        s_loc, chunk = cls._plan(pars, mesh, np_dtype)
+        s_pad = s_loc * mesh.devices.size
+        start, stop = host_site_range(s_pad, mesh)
+        local = np.zeros((stop - start, pars.n_ind, 3), np_dtype)
+        hi = min(stop, pars.n_sites)
+        if hi > start:
+            local[: hi - start] = P_host[start:hi]
+        return cls(pars, mesh, np_dtype, local, s_pad, chunk, start, stop)
+
+    @classmethod
+    def from_reader(cls, pars: Params, mesh: Mesh,
+                    np_dtype) -> "SiteStream":
+        """Each process reads only its own site range of the genotype
+        file (io/readers.py site_range) — the multi-host path."""
+        s_loc, chunk = cls._plan(pars, mesh, np_dtype)
+        s_pad = s_loc * mesh.devices.size
+        start, stop = host_site_range(s_pad, mesh)
+        read_start = min(start, pars.n_sites)
+        read_stop = min(stop, pars.n_sites)
+        local = np.zeros((stop - start, pars.n_ind, 3), np_dtype)
+        if read_stop > read_start:
+            geno_log = readers.read_geno(
+                pars.in_geno, pars.in_bin, pars.in_probs, pars.in_logscale,
+                pars.n_ind, pars.n_sites, site_range=(read_start, read_stop),
+            )
+            local[: read_stop - read_start] = preprocess(
+                geno_log, pars.call_geno, pars.N_thresh, pars.call_thresh
+            )
+        return cls(pars, mesh, np_dtype, local, s_pad, chunk, start, stop)
+
+    # ------------------------- resident path ------------------------- #
+
+    def global_array(self):
+        """The whole padded [s_pad, N, 3] array sharded over the mesh."""
+        sharding = NamedSharding(self.mesh, P(AXIS, None, None))
+        return jax.make_array_from_process_local_data(
+            sharding, np.ascontiguousarray(self.local),
+            (self.s_pad, self.N, 3),
+        )
+
+    # ------------------------- streaming path ------------------------ #
+
+    @property
+    def n_rounds(self) -> int:
+        return (self.s_loc + self.chunk - 1) // self.chunk
+
+    @property
+    def round_sites(self) -> int:
+        """Global sites per round (fixed shape; tail rounds zero-pad)."""
+        return self.chunk * self.n_dev
+
+    def round_data(self, r: int):
+        """Global sharded [chunk*n_dev, N, 3] array for round r."""
+        lo = r * self.chunk
+        hi = min(lo + self.chunk, self.s_loc)
+        l3 = self.local.reshape(self.n_local_dev, self.s_loc, self.N, 3)
+        out = np.zeros((self.n_local_dev, self.chunk, self.N, 3), self.np_dtype)
+        out[:, : hi - lo] = l3[:, lo:hi]
+        sharding = NamedSharding(self.mesh, P(AXIS, None, None))
+        return jax.make_array_from_process_local_data(
+            sharding, out.reshape(-1, self.N, 3), (self.round_sites, self.N, 3)
+        )
+
+    def round_cols(self, r: int, M_full: np.ndarray):
+        """Global sharded per-site vector/matrix for round r.
+
+        M_full: [S] or [S, K] defined on the TRUE site range; padding
+        and tail rounds are zero-filled (inert under the engines'
+        weight semantics)."""
+        M_full = np.asarray(M_full)
+        K = None if M_full.ndim == 1 else M_full.shape[1]
+        lo = r * self.chunk
+        hi = min(lo + self.chunk, self.s_loc)
+        shape = (self.n_local_dev, self.chunk) + ((K,) if K else ())
+        out = np.zeros(shape, self.np_dtype)
+        # local device d covers global sites [(d0+d)*s_loc, ...) where
+        # d0 = start // s_loc
+        d0 = self.start // self.s_loc
+        for d in range(self.n_local_dev):
+            g_lo = (d0 + d) * self.s_loc + lo
+            g_hi = min((d0 + d) * self.s_loc + hi, self.S)
+            if g_hi > g_lo:
+                out[d, : g_hi - g_lo] = M_full[g_lo:g_hi]
+        spec = P(AXIS) if K is None else P(AXIS, None)
+        sharding = NamedSharding(self.mesh, spec)
+        gshape = (self.round_sites,) + ((K,) if K else ())
+        return jax.make_array_from_process_local_data(
+            sharding, out.reshape((-1,) + ((K,) if K else ())), gshape
+        )
 
 
 def plan_granule(pars: Params) -> int:
@@ -151,7 +323,12 @@ def run_distributed(pars: Params, coordinator: Optional[str] = None,
             print(msg, file=sys.stderr)
 
     mesh = make_mesh()
-    arr, _s_pad = load_global_probs(pars, mesh, granule=plan_granule(pars))
+    # Each process reads its site range ONCE into host RAM; the stream
+    # either places it resident (one padded global array) or iterates
+    # fixed-shape site rounds when the per-device shard exceeds
+    # NGSDIST_DEVICE_BUDGET (long-genome scaling, SURVEY.md §5).
+    np_dtype = np.float64 if jax.config.jax_enable_x64 else np.float32
+    stream = SiteStream.from_reader(pars, mesh, np_dtype)
 
     n_trunc, maps = bt.site_maps(
         pars.seed, pars.n_boot_rep, pars.n_sites, pars.boot_block_size
@@ -167,14 +344,14 @@ def run_distributed(pars: Params, coordinator: Optional[str] = None,
         )
         out_fh = open(pars.out, "w")
     if pars.evol_model >= 3:
-        stream = _iter_replicates_extended(
-            pars, arr, maps, n_trunc, alleles, mesh=mesh
+        rep_stream = _iter_replicates_extended(
+            pars, stream, maps, n_trunc, alleles, mesh=mesh
         )
     else:
-        stream = _iter_replicates_sharded(pars, arr, maps, n_trunc, mesh)
+        rep_stream = _iter_replicates_sharded(pars, stream, maps, n_trunc, mesh)
     matrices = []
     try:
-        for m in stream:
+        for m in rep_stream:
             if is_writer:
                 writers.write_dist_matrix(out_fh, labels, m)
                 out_fh.flush()

@@ -62,10 +62,13 @@ def _load(path):
 
 
 @pytest.mark.slow
-@pytest.mark.parametrize("pairwise_del", [True, False])
-def test_run_distributed_two_processes(tmp_path, pairwise_del):
+@pytest.mark.parametrize("pairwise_del,streamed", [(True, False), (False, False),
+                                                   (True, True)])
+def test_run_distributed_two_processes(tmp_path, pairwise_del, streamed):
     """pairwise_del=False is the regression case for the prebuilt-array
-    padding bug: padded sites must not count toward the EM statistics."""
+    padding bug: padded sites must not count toward the EM statistics.
+    streamed=True forces NGSDIST_DEVICE_BUDGET tiny so run_distributed
+    iterates SiteStream rounds on every process."""
     rng = np.random.default_rng(13)
     gp = rng.dirichlet(np.ones(3), size=(57, 6))
     gp[rng.random((57, 6)) < 0.15] = 1 / 3
@@ -75,7 +78,10 @@ def test_run_distributed_two_processes(tmp_path, pairwise_del):
     with open(worker, "w") as fh:
         fh.write(_WORKER.format(repo=REPO))
     port = str(_free_port())
-    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "NGSDIST_DEVICE_BUDGET")}
+    if streamed:
+        env["NGSDIST_DEVICE_BUDGET"] = str(5 * 6 * 3 * 8)  # ~5 sites/round
     procs = [
         subprocess.Popen(
             [sys.executable, worker, str(pid), "2", port, str(tmp_path),
