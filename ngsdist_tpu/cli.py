@@ -196,11 +196,15 @@ def echo_args(pars: Params) -> None:
         return
     model_name = EVOL_MODEL_NAMES[pars.evol_model] if 0 <= pars.evol_model <= 6 else "?"
     b = lambda x: "true" if x else "false"  # noqa: E731
+    # C printf %s with a NULL pointer prints "(null)" (parse_args.cpp:168)
+    s = lambda x: "(null)" if x is None else x  # noqa: E731
+    h = lambda x: "WITH" if x else "WITHOUT"  # noqa: E731
     sys.stderr.write(
         "==> Input Arguments:\n"
-        f"\tgeno: {pars.in_geno}\n\tprobs: {b(pars.in_probs)}\n\tlog_scale: {b(pars.in_logscale)}\n"
+        f"\tgeno: {s(pars.in_geno)}\n\tprobs: {b(pars.in_probs)}\n\tlog_scale: {b(pars.in_logscale)}\n"
         f"\tn_ind: {pars.n_ind}\n\tn_sites: {pars.n_sites}\n\ttot_sites: {pars.tot_sites}\n"
-        f"\tlabels: {pars.in_labels}\n\tpositions: {pars.in_pos}\n"
+        f"\tlabels: {s(pars.in_labels)} ({h(pars.in_labels_header)} header)\n"
+        f"\tpositions: {s(pars.in_pos)} ({h(pars.in_pos_header)} header)\n"
         f"\tcall_geno: {b(pars.call_geno)}\n\tN_thresh: {pars.N_thresh:f}\n"
         f"\tcall_thresh: {pars.call_thresh:f}\n\tpairwise_del: {b(pars.pairwise_del)}\n"
         f"\tavg_nuc_dist: {b(pars.avg_nuc_dist)}\n\tevol_model: {model_name}\n"

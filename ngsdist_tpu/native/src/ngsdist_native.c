@@ -402,6 +402,8 @@ typedef struct {
   int64_t tot_sites;
   int evol_model;
   double *out; /* [n_ind][n_ind] */
+  double *raw_out; /* optional [n_ind][n_ind] pre-correction sums */
+  double *cnt_out; /* optional [n_ind][n_ind] valid-site counts */
   int64_t pair_lo, pair_hi; /* this worker's comb_id range */
   int bad_model; /* set if an unsupported model was requested */
 } nd_pair_job;
@@ -435,6 +437,15 @@ static double nd_pair_dist(const nd_pair_job *j, int64_t i1, int64_t i2) {
           dist += j->score[g1 * 3 + g2] * sfs[3 * g1 + g2];
     }
     cnt++;
+  }
+
+  /* Pre-override statistics for the verbose>=3 per-pair report and the
+   * throughput meter (reference prints cnt BEFORE the --tot_sites
+   * override, ngsDist.cpp:366-373). */
+  if (j->raw_out) {
+    int64_t n = j->n_ind;
+    j->raw_out[i1 * n + i2] = j->raw_out[i2 * n + i1] = dist;
+    j->cnt_out[i1 * n + i2] = j->cnt_out[i2 * n + i1] = (double)cnt;
   }
 
   if (j->tot_sites > 0) cnt = (uint64_t)j->tot_sites;
@@ -473,11 +484,18 @@ static void *nd_pair_worker(void *arg) {
 
 /* Compute the full symmetric distance matrix (diagonal zero).  Returns 0
  * on success; 2 if an unsupported evolutionary model (3-6) was hit. */
+/* Expose the single-site EM for the verbose>=9 per-genotype debug dump
+ * (runner-side Python loop) and for oracle tests. */
+ND_EXPORT void nd_em2_site_run(double *sfs, const double *gl1,
+                               const double *gl2) {
+  nd_em2_site(sfs, gl1, gl2);
+}
+
 ND_EXPORT int nd_pair_dists(const double *P, int64_t n_ind, int64_t n_sites,
                             const int64_t *site_map, int64_t n_used,
                             const double *score, int indep, int pairwise_del,
                             int64_t tot_sites, int evol_model, int n_threads,
-                            double *out) {
+                            double *out, double *raw_out, double *cnt_out) {
   for (int64_t i = 0; i < n_ind * n_ind; i++) out[i] = 0.0;
   int64_t n_comb = n_ind * (n_ind - 1) / 2;
   if (n_threads < 1) n_threads = 1;
@@ -490,7 +508,7 @@ ND_EXPORT int nd_pair_dists(const double *P, int64_t n_ind, int64_t n_sites,
   for (int w = 0; w < n_threads; w++) {
     jobs[w] = (nd_pair_job){P, n_ind, n_sites, site_map, n_used, score,
                             indep, pairwise_del, tot_sites, evol_model, out,
-                            w * chunk, (w + 1) * chunk, 0};
+                            raw_out, cnt_out, w * chunk, (w + 1) * chunk, 0};
     if (jobs[w].pair_hi > n_comb) jobs[w].pair_hi = n_comb;
   }
   if (n_threads == 1) {

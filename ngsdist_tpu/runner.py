@@ -97,10 +97,13 @@ def resolve_engine(engine: str) -> str:
 
 
 def iter_replicates(pars: Params, P: np.ndarray, engine: str = "auto", mesh=None,
-                    on_stats=None, alleles=None):
+                    on_stats=None, alleles=None, labels=None):
     """Yield the distance matrix for the full data, then one per bootstrap
     replicate (streamed so output durability matches the reference, which
-    prints each matrix as its replicate completes, ngsDist.cpp:282-287)."""
+    prints each matrix as its replicate completes, ngsDist.cpp:282-287).
+
+    labels: individual names for the exact engine's verbose>=8 per-site
+    debug dump (reference firehose, ngsDist.cpp:355-360)."""
     engine = resolve_engine(engine)
 
     # Models 3-6 abort inside the first pair task in the reference
@@ -118,40 +121,75 @@ def iter_replicates(pars: Params, P: np.ndarray, engine: str = "auto", mesh=None
     n_trunc, maps = bt.site_maps(
         pars.seed, pars.n_boot_rep, pars.n_sites, pars.boot_block_size
     )
-    if pars.verbose >= 5 and maps:
-        # bootstrap block-mapping dump (rnd_map_data, ngsDist.cpp:430-431)
+
+    def dump_block_map(rep: int) -> None:
+        # bootstrap block-mapping dump at verbose>=5, emitted during the
+        # replicate's mapping phase like rnd_map_data (ngsDist.cpp:430-431)
+        if pars.verbose < 5 or rep == 0:
+            return
         bs = pars.boot_block_size
-        for site_map in maps:
-            for block in range(len(site_map) // bs):
-                for s_off in range(bs):
-                    dest = block * bs + s_off
-                    src = int(site_map[dest])
-                    print(
-                        f"block: {block}	orig_site: {dest}	"
-                        f"rand_block:{src // bs}	rand_site: {src}",
-                        file=sys.stderr,
-                    )
+        site_map = maps[rep - 1]
+        for block in range(len(site_map) // bs):
+            for s_off in range(bs):
+                dest = block * bs + s_off
+                src = int(site_map[dest])
+                print(
+                    f"block: {block}	orig_site: {dest}	"
+                    f"rand_block:{src // bs}	rand_site: {src}",
+                    file=sys.stderr,
+                )
 
     if engine == "exact":
         P_ind = exact_engine.to_ind_major(P)
+        dump_labels = labels if labels is not None else readers.default_labels(pars.n_ind)
         for rep in range(pars.n_boot_rep + 1):
             _log(pars, 1, "==> Analyzing full dataset..." if rep == 0
                  else f"==> Bootstrap replicate # {rep} ...")
             _log(pars, 2, "> Mapping positions...")
+            dump_block_map(rep)
             _log(pars, 2, "> Calculating pairwise genetic distances...")
             site_map = None if rep == 0 else maps[rep - 1]
             n_used = pars.n_sites if rep == 0 else n_trunc
-            yield exact_engine.pair_dists_exact(
-                P_ind, pars.score, pars.indep_geno, pars.pairwise_del,
-                pars.tot_sites, pars.evol_model, pars.n_threads,
-                site_map=site_map, n_used=n_used,
-            )
+            if pars.verbose >= 8:
+                # Per-site firehose prints the v9/v8/v3 lines interleaved
+                # per pair exactly as the reference worker does.
+                exact_engine.debug_site_dump(
+                    P_ind, pars.score, pars.indep_geno, pars.pairwise_del,
+                    dump_labels, pars.verbose, site_map=site_map, n_used=n_used,
+                )
+                yield exact_engine.pair_dists_exact(
+                    P_ind, pars.score, pars.indep_geno, pars.pairwise_del,
+                    pars.tot_sites, pars.evol_model, pars.n_threads,
+                    site_map=site_map, n_used=n_used,
+                )
+            else:
+                out, raw, cnt = exact_engine.pair_dists_exact(
+                    P_ind, pars.score, pars.indep_geno, pars.pairwise_del,
+                    pars.tot_sites, pars.evol_model, pars.n_threads,
+                    site_map=site_map, n_used=n_used, want_stats=True,
+                )
+                if on_stats is not None:
+                    on_stats(raw, cnt)
+                yield out
     elif engine == "jax":
         from .core import distance as jax_engine
 
-        yield from jax_engine.iter_replicates(
+        # Stage banners per replicate (reference ngsDist.cpp:223-242):
+        # printed before each matrix is pulled, so their timing brackets
+        # the replicate's computation like the reference's.
+        gen = jax_engine.iter_replicates(
             pars, P, maps, n_trunc, mesh=mesh, on_stats=on_stats, alleles=alleles
         )
+        for rep in range(pars.n_boot_rep + 1):
+            _log(pars, 1, "==> Analyzing full dataset..." if rep == 0
+                 else f"==> Bootstrap replicate # {rep} ...")
+            _log(pars, 2, "> Mapping positions...")
+            dump_block_map(rep)
+            _log(pars, 2, "> Calculating pairwise genetic distances...")
+            try:
+                yield next(gen)
+            except StopIteration:
+                return
     else:
         raise ValueError(f"unknown engine: {engine}")
 
@@ -231,7 +269,8 @@ def run(
         with trace(trace_dir):
             for rep, m in enumerate(
                 iter_replicates(pars, P, engine=engine, mesh=mesh,
-                                on_stats=on_stats, alleles=alleles)
+                                on_stats=on_stats, alleles=alleles,
+                                labels=labels)
             ):
                 n_used = pars.n_sites if rep == 0 else n_trunc
                 got = pending_updates.pop() if pending_updates else (
@@ -257,5 +296,6 @@ def run(
         ckpt.clear(pars.out)
     if report_throughput:
         meter.report()
+    _log(pars, 1, "==> Freeing memory...")  # teardown banner (ngsDist.cpp:303)
     _log(pars, 1, "Done!")
     return matrices

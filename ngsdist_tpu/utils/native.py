@@ -57,9 +57,11 @@ def _configure(lib: ctypes.CDLL) -> None:
     lib.nd_pair_dists.argtypes = [
         _c_dp, ctypes.c_int64, ctypes.c_int64, _c_i64p, ctypes.c_int64,
         _c_dp, ctypes.c_int, ctypes.c_int, ctypes.c_int64, ctypes.c_int,
-        ctypes.c_int, _c_dp,
+        ctypes.c_int, _c_dp, _c_dp, _c_dp,
     ]
     lib.nd_pair_dists.restype = ctypes.c_int
+    lib.nd_em2_site_run.argtypes = [_c_dp, _c_dp, _c_dp]
+    lib.nd_em2_site_run.restype = None
 
 
 def get_lib() -> ctypes.CDLL:
@@ -67,8 +69,11 @@ def get_lib() -> ctypes.CDLL:
     global _lib
     with _lock:
         if _lib is None:
-            if not os.path.exists(_LIB_PATH):
-                _build()
+            try:
+                _build()  # no-op when up to date; rebuilds stale .so
+            except Exception:
+                if not os.path.exists(_LIB_PATH):
+                    raise
             lib = ctypes.CDLL(_LIB_PATH)
             _configure(lib)
             _lib = lib
