@@ -248,7 +248,7 @@ def main(argv: Optional[List[str]] = None) -> int:
             # devices of all processes, output written by process 0.
             # Flags the distributed runner cannot honor are rejected
             # rather than silently ignored.
-            for bad in ("resume", "trace_dir", "throughput", "devices"):
+            for bad in ("trace_dir", "throughput", "devices"):
                 if extras.get(bad):
                     raise NgsDistError(
                         "main", f"--{bad} is not supported with --coordinator"
@@ -269,6 +269,7 @@ def main(argv: Optional[List[str]] = None) -> int:
                     _atol(extras["process_id"])
                     if extras.get("process_id") is not None else None
                 ),
+                resume=bool(extras.get("resume")),
             )
             return 0
         mesh = None

@@ -319,6 +319,7 @@ def iter_replicates(
     mesh=None,
     on_stats=None,
     alleles=None,
+    start_rep: int = 0,
 ) -> Iterator[np.ndarray]:
     """Yield the full-data matrix then one matrix per bootstrap replicate,
     computed with the batched engine.
@@ -337,12 +338,14 @@ def iter_replicates(
     """
     if pars.evol_model >= 3:
         yield from _iter_replicates_extended(
-            pars, P_host, maps, n_trunc, alleles, on_stats, mesh=mesh
+            pars, P_host, maps, n_trunc, alleles, on_stats, mesh=mesh,
+            start_rep=start_rep,
         )
         return
     if mesh is not None:
         yield from _iter_replicates_sharded(
-            pars, P_host, maps, n_trunc, mesh, on_stats=on_stats
+            pars, P_host, maps, n_trunc, mesh, on_stats=on_stats,
+            start_rep=start_rep,
         )
         return
     dtype = default_dtype()
@@ -428,14 +431,15 @@ def iter_replicates(
                 acc_cnt = cnt if acc_cnt is None else acc_cnt + cnt
         return acc_raw, acc_cnt
 
-    # Replicate 0: full dataset.
-    raw, cnt = stats_stream()
-    raw_m, cnt_m = to_matrix(raw, cnt)
-    denom = cnt_m if pars.pairwise_del else float(S)
-    yield _finalize(raw_m, denom, pars, on_stats)
+    # Replicate 0: full dataset (skipped entirely on resume).
+    if start_rep == 0:
+        raw, cnt = stats_stream()
+        raw_m, cnt_m = to_matrix(raw, cnt)
+        denom = cnt_m if pars.pairwise_del else float(S)
+        yield _finalize(raw_m, denom, pars, on_stats)
 
     n_reps = pars.n_boot_rep
-    if n_reps == 0:
+    if n_reps == 0 or start_rep > n_reps:
         return
     block_size = pars.boot_block_size
     n_blocks = n_trunc // block_size
@@ -455,11 +459,15 @@ def iter_replicates(
             raw_r = jnp.einsum("rb,bij->rij", M, B, preferred_element_type=dtype)
             cnt_r = None if C is None else jnp.einsum("rb,bij->rij", M, C, preferred_element_type=dtype)
         for r in range(n_reps):
+            if r + 1 < start_rep:
+                continue
             raw_m, cnt_m = to_matrix(raw_r[r], None if cnt_r is None else cnt_r[r])
             denom = cnt_m if pars.pairwise_del else float(n_trunc)
             yield _finalize(raw_m, denom, pars, on_stats)
     else:
         for r in range(n_reps):
+            if r + 1 < start_rep:
+                continue
             w = np.bincount(maps[r], minlength=n_trunc).astype(np.float64)
             raw, cnt = stats_stream(site_weights=w, n_used=n_trunc)
             raw_m, cnt_m = to_matrix(raw, cnt)
@@ -483,7 +491,7 @@ def _as_stream(pars: Params, P_src, mesh):
 
 def _iter_replicates_sharded(
     pars: Params, P_src, maps: List[np.ndarray], n_trunc: int, mesh,
-    on_stats=None,
+    on_stats=None, start_rep: int = 0,
 ) -> Iterator[np.ndarray]:
     """Mesh-sharded replicate stream (sites sharded, psum-merged).
 
@@ -541,7 +549,7 @@ def _iter_replicates_sharded(
                     acc_cnt = cnt if acc_cnt is None else acc_cnt + cnt
             return acc_raw, acc_cnt
 
-        for rep in range(n_reps + 1):
+        for rep in range(start_rep, n_reps + 1):
             if rep == 0:
                 w_full = np.ones((S,), np.float64)
                 denom_sites = float(S)
@@ -563,22 +571,26 @@ def _iter_replicates_sharded(
     use_partials = n_reps > 0 and partial_bytes <= PARTIALS_BUDGET_BYTES
 
     B = C = None
-    if pars.indep_geno or not use_partials:
-        raw, cnt, _, _ = pm.sharded_suffstats(
-            arr, score, mesh, indep=pars.indep_geno,
-            pairwise_del=pars.pairwise_del, dtype=dtype, n_sites=S,
-        )
-    else:
+    if not pars.indep_geno and use_partials:
         # EM path: one sharded pass yields rep-0 stats AND block partials.
         raw, cnt, B, C = pm.sharded_suffstats(
             arr, score, mesh, indep=False, pairwise_del=pars.pairwise_del,
             n_blocks=n_blocks, block_size=block_size, dtype=dtype, n_sites=S,
         )
-    raw_m, cnt_m = to_matrix(raw, None if not pars.pairwise_del else cnt)
-    denom = cnt_m if pars.pairwise_del else float(S)
-    yield _finalize(raw_m, denom, pars, on_stats)
+        if start_rep == 0:
+            raw_m, cnt_m = to_matrix(raw, None if not pars.pairwise_del else cnt)
+            denom = cnt_m if pars.pairwise_del else float(S)
+            yield _finalize(raw_m, denom, pars, on_stats)
+    elif start_rep == 0:
+        raw, cnt, _, _ = pm.sharded_suffstats(
+            arr, score, mesh, indep=pars.indep_geno,
+            pairwise_del=pars.pairwise_del, dtype=dtype, n_sites=S,
+        )
+        raw_m, cnt_m = to_matrix(raw, None if not pars.pairwise_del else cnt)
+        denom = cnt_m if pars.pairwise_del else float(S)
+        yield _finalize(raw_m, denom, pars, on_stats)
 
-    if n_reps == 0:
+    if n_reps == 0 or start_rep > n_reps:
         return
     table = bt.block_index_table(pars.seed, n_reps, n_blocks)
 
@@ -590,11 +602,15 @@ def _iter_replicates_sharded(
             )
         raw_r, cnt_r = pm.bootstrap_replicates(table, B, C, n_blocks, mesh)
         for r in range(n_reps):
+            if r + 1 < start_rep:
+                continue
             raw_m, cnt_m = to_matrix(raw_r[r], None if cnt_r is None else cnt_r[r])
             denom = cnt_m if pars.pairwise_del else float(n_trunc)
             yield _finalize(raw_m, denom, pars, on_stats)
     else:
         for r in range(n_reps):
+            if r + 1 < start_rep:
+                continue
             w = np.zeros((S,), np.float64)
             w[:n_trunc] = np.bincount(maps[r], minlength=n_trunc)
             raw, cnt, _, _ = pm.sharded_suffstats(
@@ -620,6 +636,7 @@ def _iter_replicates_extended(
     alleles,
     on_stats=None,
     mesh=None,
+    start_rep: int = 0,
 ) -> Iterator[np.ndarray]:
     """Replicate stream for evol_model 3-6 (core/submodels.py).
 
@@ -645,7 +662,7 @@ def _iter_replicates_extended(
     if mesh is not None:
         yield from _extended_mesh(
             pars, P_host, maps, n_trunc, a1, a2, masks, need_pi, on_stats,
-            mesh,
+            mesh, start_rep=start_rep,
         )
         return
 
@@ -752,10 +769,13 @@ def _iter_replicates_extended(
         np.fill_diagonal(d, 0.0)
         return d
 
-    w_full = np.ones((S,), np.float64)
-    yield one_matrix(w_full, float(np.sum(masks["ok"])))
+    if start_rep == 0:
+        w_full = np.ones((S,), np.float64)
+        yield one_matrix(w_full, float(np.sum(masks["ok"])))
 
     for r in range(pars.n_boot_rep):
+        if r + 1 < start_rep:
+            continue
         w = np.zeros((S,), np.float64)
         w[:n_trunc] = np.bincount(maps[r], minlength=n_trunc)
         yield one_matrix(w, float(np.sum(w * masks["ok"])))
@@ -772,6 +792,7 @@ def _extended_mesh(
     need_pi: bool,
     on_stats,
     mesh,
+    start_rep: int = 0,
 ) -> Iterator[np.ndarray]:
     """Mesh-sharded replicate stream for evol_model 3-6.
 
@@ -866,10 +887,13 @@ def _extended_mesh(
         np.fill_diagonal(d, 0.0)
         return d
 
-    w_full = np.ones((S,), np.float64)
-    yield one_matrix(w_full, float(np.sum(masks["ok"])))
+    if start_rep == 0:
+        w_full = np.ones((S,), np.float64)
+        yield one_matrix(w_full, float(np.sum(masks["ok"])))
 
     for r in range(pars.n_boot_rep):
+        if r + 1 < start_rep:
+            continue
         w = np.zeros((S,), np.float64)
         w[:n_trunc] = np.bincount(maps[r], minlength=n_trunc)
         yield one_matrix(w, float(np.sum(w * masks["ok"])))

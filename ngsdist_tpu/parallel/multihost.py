@@ -279,7 +279,8 @@ def plan_granule(pars: Params) -> int:
 
 def run_distributed(pars: Params, coordinator: Optional[str] = None,
                     num_processes: Optional[int] = None,
-                    process_id: Optional[int] = None):
+                    process_id: Optional[int] = None,
+                    resume: bool = False):
     """Full multi-host pipeline (BASELINE.json scale-out config): every
     process reads its own site shard, the mesh engine psum-merges
     sufficient statistics over all devices of all processes, and process
@@ -287,6 +288,14 @@ def run_distributed(pars: Params, coordinator: Optional[str] = None,
 
     Single-process invocations run the same code over the local devices.
     Returns the matrices on process 0, [] elsewhere.
+
+    resume: process 0 reads the .ckpt.json sidecar and the already-done
+    replicate count is broadcast to every process, which then SKIPS
+    computing those replicates entirely (the bootstrap index table is a
+    pure function of the seed).  Signals are armed: a graceful stop
+    finishes the in-flight replicate on every process (each process
+    observes its own signal — in managed deployments the signal is
+    delivered to the whole job) and leaves a resumable sidecar.
     """
     import jax
 
@@ -294,9 +303,12 @@ def run_distributed(pars: Params, coordinator: Optional[str] = None,
     from ..core import models
     from ..core.distance import _iter_replicates_extended, _iter_replicates_sharded
     from ..io import readers, writers
+    from ..utils import checkpoint as ckpt
+    from ..utils import signals
     from .mesh import make_mesh
 
     bring_up(coordinator, num_processes, process_id)
+    signals.arm()
     pars.validate()
     pars.finalize()
     # Models 3-6 run the sharded extended path (the reference aborts on
@@ -335,6 +347,26 @@ def run_distributed(pars: Params, coordinator: Optional[str] = None,
     )
 
     is_writer = jax.process_index() == 0
+
+    # Resume: the writer decides how many matrices are already durable;
+    # every process must agree so the skipped replicates never enter the
+    # collective stream.
+    n_done = 0
+    if resume:
+        if is_writer:
+            got = ckpt.load(pars.out, pars)
+            n_done = got or 0
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            n_done = int(multihost_utils.broadcast_one_to_all(
+                np.asarray(n_done, np.int32)))
+        if is_writer and n_done:
+            import sys
+
+            print(f"==> Resuming: {n_done} matrices already written",
+                  file=sys.stderr)
+
     labels = None
     out_fh = None
     if is_writer:
@@ -342,21 +374,34 @@ def run_distributed(pars: Params, coordinator: Optional[str] = None,
             readers.read_labels(pars.in_labels, pars.in_labels_header, pars.n_ind)
             if pars.in_labels else readers.default_labels(pars.n_ind)
         )
-        out_fh = open(pars.out, "w")
+        out_fh = open(pars.out, "a" if n_done else "w")
     if pars.evol_model >= 3:
         rep_stream = _iter_replicates_extended(
-            pars, stream, maps, n_trunc, alleles, mesh=mesh
+            pars, stream, maps, n_trunc, alleles, mesh=mesh, start_rep=n_done
         )
     else:
-        rep_stream = _iter_replicates_sharded(pars, stream, maps, n_trunc, mesh)
+        rep_stream = _iter_replicates_sharded(pars, stream, maps, n_trunc, mesh,
+                                              start_rep=n_done)
     matrices = []
+    interrupted = False
     try:
-        for m in rep_stream:
+        for rep, m in enumerate(rep_stream, start=n_done):
             if is_writer:
                 writers.write_dist_matrix(out_fh, labels, m)
                 out_fh.flush()
                 matrices.append(m)
+                ckpt.save(pars.out, pars, rep + 1)
+            if signals.stop_requested():
+                interrupted = True
+                if is_writer:
+                    import sys
+
+                    print("==> Stop requested; output is resumable (--resume)",
+                          file=sys.stderr)
+                break
     finally:
         if out_fh is not None:
             out_fh.close()
+    if is_writer and not interrupted:
+        ckpt.clear(pars.out)
     return matrices

@@ -97,11 +97,15 @@ def resolve_engine(engine: str) -> str:
 
 
 def iter_replicates(pars: Params, P: np.ndarray, engine: str = "auto", mesh=None,
-                    on_stats=None, alleles=None, labels=None):
-    """Yield the distance matrix for the full data, then one per bootstrap
-    replicate (streamed so output durability matches the reference, which
-    prints each matrix as its replicate completes, ngsDist.cpp:282-287).
+                    on_stats=None, alleles=None, labels=None,
+                    start_rep: int = 0):
+    """Yield the distance matrices for replicates start_rep..n_boot_rep
+    (streamed so output durability matches the reference, which prints
+    each matrix as its replicate completes, ngsDist.cpp:282-287).
 
+    start_rep > 0 resumes an interrupted run: earlier replicates are
+    not computed at all (the bootstrap index table is a pure function
+    of the seed, so later replicates are unaffected).
     labels: individual names for the exact engine's verbose>=8 per-site
     debug dump (reference firehose, ngsDist.cpp:355-360)."""
     engine = resolve_engine(engine)
@@ -142,7 +146,7 @@ def iter_replicates(pars: Params, P: np.ndarray, engine: str = "auto", mesh=None
     if engine == "exact":
         P_ind = exact_engine.to_ind_major(P)
         dump_labels = labels if labels is not None else readers.default_labels(pars.n_ind)
-        for rep in range(pars.n_boot_rep + 1):
+        for rep in range(start_rep, pars.n_boot_rep + 1):
             _log(pars, 1, "==> Analyzing full dataset..." if rep == 0
                  else f"==> Bootstrap replicate # {rep} ...")
             _log(pars, 2, "> Mapping positions...")
@@ -178,9 +182,10 @@ def iter_replicates(pars: Params, P: np.ndarray, engine: str = "auto", mesh=None
         # printed before each matrix is pulled, so their timing brackets
         # the replicate's computation like the reference's.
         gen = jax_engine.iter_replicates(
-            pars, P, maps, n_trunc, mesh=mesh, on_stats=on_stats, alleles=alleles
+            pars, P, maps, n_trunc, mesh=mesh, on_stats=on_stats,
+            alleles=alleles, start_rep=start_rep,
         )
-        for rep in range(pars.n_boot_rep + 1):
+        for rep in range(start_rep, pars.n_boot_rep + 1):
             _log(pars, 1, "==> Analyzing full dataset..." if rep == 0
                  else f"==> Bootstrap replicate # {rep} ...")
             _log(pars, 2, "> Mapping positions...")
@@ -270,14 +275,13 @@ def run(
             for rep, m in enumerate(
                 iter_replicates(pars, P, engine=engine, mesh=mesh,
                                 on_stats=on_stats, alleles=alleles,
-                                labels=labels)
+                                labels=labels, start_rep=n_done),
+                start=n_done,  # durable replicates are never recomputed
             ):
                 n_used = pars.n_sites if rep == 0 else n_trunc
                 got = pending_updates.pop() if pending_updates else (
                     float(pars.n_comb) * float(n_used)
                 )
-                if rep < n_done:
-                    continue  # durable from the interrupted run
                 _log(pars, 2, "> Printing distance matrix")
                 writers.write_dist_matrix(out_fh, labels, m)
                 out_fh.flush()

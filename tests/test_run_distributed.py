@@ -30,13 +30,14 @@ from ngsdist_tpu.parallel.multihost import run_distributed
 pdel = sys.argv[5] == "1"
 evol = int(sys.argv[6]) if len(sys.argv) > 6 else 1
 pos = sys.argv[7] if len(sys.argv) > 7 and sys.argv[7] != "-" else None
+resume = len(sys.argv) > 8 and sys.argv[8] == "1"
 pars = Params(in_geno=os.path.join(workdir, "gp.bin"), in_bin=True,
               in_probs=True, n_ind=6, n_sites=57, seed=9,
               n_boot_rep=3, boot_block_size=5, pairwise_del=pdel,
               evol_model=evol, in_pos=pos,
               out=os.path.join(workdir, "mh.dist"), verbose=0)
 mats = run_distributed(pars, coordinator="127.0.0.1:" + port,
-                       num_processes=nproc, process_id=pid)
+                       num_processes=nproc, process_id=pid, resume=resume)
 print("OK", pid, len(mats))
 """
 
@@ -159,3 +160,58 @@ def test_run_distributed_extended_model(tmp_path):
     assert len(mh) == len(single) == 4
     for a, b in zip(mh, single):
         np.testing.assert_allclose(a, b, rtol=0, atol=1e-10)
+
+
+@pytest.mark.slow
+def test_run_distributed_resume(tmp_path):
+    """Kill-and-resume durability: a run interrupted after 2 of 4
+    matrices, restarted with resume=True, must produce byte-identical
+    output to an uninterrupted run — and the resumed run must SKIP the
+    durable replicates (asserted via each process's reported count)."""
+    rng = np.random.default_rng(23)
+    gp = rng.dirichlet(np.ones(3), size=(57, 6))
+    gp.tofile(str(tmp_path / "gp.bin"))
+    worker = str(tmp_path / "worker.py")
+    with open(worker, "w") as fh:
+        fh.write(_WORKER.format(repo=REPO))
+    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+
+    def launch(resume):
+        port = str(_free_port())
+        procs = [
+            subprocess.Popen(
+                [sys.executable, worker, str(pid), "2", port, str(tmp_path),
+                 "0", "1", "-", "1" if resume else "0"],
+                stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env,
+                text=True,
+            )
+            for pid in range(2)
+        ]
+        outs = [p.communicate(timeout=300)[0] for p in procs]
+        for p, out in zip(procs, outs):
+            assert p.returncode == 0, out
+        return outs
+
+    launch(resume=False)
+    full = open(tmp_path / "mh.dist").read()
+
+    # Simulate an interruption after 2 matrices: truncate the output and
+    # plant a matching sidecar (what the graceful-stop path leaves).
+    from ngsdist_tpu.config import Params
+    from ngsdist_tpu.utils import checkpoint as ckpt
+
+    lines = full.splitlines(keepends=True)
+    per_matrix = 6 + 2  # blank + count + n_ind rows
+    with open(tmp_path / "mh.dist", "w") as fh:
+        fh.writelines(lines[: 2 * per_matrix])
+    pars = Params(in_geno=str(tmp_path / "gp.bin"), in_bin=True,
+                  in_probs=True, n_ind=6, n_sites=57, seed=9,
+                  n_boot_rep=3, boot_block_size=5,
+                  out=str(tmp_path / "mh.dist"), verbose=0)
+    pars.validate(); pars.finalize()
+    ckpt.save(str(tmp_path / "mh.dist"), pars, 2)
+
+    outs = launch(resume=True)
+    assert open(tmp_path / "mh.dist").read() == full
+    # the writer reports only the 2 newly computed matrices
+    assert any("OK 0 2" in o for o in outs), outs
