@@ -1,10 +1,11 @@
 #!/usr/bin/env python
 """Headline benchmark: pair-site distance updates/sec on one chip.
 
-Measures the full-matrix computation at the BASELINE.json shape
-(1k individuals x 1M sites, independent-genotypes path with pairwise
-deletion) by streaming site chunks through the jitted einsum engine and
-accumulating the [N, N] sufficient statistics on device.  One JSON line:
+Default mode measures the full-matrix computation at the BASELINE.json
+shape (1k individuals x 1M sites, independent-genotypes path with
+pairwise deletion) by streaming site chunks through the fused Pallas
+kernel and accumulating the [N, N] sufficient statistics on device.
+One JSON line:
 
   {"metric": "pair_site_updates_per_sec", "value": ..., "unit":
    "updates/s", "vs_baseline": ...}
@@ -14,6 +15,18 @@ vs_baseline compares against the reference ngsDist CPU engine scaled to
 tests/refharness/measure_cpu_baseline.py; reference hot loop:
 /root/reference/ngsDist.cpp:325-404 at 9 fused multiply-adds per
 pair-site update).
+
+Additional modes (each prints its own JSON line):
+
+  bench.py --em    EM-path kernel (per-(pair,site) 9-cell EM to
+                   convergence, ops/pallas_em.py) incl. a
+                   bootstrap-weighted replicate on the SAME compiled
+                   kernel; vs_baseline against the measured CPU EM rate
+                   (cpu64_em_updates_per_sec).
+  bench.py --e2e   the real CLI pipeline: binary-GP file -> native
+                   reader -> preprocess -> device kernels -> phylip
+                   writer (runner.run), reporting user-visible
+                   wall-time updates/sec.
 
 Env knobs: NGSDIST_BENCH_N_IND, NGSDIST_BENCH_N_SITES,
 NGSDIST_BENCH_CHUNK override the shape (e.g. for a quick smoke run).
@@ -30,6 +43,110 @@ import numpy as np
 
 REPO = os.path.dirname(os.path.abspath(__file__))
 BASELINE_FILE = os.path.join(REPO, "BENCH_baseline.json")
+
+
+def _baseline(key: str) -> float:
+    if os.path.exists(BASELINE_FILE):
+        with open(BASELINE_FILE) as fh:
+            return float(json.load(fh).get(key, 0.0))
+    return 0.0
+
+
+def _emit(metric: str, value: float, unit: str, baseline_key: str) -> None:
+    ref = _baseline(baseline_key)
+    print(json.dumps({
+        "metric": metric,
+        "value": value,
+        "unit": unit,
+        "vs_baseline": value / ref if ref > 0 else 0.0,
+    }))
+
+
+def main_em() -> None:
+    """EM-path kernel throughput, incl. a weighted bootstrap replicate
+    reusing the same compiled kernel (VERDICT round-1 item 2)."""
+    import jax
+    import jax.numpy as jnp
+
+    sys.path.insert(0, REPO)
+    from ngsdist_tpu.config import default_score_matrix
+    from ngsdist_tpu.ops.pallas_em import em_raw_cnt_pallas
+
+    N = int(os.environ.get("NGSDIST_BENCH_N_IND", 1024))
+    S = int(os.environ.get("NGSDIST_BENCH_N_SITES", 4096))
+    dev = jax.devices()[0]
+    rng_key = jax.random.PRNGKey(0)
+    P = jax.nn.softmax(jax.random.normal(rng_key, (S, N, 3), jnp.float32), axis=-1)
+    P = jax.device_put(P, dev)
+    score9 = default_score_matrix().reshape(-1)
+    w = jnp.asarray(
+        (jax.random.randint(jax.random.PRNGKey(1), (S,), 0, 3)).astype(jnp.float32)
+    )
+
+    def full(weights):
+        raw, cnt = em_raw_cnt_pallas(P, score9, True, site_weights=weights)
+        return raw
+
+    _ = np.asarray(full(None))  # compile rep-0 shape
+    _ = np.asarray(full(w))     # compile the weighted (replicate) shape
+    times = []
+    for _i in range(3):
+        t0 = time.perf_counter()
+        r0 = full(None)
+        r1 = full(w)          # bootstrap replicate: same kernel, new weights
+        np.asarray(r0); np.asarray(r1)
+        times.append((time.perf_counter() - t0) / 2)
+    elapsed = min(times)
+    ups = (N * (N - 1) / 2) * S / elapsed
+    _emit("em_pair_site_updates_per_sec", ups, "updates/s",
+          "cpu64_em_updates_per_sec")
+    print(f"# EM kernel {N} ind x {S} sites, full+weighted replicate on "
+          f"{dev.platform}:{dev.device_kind}", file=sys.stderr)
+
+
+def main_e2e() -> None:
+    """End-to-end CLI pipeline wall-time: binary GP file -> reader ->
+    preprocess -> device kernels -> phylip writer (runner.run).
+
+    Default shape is modest (256 x 64k): on this rig the pipeline is
+    bound by the virtual disk (~25 MB/s cold reads with writeback
+    stalls) and the remote-device tunnel upload, not by compute (the
+    kernel section is ~0.04 s at this shape) — override with
+    NGSDIST_BENCH_N_IND/N_SITES for the full 1k x 1M BASELINE shape.
+    """
+    import tempfile
+
+    sys.path.insert(0, REPO)
+    from ngsdist_tpu import runner
+    from ngsdist_tpu.config import Params
+
+    N = int(os.environ.get("NGSDIST_BENCH_N_IND", 256))
+    S = int(os.environ.get("NGSDIST_BENCH_N_SITES", 1 << 16))
+    rng = np.random.default_rng(7)
+    with tempfile.TemporaryDirectory() as td:
+        geno = os.path.join(td, "gp.bin")
+        t0 = time.perf_counter()
+        with open(geno, "wb") as fh:
+            chunk = 1 << 16
+            for s0 in range(0, S, chunk):
+                n = min(chunk, S - s0)
+                gp = rng.dirichlet(np.ones(3), size=(n, N))
+                gp.tofile(fh)
+        gen_time = time.perf_counter() - t0
+        pars = Params(in_geno=geno, in_bin=True, in_probs=True,
+                      n_ind=N, n_sites=S, indep_geno=True, pairwise_del=True,
+                      evol_model=1, seed=1, verbose=0,
+                      out=os.path.join(td, "out.dist"))
+        pars.validate(); pars.finalize()
+        t0 = time.perf_counter()
+        runner.run(pars, engine="jax")
+        elapsed = time.perf_counter() - t0
+    ups = (N * (N - 1) / 2) * S / elapsed
+    _emit("e2e_pair_site_updates_per_sec", ups, "updates/s",
+          "cpu64_updates_per_sec")
+    print(f"# e2e {N} ind x {S} sites: input gen {gen_time:.1f}s, "
+          f"pipeline {elapsed:.1f}s (reader+preprocess+kernel+writer)",
+          file=sys.stderr)
 
 
 def main() -> None:
@@ -149,4 +266,9 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if "--em" in sys.argv:
+        main_em()
+    elif "--e2e" in sys.argv:
+        main_e2e()
+    else:
+        main()

@@ -132,22 +132,26 @@ def _read_geno_py(
             elif start:
                 for _ in range(start):
                     fh.read(want)
-            for s in range(stop - start):
-                buf = fh.read(want)
-                if len(buf) != want:
-                    raise NgsDistError(
-                        "read_geno",
-                        "GENO file at premature EOF. Check GENO file and number of sites!",
-                    )
-                row = np.frombuffer(buf, dtype=np.float64).reshape(n_ind, N_GENO).copy()
-                if not in_logscale:
-                    with np.errstate(divide="ignore", invalid="ignore"):
-                        row = np.log(row)
-                    row[np.isneginf(row)] = -BIGNEG
-                row = _postprob_py(row)
-                if np.isnan(row).any():
-                    raise NgsDistError("read_geno", "NaN found! Is the file format correct?")
-                geno[s] = row
+            # Bulk read + vectorized normalize (a per-site Python loop
+            # reads large shards at a few MB/s; whole-shard numpy ops
+            # apply the same per-element arithmetic).
+            n_rows = stop - start
+            buf = fh.read(n_rows * want)
+            if len(buf) != n_rows * want:
+                raise NgsDistError(
+                    "read_geno",
+                    "GENO file at premature EOF. Check GENO file and number of sites!",
+                )
+            rows = np.frombuffer(buf, dtype=np.float64).reshape(
+                n_rows, n_ind, N_GENO).copy()
+            if not in_logscale:
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    rows = np.log(rows)
+                rows[np.isneginf(rows)] = -BIGNEG
+            rows = _postprob_py(rows)
+            if np.isnan(rows).any():
+                raise NgsDistError("read_geno", "NaN found! Is the file format correct?")
+            geno[:] = rows
         else:
             s = 0
             while s < stop:

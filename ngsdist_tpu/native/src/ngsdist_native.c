@@ -28,6 +28,7 @@
 #include <stdint.h>
 #include <math.h>
 #include <pthread.h>
+#include <unistd.h>
 #include <zlib.h>
 
 #include "taus.h"
@@ -197,6 +198,52 @@ static void nd_chomp(char *s) {
  *  - strict EOF check: exactly n_sites of data then EOF.
  *
  * Returns 0 on success, nonzero with errbuf filled on failure. */
+typedef struct {
+  double *out;
+  int64_t lo, hi; /* triple range */
+  int in_logscale;
+  int *nan_flag; /* shared; benign racy write of 1 */
+} nd_norm_job;
+
+static void *nd_norm_worker(void *arg) {
+  nd_norm_job *j = (nd_norm_job *)arg;
+  for (int64_t t = j->lo; t < j->hi; t++) {
+    double *p = j->out + 3 * t;
+    if (!j->in_logscale) nd_log_array(p, ND_NGENO);
+    nd_postprob3(p, 1);
+    if (isnan(p[0]) || isnan(p[1]) || isnan(p[2])) *j->nan_flag = 1;
+  }
+  return NULL;
+}
+
+/* log-if-needed + per-triple normalize over n_triples, parallel across
+ * available cores.  Returns nonzero if any NaN was produced. */
+static int nd_normalize_rows(double *out, int64_t n_triples, int in_logscale) {
+  long nt = sysconf(_SC_NPROCESSORS_ONLN);
+  if (nt < 1) nt = 1;
+  if (nt > 16) nt = 16;
+  if (nt > n_triples) nt = (long)(n_triples > 0 ? n_triples : 1);
+  int nan_flag = 0;
+  if (nt == 1) {
+    nd_norm_job j = {out, 0, n_triples, in_logscale, &nan_flag};
+    nd_norm_worker(&j);
+    return nan_flag;
+  }
+  nd_norm_job *jobs = (nd_norm_job *)malloc((size_t)nt * sizeof(nd_norm_job));
+  pthread_t *tids = (pthread_t *)malloc((size_t)nt * sizeof(pthread_t));
+  int64_t chunk = (n_triples + nt - 1) / nt;
+  for (long w = 0; w < nt; w++) {
+    int64_t lo = w * chunk, hi = (w + 1) * chunk;
+    if (hi > n_triples) hi = n_triples;
+    jobs[w] = (nd_norm_job){out, lo, hi, in_logscale, &nan_flag};
+    pthread_create(&tids[w], NULL, nd_norm_worker, &jobs[w]);
+  }
+  for (long w = 0; w < nt; w++) pthread_join(tids[w], NULL);
+  free(jobs);
+  free(tids);
+  return nan_flag;
+}
+
 ND_EXPORT int nd_read_geno(const char *path, int in_bin, int in_probs,
                            int in_logscale, int64_t n_ind, int64_t n_sites,
                            double *out, char *errbuf, int64_t errbuf_cap) {
@@ -219,10 +266,21 @@ ND_EXPORT int nd_read_geno(const char *path, int in_bin, int in_probs,
   int rc = 0;
 
   if (in_bin) {
-    for (int64_t s = 0; s < n_sites && rc == 0; s++) {
-      double *row = out + s * n_ind * ND_NGENO;
-      int want = (int)(n_ind * ND_NGENO * sizeof(double));
-      if (gzread(fh, row, want) != want) {
+    /* Bulk read: stream multi-megabyte slabs straight into the output
+     * buffer (a per-site gzread of a few KB costs more in call
+     * overhead than the decode), then normalize in parallel — the
+     * log + per-triple log-sum-exp over n_sites*n_ind*3 doubles is the
+     * actual bottleneck of large binary loads and is embarrassingly
+     * parallel per site.  Arithmetic per element is unchanged (glibc
+     * log/exp in the reference's order), so results stay bit-exact. */
+    int64_t total = n_sites * n_ind * ND_NGENO * (int64_t)sizeof(double);
+    char *dst = (char *)out;
+    int64_t got = 0;
+    while (got < total) {
+      int64_t want = total - got;
+      if (want > (1 << 24)) want = 1 << 24;
+      int r = gzread(fh, dst + got, (unsigned)want);
+      if (r <= 0) {
         rc = 1;
         nd_seterr(errbuf, errbuf_cap,
                   gzeof(fh)
@@ -232,18 +290,13 @@ ND_EXPORT int nd_read_geno(const char *path, int in_bin, int in_probs,
                         "number of sites!");
         break;
       }
-      for (int64_t i = 0; i < n_ind; i++) {
-        double *p = row + i * ND_NGENO;
-        if (!in_logscale) nd_log_array(p, ND_NGENO);
-        nd_postprob3(p, 1);
-        if (isnan(p[0]) || isnan(p[1]) || isnan(p[2])) {
-          rc = 1;
-          nd_seterr(errbuf, errbuf_cap,
-                    "NaN found! Is the file format correct?");
-          break;
-        }
-      }
+      got += r;
     }
+    if (rc == 0 && nd_normalize_rows(out, n_sites * n_ind, in_logscale))
+      {
+        rc = 1;
+        nd_seterr(errbuf, errbuf_cap, "NaN found! Is the file format correct?");
+      }
   } else {
     line = (char *)malloc(ND_LINE_MAX);
     vals = (double *)malloc(ND_LINE_MAX * sizeof(double) / 2);

@@ -309,6 +309,9 @@ def run_distributed(pars: Params, coordinator: Optional[str] = None,
 
     bring_up(coordinator, num_processes, process_id)
     signals.arm()
+    from ..utils import compile_cache
+
+    compile_cache.enable()
     pars.validate()
     pars.finalize()
     # Models 3-6 run the sharded extended path (the reference aborts on

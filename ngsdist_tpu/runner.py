@@ -221,6 +221,11 @@ def run(
     from .utils import signals
     from .utils.profiling import Throughput, trace
 
+    if resolve_engine(engine) == "jax":
+        from .utils import compile_cache
+
+        compile_cache.enable()
+
     pars.validate()
     pars.finalize()
     for msg in pars.messages:

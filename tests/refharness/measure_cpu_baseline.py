@@ -60,6 +60,27 @@ def main() -> None:
     updates = float(n_pairs) * float(n_sites)
     rate = updates / elapsed
     per_thread = rate / n_threads
+
+    # EM path (no --indep_geno): the reference runs the per-(pair,site)
+    # 9-cell EM (emOptim2.cpp em2, <=50 iters) — measured at a smaller
+    # shape because it is ~2 orders slower per update.
+    em_ind, em_sites = min(n_ind, 24), min(n_sites, 20_000)
+    with tempfile.TemporaryDirectory() as td:
+        geno = os.path.join(td, "gp.bin")
+        gp[:em_sites, :em_ind].tofile(geno)
+        out = os.path.join(td, "out.dist")
+        cmd = [
+            REF_BIN, "--geno", geno, "--n_ind", str(em_ind),
+            "--n_sites", str(em_sites), "--probs",
+            "--out", out, "--n_threads", str(n_threads), "--verbose", "0",
+        ]
+        t0 = time.perf_counter()
+        subprocess.run(cmd, check=True, capture_output=True)
+        em_elapsed = time.perf_counter() - t0
+    em_pairs = em_ind * (em_ind - 1) // 2
+    em_rate = float(em_pairs) * float(em_sites) / em_elapsed
+    em_per_thread = em_rate / n_threads
+
     result = {
         "reference": "fgvieira/ngsDist @ /root/reference (indep path, binary GP)",
         "n_ind": n_ind,
@@ -69,6 +90,12 @@ def main() -> None:
         "cpu_updates_per_sec_measured": rate,
         "cpu_updates_per_sec_per_thread": per_thread,
         "cpu64_updates_per_sec": per_thread * 64,
+        "em_n_ind": em_ind,
+        "em_n_sites": em_sites,
+        "em_elapsed_sec": em_elapsed,
+        "cpu_em_updates_per_sec_measured": em_rate,
+        "cpu_em_updates_per_sec_per_thread": em_per_thread,
+        "cpu64_em_updates_per_sec": em_per_thread * 64,
         "note": "cpu64 extrapolated as 64x per-thread rate (ideal scaling)",
     }
     with open(OUT_JSON, "w") as fh:
