@@ -80,6 +80,38 @@ def main() -> None:
             "efficiency_vs_1dev": eff,
         }))
 
+    # 2-D (sites, pairs) meshes: the optional TP axis for large cohorts
+    # (SURVEY.md §2.3 TP row) — report the same metric per factorization.
+    for nd in sizes:
+        if nd < 2:
+            continue
+        for p in (2, 4):
+            if nd % p or p > nd:
+                continue
+            mesh = make_mesh(n_devices=nd, pairs=p)
+            raw, cnt, _, _ = sharded_suffstats(
+                P, score, mesh, indep=True, pairwise_del=True, dtype=jnp.float32
+            )
+            _ = np.asarray(raw)
+            times = []
+            for _i in range(3):
+                t0 = time.perf_counter()
+                raw, cnt, _, _ = sharded_suffstats(
+                    P, score, mesh, indep=True, pairwise_del=True,
+                    dtype=jnp.float32
+                )
+                _ = np.asarray(raw)
+                times.append(time.perf_counter() - t0)
+            rate = updates / min(times)
+            print(json.dumps({
+                "metric": "pair_site_updates_per_sec",
+                "devices": nd,
+                "mesh": {"sites": nd // p, "pairs": p},
+                "value": rate,
+                "unit": "updates/s",
+                "efficiency_vs_1dev": rate / (base_rate * nd),
+            }))
+
 
 if __name__ == "__main__":
     main()

@@ -51,6 +51,7 @@ _BY_SHORT = {short: (name, arg, short) for name, arg, short in _OPTIONS}
 _EXT_OPTIONS = [
     ("engine", True),       # exact | jax | auto
     ("devices", True),      # shard sites over N devices ("all" = every device)
+    ("pairs", True),        # 2nd mesh axis: split the pair dimension K ways
     ("resume", False),      # continue an interrupted run (.ckpt.json sidecar)
     ("trace_dir", True),    # capture a jax.profiler trace here
     ("throughput", False),  # report pair-site updates/sec on stderr
@@ -248,7 +249,7 @@ def main(argv: Optional[List[str]] = None) -> int:
             # devices of all processes, output written by process 0.
             # Flags the distributed runner cannot honor are rejected
             # rather than silently ignored.
-            for bad in ("trace_dir", "throughput", "devices"):
+            for bad in ("trace_dir", "throughput", "devices", "pairs"):
                 if extras.get(bad):
                     raise NgsDistError(
                         "main", f"--{bad} is not supported with --coordinator"
@@ -274,11 +275,12 @@ def main(argv: Optional[List[str]] = None) -> int:
             return 0
         mesh = None
         devices = extras.get("devices")
-        if devices not in (None, "", "0", "1"):
+        pairs = _atol(extras.get("pairs") or "1") or 1
+        if devices not in (None, "", "0", "1") or pairs > 1:
             from .parallel import make_mesh
 
-            n_dev = None if devices == "all" else _atol(devices)
-            mesh = make_mesh(n_devices=n_dev)
+            n_dev = None if devices in (None, "", "all") else _atol(devices)
+            mesh = make_mesh(n_devices=n_dev, pairs=pairs)
         runner.run(
             pars,
             engine=extras.get("engine", "auto"),

@@ -568,7 +568,10 @@ def _iter_replicates_sharded(
     itemsize = 8 if dtype == jnp.float64 else 4
     partial_cells = N * N if pars.indep_geno else (N * N - N) // 2
     partial_bytes = n_blocks * partial_cells * itemsize * (2 if pars.pairwise_del else 1)
-    use_partials = n_reps > 0 and partial_bytes <= PARTIALS_BUDGET_BYTES
+    # Block partials are 1-D-mesh only; a pairs axis takes the
+    # weighted-recompute path (pm.sharded_suffstats rejects the combo).
+    use_partials = (n_reps > 0 and partial_bytes <= PARTIALS_BUDGET_BYTES
+                    and pm.pairs_size(mesh) == 1)
 
     B = C = None
     if not pars.indep_geno and use_partials:

@@ -44,26 +44,49 @@ from ..core.distance import missing_mask
 from ..core.em import em_pair_site_contribs
 
 AXIS = "sites"
+PAIRS = "pairs"
 
 # Per-shard site-tile element budget for the EM scan (tile*n_pairs*9).
 EM_TILE_ELEM_BUDGET = 1 << 25
 
 
-def _to_varying(x):
-    """Mark a constant as varying over the shard axis (API moved across
+def _to_varying(x, axes=(AXIS,)):
+    """Mark a constant as varying over the shard axes (API moved across
     jax versions: pcast is the current name, pvary its predecessor)."""
     if hasattr(jax.lax, "pcast"):
-        return jax.lax.pcast(x, (AXIS,), to="varying")
-    return jax.lax.pvary(x, (AXIS,))
+        return jax.lax.pcast(x, tuple(axes), to="varying")
+    return jax.lax.pvary(x, tuple(axes))
 
 
-def make_mesh(devices=None, n_devices: Optional[int] = None) -> Mesh:
-    """1-D mesh over all (or the first n) addressable devices."""
+def make_mesh(devices=None, n_devices: Optional[int] = None,
+              pairs: int = 1) -> Mesh:
+    """Mesh over all (or the first n) addressable devices.
+
+    pairs > 1 adds a second axis: devices factor into a
+    (sites, pairs) grid and the engines additionally split the pair
+    dimension (EM pair lists / output rows) across it — the TP analogue
+    for very large cohorts, where the [N, N] / n_pairs tensors would
+    otherwise replicate on every device (SURVEY.md §2.3 TP row).
+    """
     if devices is None:
         devices = jax.devices()
     if n_devices is not None:
         devices = devices[:n_devices]
+    if pairs > 1:
+        n = len(devices)
+        if n % pairs:
+            raise ValueError(f"{n} devices do not factor into pairs={pairs}")
+        return Mesh(np.asarray(devices).reshape(n // pairs, pairs),
+                    (AXIS, PAIRS))
     return Mesh(np.asarray(devices), (AXIS,))
+
+
+def sites_size(mesh: Mesh) -> int:
+    return dict(mesh.shape)[AXIS]
+
+
+def pairs_size(mesh: Mesh) -> int:
+    return dict(mesh.shape).get(PAIRS, 1)
 
 
 def distributed_init(coordinator: Optional[str] = None, **kw) -> None:
@@ -124,12 +147,45 @@ def _divisor_at_most(n: int, cap: int) -> int:
 # ------------------------------------------------------------------ #
 
 
-def _indep_local(Pl, ml, wl, score, pairwise_del: bool, use_pallas: bool = False):
+def _indep_local(Pl, ml, wl, score, pairwise_del: bool, use_pallas: bool = False,
+                 n_pairs_axis: int = 1):
     """Per-shard reduction.  Pl [Sl,N,3] local sites, ml [Sl] 1.0 for
     real sites, wl [Sl] site multiplicities.  With use_pallas (decided
     by the caller OUTSIDE jit so it participates in the cache key), the
-    fused upper-triangular Pallas kernel runs per device."""
+    fused upper-triangular Pallas kernel runs per device.
+
+    n_pairs_axis > 1: this device computes only its slice of the output
+    ROWS (individual i-axis) — the contraction's left operand is a
+    rows-slice, the right stays full, and the result shards over the
+    'pairs' mesh axis (caller pre-pads N to a multiple of it)."""
     dtype = Pl.dtype
+    if n_pairs_axis > 1:
+        if pairwise_del:
+            valid = (~missing_mask(Pl)).astype(dtype) * ml[:, None]
+            Q = Pl * valid[..., None]
+        else:
+            valid = None
+            Q = Pl
+        Y = jnp.einsum("sjh,gh->sjg", Q, score.astype(dtype))
+        N = Q.shape[1]
+        rows = -(-N // n_pairs_axis)
+        r0 = jax.lax.axis_index(PAIRS) * rows
+        Lp = jnp.pad(Q * wl[:, None, None],
+                     ((0, 0), (0, rows * n_pairs_axis - N), (0, 0)))
+        L = jax.lax.dynamic_slice_in_dim(Lp, r0, rows, axis=1)
+        raw = jnp.einsum("sig,sjg->ij", L, Y, preferred_element_type=dtype,
+                         precision=jax.lax.Precision.HIGHEST)
+        raw = jax.lax.psum(raw, AXIS)
+        cnt = None
+        if pairwise_del:
+            vp = jnp.pad(valid * wl[:, None],
+                         ((0, 0), (0, rows * n_pairs_axis - N)))
+            vrows = jax.lax.dynamic_slice_in_dim(vp, r0, rows, axis=1)
+            cnt = jnp.einsum("si,sj->ij", vrows, valid,
+                             preferred_element_type=dtype,
+                             precision=jax.lax.Precision.HIGHEST)
+            cnt = jax.lax.psum(cnt, AXIS)
+        return raw, cnt
     if use_pallas:
         from ..ops.pallas_indep import indep_raw_cnt_pallas
 
@@ -164,9 +220,13 @@ def _indep_local(Pl, ml, wl, score, pairwise_del: bool, use_pallas: bool = False
 @functools.partial(jax.jit, static_argnames=("pairwise_del", "mesh", "use_pallas"))
 def _indep_sharded(P_pad, mask, w, score, pairwise_del: bool, mesh: Mesh,
                    use_pallas: bool = False):
+    p = pairs_size(mesh)
     fn = lambda Pl, ml, wl: _indep_local(Pl, ml, wl, score, pairwise_del,
-                                         use_pallas)
-    out_specs = (P(), P()) if pairwise_del else (P(), None)
+                                         use_pallas, n_pairs_axis=p)
+    if p > 1:
+        out_specs = (P(PAIRS, None), P(PAIRS, None) if pairwise_del else None)
+    else:
+        out_specs = (P(), P()) if pairwise_del else (P(), None)
     raw, cnt = shard_map(
         fn, mesh=mesh,
         in_specs=(P(AXIS, None, None), P(AXIS), P(AXIS)),
@@ -216,7 +276,8 @@ def _indep_blocks_sharded(P_pad, mask, score, pairwise_del, block_size, mesh):
 
 
 def _em_local(Pl, ml, wl, score9, I, J, pairwise_del: bool, tile: int,
-              block_size: int, want_blocks: bool, use_pallas: bool = False):
+              block_size: int, want_blocks: bool, use_pallas: bool = False,
+              n_pairs_axis: int = 1):
     """Per-shard masked-EM reduction over local site tiles (mirrors
     core/distance._em_scan, but runs device-local under shard_map so the
     EM while_loop's trip count is local to this shard).  With use_pallas
@@ -266,8 +327,10 @@ def _em_local(Pl, ml, wl, score9, I, J, pairwise_del: bool, tile: int,
         return (raw, cnt), ys
 
     # The zero init is a constant but the scan outputs vary over the
-    # shard axis; annotate so the carry types match under shard_map.
-    zero = _to_varying(jnp.zeros((n_pairs,), dtype))
+    # shard axes (sites always; pairs too when the pair lists are
+    # sharded); annotate so the carry types match under shard_map.
+    axes = (AXIS, PAIRS) if n_pairs_axis > 1 else (AXIS,)
+    zero = _to_varying(jnp.zeros((n_pairs,), dtype), axes)
     (raw, cnt), ys = jax.lax.scan(body, (zero, zero), (Pt, mt, wt))
     raw = jax.lax.psum(raw, AXIS)
     cnt = jax.lax.psum(cnt, AXIS)
@@ -285,19 +348,25 @@ def _em_local(Pl, ml, wl, score9, I, J, pairwise_del: bool, tile: int,
 )
 def _em_sharded(P_pad, mask, w, score9, I, J, pairwise_del, tile,
                 block_size, want_blocks, mesh, use_pallas=False):
-    fn = lambda Pl, ml, wl: _em_local(
-        Pl, ml, wl, score9, I, J, pairwise_del, tile, block_size, want_blocks,
-        use_pallas,
+    p = pairs_size(mesh)
+    fn = lambda Pl, ml, wl, Il, Jl: _em_local(
+        Pl, ml, wl, score9, Il, Jl, pairwise_del, tile, block_size,
+        want_blocks, use_pallas, n_pairs_axis=p,
     )
+    # With a pairs axis the pair lists are sharded across it: each
+    # device converges only its own pair slice.
+    pair_spec = P(PAIRS) if p > 1 else P()
+    out_pair = P(PAIRS) if p > 1 else P()
     if want_blocks:
-        out_specs = (P(), P(), P(AXIS, None), P(AXIS, None))
+        block_spec = P(AXIS, PAIRS) if p > 1 else P(AXIS, None)
+        out_specs = (out_pair, out_pair, block_spec, block_spec)
     else:
-        out_specs = (P(), P())
+        out_specs = (out_pair, out_pair)
     return shard_map(
         fn, mesh=mesh,
-        in_specs=(P(AXIS, None, None), P(AXIS), P(AXIS)),
+        in_specs=(P(AXIS, None, None), P(AXIS), P(AXIS), pair_spec, pair_spec),
         out_specs=out_specs,
-    )(P_pad, mask, w)
+    )(P_pad, mask, w, I, J)
 
 
 # ------------------------------------------------------------------ #
@@ -319,6 +388,8 @@ def _pair_pi_sharded(Pp, A1, A2, w, pairwise_del: bool, mesh: Mesh):
     U [N, N, 4] (pairwise_del: weighted i-side counts against valid
     j-sides, to be symmetrized by the caller) or c [N, 4].
     """
+    p = pairs_size(mesh)
+
     def fn(Pl, a1l, a2l, wl):
         dtype = Pl.dtype
         d2 = Pl[..., 1] + 2.0 * Pl[..., 2]     # expected allele2 dosage
@@ -328,18 +399,36 @@ def _pair_pi_sharded(Pp, A1, A2, w, pairwise_del: bool, mesh: Mesh):
         if pairwise_del:
             valid = (~missing_mask(Pl)).astype(dtype)
             vw = valid * wl[:, None]
-            U = jnp.einsum("six,sj->ijx", bc * vw[:, :, None], valid,
+            L = bc * vw[:, :, None]
+            if p > 1:  # rows-slice of the i axis, like _indep_local
+                N = L.shape[1]
+                rows = -(-N // p)
+                r0 = jax.lax.axis_index(PAIRS) * rows
+                Lp = jnp.pad(L, ((0, 0), (0, rows * p - N), (0, 0)))
+                L = jax.lax.dynamic_slice_in_dim(Lp, r0, rows, axis=1)
+            U = jnp.einsum("six,sj->ijx", L, valid,
                            preferred_element_type=dtype,
                            precision=jax.lax.Precision.HIGHEST)
             return jax.lax.psum(U, AXIS)
         c = jnp.einsum("s,six->ix", wl, bc, preferred_element_type=dtype,
                        precision=jax.lax.Precision.HIGHEST)
-        return jax.lax.psum(c, AXIS)
+        c = jax.lax.psum(c, AXIS)
+        if p > 1:
+            N = c.shape[0]
+            rows = -(-N // p)
+            r0 = jax.lax.axis_index(PAIRS) * rows
+            c = jax.lax.dynamic_slice_in_dim(
+                jnp.pad(c, ((0, rows * p - N), (0, 0))), r0, rows, axis=0)
+        return c
 
+    if p > 1:
+        out_specs = P(PAIRS, None, None) if pairwise_del else P(PAIRS, None)
+    else:
+        out_specs = P()
     return shard_map(
         fn, mesh=mesh,
         in_specs=(P(AXIS, None, None), P(AXIS, None), P(AXIS, None), P(AXIS)),
-        out_specs=P(),
+        out_specs=out_specs,
     )(Pp, A1, A2, w)
 
 
@@ -356,8 +445,10 @@ def pair_pi_counts(Pp, A1, A2, w, mesh: Mesh, *, pairwise_del: bool) -> np.ndarr
     """Unnormalized expected-base-count accumulators for one (round of
     a) sharded array: U [N, N, 4] (pairwise_del) or c [N, 4], float64.
     Additive over site rounds; normalize once with normalize_pair_pi."""
-    return np.asarray(_pair_pi_sharded(Pp, A1, A2, w, pairwise_del, mesh),
-                      np.float64)
+    out = np.asarray(_pair_pi_sharded(Pp, A1, A2, w, pairwise_del, mesh),
+                     np.float64)
+    N = int(Pp.shape[1])
+    return out[:N]  # trim pairs-axis row padding (no-op on 1-D meshes)
 
 
 def normalize_pair_pi(acc: np.ndarray, pairwise_del: bool) -> np.ndarray:
@@ -397,7 +488,7 @@ def sharded_pair_pi(
         S = int(n_sites)
     elif isinstance(P_host, jax.Array):
         raise ValueError("prebuilt sharded arrays require explicit n_sites")
-    n_dev = mesh.devices.size
+    n_dev = sites_size(mesh)
 
     if isinstance(P_host, jax.Array):
         s_pad = int(P_host.shape[0])
@@ -522,10 +613,23 @@ def sharded_suffstats(
         S = int(n_sites)
     elif isinstance(P_host, jax.Array):
         raise ValueError("prebuilt sharded arrays require explicit n_sites")
-    n_dev = mesh.devices.size
+    n_dev = sites_size(mesh)
+    p = pairs_size(mesh)
     want_blocks = n_blocks is not None
+    if want_blocks and p > 1:
+        raise ValueError(
+            "block partials are 1-D-mesh only; 2-D (pairs) meshes take the "
+            "weighted-recompute bootstrap path"
+        )
     I, J = _pair_indices(N)
     n_pairs = int(I.shape[0])
+    n_pairs_pad = -(-n_pairs // p) * p
+    if n_pairs_pad > n_pairs:
+        # dummy (0,0) pairs keep the per-device slice shape equal;
+        # their outputs are trimmed below
+        padz = jnp.zeros((n_pairs_pad - n_pairs,), jnp.int32)
+        I = jnp.concatenate([I, padz])
+        J = jnp.concatenate([J, padz])
 
     prebuilt = isinstance(P_host, jax.Array)
 
@@ -546,7 +650,7 @@ def sharded_suffstats(
                 raise ValueError("prebuilt shard length not a block multiple")
             # tile = base * (divisor of s_loc/base), capped near the
             # preferred tile: divides s_loc AND is a block multiple.
-            pref = _em_tile(n_pairs, s_loc, block_size)
+            pref = _em_tile(n_pairs_pad // p, s_loc, block_size)
             tile = base * _divisor_at_most(s_loc // base, max(1, pref // base))
         Pp = P_host
     else:
@@ -555,7 +659,8 @@ def sharded_suffstats(
             tile = None
         else:
             s_loc_est = _round_up(S, n_dev) // n_dev
-            tile = _em_tile(n_pairs, _round_up(s_loc_est, block_size), block_size)
+            tile = _em_tile(n_pairs_pad // p, _round_up(s_loc_est, block_size),
+                            block_size)
             granule = tile
         s_pad = _plan_padding(S, n_dev, granule)
         Pp = shard_sites(pad_sites(np.asarray(P_host, dtype=np_dtype), s_pad), mesh)
@@ -602,22 +707,30 @@ def sharded_suffstats(
         # back to the XLA formulation.
         from ..core.distance import _pallas_mode
 
-        use_pallas = site_weights is None and _pallas_mode() == "on"
+        use_pallas = site_weights is None and p == 1 and _pallas_mode() == "on"
         raw, cnt = _indep_sharded(Pp, mask, w, score_d, pairwise_del, mesh,
                                   use_pallas=use_pallas)
+        if p > 1:  # output rows were padded to a multiple of the pairs axis
+            raw = raw[:N]
+            cnt = None if cnt is None else cnt[:N]
         return raw, cnt, None, None
 
     from ..core.distance import _pallas_mode
 
     # The weighted kernel serves bootstrap replicates too; only the
-    # block-partials variant needs the scan formulation.
-    em_pallas = not want_blocks and _pallas_mode() == "on"
+    # block-partials variant needs the scan formulation, and the kernel
+    # computes every pair per device so a pairs axis routes to the
+    # pair-sharded scan instead.
+    em_pallas = not want_blocks and p == 1 and _pallas_mode() == "on"
     out = _em_sharded(Pp, mask, w, score9, I, J, pairwise_del, tile,
                       block_size if want_blocks else 1, want_blocks, mesh,
                       use_pallas=em_pallas)
     if want_blocks:
         return out
     raw, cnt = out
+    if n_pairs_pad > n_pairs:
+        raw = raw[:n_pairs]
+        cnt = cnt[:n_pairs]
     return raw, cnt, None, None
 
 

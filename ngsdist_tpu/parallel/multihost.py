@@ -52,7 +52,16 @@ def host_site_range(n_sites_pad: int, mesh: Mesh) -> Tuple[int, int]:
     too-wide range (and fail later with an opaque shape error), so it
     is rejected here explicitly.
     """
-    n_dev = mesh.devices.size
+    if jax.process_count() == 1:
+        return 0, n_sites_pad
+    from .mesh import pairs_size, sites_size
+
+    if pairs_size(mesh) > 1:
+        raise ValueError(
+            "multi-process runs support 1-D 'sites' meshes only (a pairs "
+            "axis would need per-host replica groups)"
+        )
+    n_dev = sites_size(mesh)
     per_dev = n_sites_pad // n_dev
     idx = sorted(np.where([d.process_index == jax.process_index()
                            for d in mesh.devices.flat])[0])
@@ -75,7 +84,9 @@ def load_global_probs(pars: Params, mesh: Mesh, granule: int = 1):
     granule: per-device shard length multiple (site tiles / block size).
     Returns (global_array, s_pad).
     """
-    n_dev = mesh.devices.size
+    from .mesh import sites_size
+
+    n_dev = sites_size(mesh)
     s_loc = _round_up(_round_up(pars.n_sites, n_dev) // n_dev, granule)
     s_pad = s_loc * n_dev
 
@@ -125,12 +136,14 @@ class SiteStream:
     def __init__(self, pars: Params, mesh: Mesh, np_dtype,
                  local_rows: np.ndarray, s_pad: int, chunk: int,
                  start: int, stop: int):
+        from .mesh import sites_size
+
         self.mesh = mesh
         self.N = pars.n_ind
         self.S = pars.n_sites
         self.np_dtype = np_dtype
         self.s_pad = s_pad
-        self.n_dev = mesh.devices.size
+        self.n_dev = sites_size(mesh)
         self.s_loc = s_pad // self.n_dev
         self.start, self.stop = start, stop
         self.n_local_dev = (stop - start) // self.s_loc
@@ -153,8 +166,9 @@ class SiteStream:
         round down to pref multiples when there is room.
         """
         from ..core.distance import _device_budget_bytes
+        from .mesh import sites_size
 
-        n_dev = mesh.devices.size
+        n_dev = sites_size(mesh)
         g = pars.boot_block_size if pars.n_boot_rep else 1
         pref = int(np.lcm(g, 256)) if not pars.indep_geno else g
         itemsize = np.dtype(np_dtype).itemsize
@@ -175,8 +189,10 @@ class SiteStream:
     def from_array(cls, P_host: np.ndarray, pars: Params, mesh: Mesh,
                    np_dtype) -> "SiteStream":
         """Full tensor already in host RAM (single-host runner path)."""
+        from .mesh import sites_size
+
         s_loc, chunk = cls._plan(pars, mesh, np_dtype)
-        s_pad = s_loc * mesh.devices.size
+        s_pad = s_loc * sites_size(mesh)
         start, stop = host_site_range(s_pad, mesh)
         local = np.zeros((stop - start, pars.n_ind, 3), np_dtype)
         hi = min(stop, pars.n_sites)
@@ -189,8 +205,10 @@ class SiteStream:
                     np_dtype) -> "SiteStream":
         """Each process reads only its own site range of the genotype
         file (io/readers.py site_range) — the multi-host path."""
+        from .mesh import sites_size
+
         s_loc, chunk = cls._plan(pars, mesh, np_dtype)
-        s_pad = s_loc * mesh.devices.size
+        s_pad = s_loc * sites_size(mesh)
         start, stop = host_site_range(s_pad, mesh)
         read_start = min(start, pars.n_sites)
         read_stop = min(stop, pars.n_sites)
@@ -207,13 +225,21 @@ class SiteStream:
 
     # ------------------------- resident path ------------------------- #
 
+    def _put(self, local: np.ndarray, spec, global_shape):
+        """Assemble a global sharded array from this process's rows.
+        Single-process: plain device_put (handles replication over a
+        'pairs' axis); multi-process: per-process shard assembly."""
+        sharding = NamedSharding(self.mesh, spec)
+        if jax.process_count() == 1:
+            return jax.device_put(local, sharding)
+        return jax.make_array_from_process_local_data(
+            sharding, np.ascontiguousarray(local), global_shape
+        )
+
     def global_array(self):
         """The whole padded [s_pad, N, 3] array sharded over the mesh."""
-        sharding = NamedSharding(self.mesh, P(AXIS, None, None))
-        return jax.make_array_from_process_local_data(
-            sharding, np.ascontiguousarray(self.local),
-            (self.s_pad, self.N, 3),
-        )
+        return self._put(self.local, P(AXIS, None, None),
+                         (self.s_pad, self.N, 3))
 
     # ------------------------- streaming path ------------------------ #
 
@@ -233,10 +259,8 @@ class SiteStream:
         l3 = self.local.reshape(self.n_local_dev, self.s_loc, self.N, 3)
         out = np.zeros((self.n_local_dev, self.chunk, self.N, 3), self.np_dtype)
         out[:, : hi - lo] = l3[:, lo:hi]
-        sharding = NamedSharding(self.mesh, P(AXIS, None, None))
-        return jax.make_array_from_process_local_data(
-            sharding, out.reshape(-1, self.N, 3), (self.round_sites, self.N, 3)
-        )
+        return self._put(out.reshape(-1, self.N, 3), P(AXIS, None, None),
+                         (self.round_sites, self.N, 3))
 
     def round_cols(self, r: int, M_full: np.ndarray):
         """Global sharded per-site vector/matrix for round r.
@@ -259,11 +283,8 @@ class SiteStream:
             if g_hi > g_lo:
                 out[d, : g_hi - g_lo] = M_full[g_lo:g_hi]
         spec = P(AXIS) if K is None else P(AXIS, None)
-        sharding = NamedSharding(self.mesh, spec)
         gshape = (self.round_sites,) + ((K,) if K else ())
-        return jax.make_array_from_process_local_data(
-            sharding, out.reshape((-1,) + ((K,) if K else ())), gshape
-        )
+        return self._put(out.reshape((-1,) + ((K,) if K else ())), spec, gshape)
 
 
 def plan_granule(pars: Params) -> int:

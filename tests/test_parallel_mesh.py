@@ -163,6 +163,48 @@ def test_extended_sharded_streaming_matches_resident(mesh8, monkeypatch):
         np.testing.assert_allclose(b_, a_, rtol=0, atol=1e-11)
 
 
+@pytest.mark.parametrize(
+    "indep,pairwise_del", [(True, False), (True, True), (False, False), (False, True)]
+)
+def test_2d_pairs_mesh_matches_1d(indep, pairwise_del):
+    """A (sites=2, pairs=4) mesh — pair lists / output rows split over
+    the second axis — must reproduce the 1-D 8-device pipeline
+    (SURVEY.md §2.3 TP row), incl. bootstrap replicates."""
+    mesh1 = pm.make_mesh(n_devices=8)
+    mesh2 = pm.make_mesh(n_devices=8, pairs=4)
+    assert pm.pairs_size(mesh2) == 4 and pm.sites_size(mesh2) == 2
+    rng = np.random.default_rng(21)
+    S, N = 53, 6  # N=6: 15 pairs (not divisible by 4), rows ragged too
+    P = _rand_probs(rng, S, N)
+    pars = Params(
+        in_geno="x", n_ind=N, n_sites=S, out="y", seed=5,
+        indep_geno=indep, pairwise_del=pairwise_del, in_probs=True,
+        n_boot_rep=2, boot_block_size=4, evol_model=1,
+    )
+    a = _pipeline_matrices(pars, P, mesh1)
+    b = _pipeline_matrices(pars, P, mesh2)
+    assert len(a) == len(b) == 3
+    for x, y in zip(a, b):
+        np.testing.assert_allclose(y, x, rtol=0, atol=1e-11)
+
+
+def test_2d_pairs_mesh_extended_model():
+    """TN93 on the (2,4) mesh: class stats + rows-sliced base counts."""
+    mesh2 = pm.make_mesh(n_devices=8, pairs=4)
+    rng = np.random.default_rng(22)
+    S, N = 41, 5
+    P = _rand_probs(rng, S, N)
+    a = np.array([rng.choice(4, size=2, replace=False) for _ in range(S)], np.int8)
+    pars = Params(
+        in_geno="x", n_ind=N, n_sites=S, out="y", seed=5,
+        indep_geno=False, pairwise_del=True, in_probs=True, evol_model=6,
+    )
+    single = list(dist.iter_replicates(pars, P, [], S, alleles=(a[:, 0], a[:, 1])))
+    sharded = list(dist.iter_replicates(pars, P, [], S, mesh=mesh2,
+                                        alleles=(a[:, 0], a[:, 1])))
+    np.testing.assert_allclose(sharded[0], single[0], rtol=0, atol=1e-10)
+
+
 def test_single_device_mesh_ok():
     """A 1-device mesh must work (degenerate scale-out)."""
     rng = np.random.default_rng(4)
