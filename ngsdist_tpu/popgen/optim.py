@@ -3,10 +3,13 @@
 The reference vendors a 6k-line Fortran-to-C L-BFGS-B translation
 (/root/reference/shared/bfgs.cpp, unlinked in ngsDist; used by sibling
 ngsTools for likelihood maximization under bound constraints).  The
-TPU-native equivalent composes `jax.grad` with optax's L-BFGS and a
-projection onto the box after every step (projected quasi-Newton), all
-inside one jitted `lax.while_loop` — no Fortran, no numerical
-gradients, and it batches/vmaps like everything else in JAX.
+TPU-native equivalent is a projected L-BFGS (the PQN recipe: two-loop
+recursion on the PROJECTED gradient, direction masked on the active
+set, Armijo backtracking along the projection arc), written as one
+jitted `lax.while_loop` with fixed-shape curvature memory — no Fortran,
+no numerical gradients, and it batches/vmaps like everything else in
+JAX.  Oracle-tested against scipy's L-BFGS-B on problems with bounds
+active at the solution (tests/test_popgen.py::TestLbfgsbOracle).
 """
 
 from __future__ import annotations
@@ -15,7 +18,6 @@ from typing import Callable, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
-import optax
 
 
 class LbfgsbResult(NamedTuple):
@@ -33,6 +35,7 @@ def lbfgsb(
     max_iter: int = 100,
     tol: float = 1e-8,
     memory_size: int = 10,
+    max_ls: int = 30,
 ) -> LbfgsbResult:
     """Minimize fun(x) subject to lower <= x <= upper.
 
@@ -41,38 +44,112 @@ def lbfgsb(
     differentiable by jax.grad.
     """
     dtype = x0.dtype
-    lo = -jnp.inf if lower is None else jnp.asarray(lower, dtype)
-    hi = jnp.inf if upper is None else jnp.asarray(upper, dtype)
+    n = x0.shape[0]
+    m = memory_size
+    lo = jnp.full_like(x0, -jnp.inf) if lower is None else jnp.broadcast_to(
+        jnp.asarray(lower, dtype), x0.shape)
+    hi = jnp.full_like(x0, jnp.inf) if upper is None else jnp.broadcast_to(
+        jnp.asarray(upper, dtype), x0.shape)
+    eps_active = jnp.asarray(1e-12, dtype)
 
     def project(x):
         return jnp.clip(x, lo, hi)
 
-    x0 = project(x0)
-    opt = optax.lbfgs(memory_size=memory_size)
-    vg = jax.value_and_grad(fun)
+    def proj_grad(x, g):
+        """Gradient with components pushing OUT of an active bound
+        zeroed — the first-order feasible-direction gradient."""
+        pg = jnp.where((x <= lo + eps_active) & (g > 0), 0.0, g)
+        pg = jnp.where((x >= hi - eps_active) & (g < 0), 0.0, pg)
+        return pg
 
     def pg_norm(x, g):
-        # projected gradient: zero where the bound is active and the
-        # gradient pushes outward
-        pg = jnp.where((x <= lo) & (g > 0), 0.0, g)
-        pg = jnp.where((x >= hi) & (g < 0), 0.0, pg)
-        return jnp.max(jnp.abs(pg))
+        return jnp.max(jnp.abs(proj_grad(x, g)))
 
-    def cond(state):
-        it, x, _f, g, _s = state
-        return jnp.logical_and(it < max_iter, pg_norm(x, g) > tol)
+    x0 = project(x0)
+    vg = jax.value_and_grad(fun)
+    f0, g0 = vg(x0)
+
+    # Fixed-shape circular curvature memory.
+    S0 = jnp.zeros((m, n), dtype)
+    Y0 = jnp.zeros((m, n), dtype)
+    rho0 = jnp.zeros((m,), dtype)  # 1/(s'y); 0 marks an empty slot
+
+    def two_loop(pg, S, Y, rho, gamma):
+        """L-BFGS two-loop recursion on the projected gradient."""
+        def bwd(i, carry):
+            q, alpha = carry
+            a = rho[i] * jnp.dot(S[i], q)
+            q = q - jnp.where(rho[i] != 0.0, a, 0.0) * Y[i]
+            return q, alpha.at[i].set(a)
+
+        q, alpha = jax.lax.fori_loop(
+            0, m, lambda k, c: bwd(m - 1 - k, c), (pg, jnp.zeros((m,), dtype))
+        )
+        r = gamma * q
+
+        def fwd(i, r):
+            b = rho[i] * jnp.dot(Y[i], r)
+            return r + jnp.where(rho[i] != 0.0, alpha[i] - b, 0.0) * S[i]
+
+        return jax.lax.fori_loop(0, m, fwd, r)
+
+    c1 = jnp.asarray(1e-4, dtype)
 
     def body(state):
-        it, x, f, g, opt_state = state
-        updates, opt_state = opt.update(
-            g, opt_state, x, value=f, grad=g, value_fn=fun
-        )
-        x = project(optax.apply_updates(x, updates))
-        f, g = vg(x)
-        return it + 1, x, f, g, opt_state
+        it, x, f, g, S, Y, rho, gamma, slot = state
+        pg = proj_grad(x, g)
+        d = -two_loop(pg, S, Y, rho, gamma)
+        # keep the direction inside the feasible cone and a descent dir
+        d = jnp.where((x <= lo + eps_active) & (d < 0), 0.0, d)
+        d = jnp.where((x >= hi - eps_active) & (d > 0), 0.0, d)
+        descent = jnp.dot(d, g)
+        bad = descent >= -1e-12 * jnp.linalg.norm(d) * jnp.linalg.norm(g)
+        d = jnp.where(bad, -pg, d)
+        descent = jnp.dot(d, g)
 
-    f0, g0 = vg(x0)
-    it, x, f, g, _ = jax.lax.while_loop(
-        cond, body, (jnp.asarray(0, jnp.int32), x0, f0, g0, opt.init(x0))
-    )
+        # Armijo backtracking along the projection arc:
+        #   x(t) = project(x + t d),  accept when
+        #   f(x(t)) <= f + c1 * g'(x(t) - x)
+        def ls_cond(ls):
+            k, t, _xn, fn, ok = ls
+            return jnp.logical_and(k < max_ls, ~ok)
+
+        def ls_body(ls):
+            k, t, _xn, _fn, _ok = ls
+            xn = project(x + t * d)
+            fn = fun(xn)
+            ok = fn <= f + c1 * jnp.dot(g, xn - x)
+            # a zero step (fully clipped) can never satisfy strict
+            # decrease on flat regions; accept equality then
+            ok = jnp.logical_or(ok, jnp.all(xn == x))
+            t_next = jnp.where(ok, t, t * 0.5)
+            return k + 1, t_next, xn, fn, ok
+
+        xn0 = project(x + d)
+        _, _, xn, fn, ok = jax.lax.while_loop(
+            ls_cond, ls_body,
+            (jnp.asarray(0, jnp.int32), jnp.asarray(1.0, dtype), xn0,
+             fun(xn0), jnp.asarray(False)),
+        )
+        fn, gn = vg(xn)
+
+        s = xn - x
+        y = gn - g
+        sy = jnp.dot(s, y)
+        good = sy > 1e-10 * jnp.linalg.norm(s) * jnp.linalg.norm(y)
+        S = jnp.where(good, S.at[slot].set(s), S)
+        Y = jnp.where(good, Y.at[slot].set(y), Y)
+        rho = jnp.where(good, rho.at[slot].set(1.0 / jnp.where(sy != 0, sy, 1.0)),
+                        rho)
+        gamma = jnp.where(good, sy / jnp.dot(y, y), gamma)
+        slot = jnp.where(good, (slot + 1) % m, slot)
+        return it + 1, xn, fn, gn, S, Y, rho, gamma, slot
+
+    def cond(state):
+        it, x, _f, g, *_ = state
+        return jnp.logical_and(it < max_iter, pg_norm(x, g) > tol)
+
+    init = (jnp.asarray(0, jnp.int32), x0, f0, g0, S0, Y0, rho0,
+            jnp.asarray(1.0, dtype), jnp.asarray(0, jnp.int32))
+    it, x, f, g, *_ = jax.lax.while_loop(cond, body, init)
     return LbfgsbResult(x=x, fun=f, n_iter=it, converged=pg_norm(x, g) <= tol)
