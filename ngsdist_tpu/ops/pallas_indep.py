@@ -39,7 +39,9 @@ from jax.experimental.pallas import tpu as pltpu
 EPSILON = 1e-5  # miss_data tolerance (gen_func.hpp:16)
 
 DEFAULT_BLOCK = 128
-DEFAULT_SITE_TILE = 128
+# 512-site tiles amortize per-grid-step overhead: 1.91e12 vs 1.39e12
+# pair-site updates/s at 128 on v5e (B=128, N=1024 sweep).
+DEFAULT_SITE_TILE = 512
 
 import os as _os
 
@@ -103,9 +105,13 @@ def _indep_kernel(
         A, Bm, (((0,), (0,)), ((), ())), preferred_element_type=dtype,
         precision=_PRECISION,
     )
+    # The count contraction is EXACT at single-pass bf16: the operands
+    # are {0,1} masks (exactly representable) and the MXU accumulates in
+    # f32, so per-site counts up to 2^24 carry no rounding — no reason
+    # to spend HIGHEST's multi-pass f32 here.
     cnt_ref[:] += jax.lax.dot_general(
         vi, vj, (((0,), (0,)), ((), ())), preferred_element_type=dtype,
-        precision=_PRECISION,
+        precision=jax.lax.Precision.DEFAULT,
     )
 
 
