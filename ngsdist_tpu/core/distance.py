@@ -110,7 +110,8 @@ def indep_suffstats(
     else:
         valid = None
         Q = P
-    Y = jnp.einsum("sjh,gh->sjg", Q, score.astype(dtype))
+    Y = jnp.einsum("sjh,gh->sjg", Q, score.astype(dtype),
+                   precision=jax.lax.Precision.HIGHEST)
     L = Q if site_weights is None else Q * site_weights[:, None, None].astype(dtype)
     raw = jnp.einsum("sig,sjg->ij", L, Y, preferred_element_type=dtype,
                      precision=jax.lax.Precision.HIGHEST)
@@ -142,7 +143,8 @@ def indep_block_partials(
         valid = None
         Q = P_trunc
     Qb = Q.reshape(n_blocks, block_size, N, 3)
-    Yb = jnp.einsum("bsjh,gh->bsjg", Qb, score.astype(dtype))
+    Yb = jnp.einsum("bsjh,gh->bsjg", Qb, score.astype(dtype),
+                    precision=jax.lax.Precision.HIGHEST)
     B = jnp.einsum("bsig,bsjg->bij", Qb, Yb, preferred_element_type=dtype,
                    precision=jax.lax.Precision.HIGHEST)
     C = None
@@ -453,11 +455,15 @@ def iter_replicates(
         _, _, B, C = full_stats(P[:n_trunc], n_blocks=n_blocks, block_size=block_size)
         M = jnp.asarray(bt.block_multiplicity(table, n_blocks), dtype)
         if B.ndim == 2:  # EM path: [n_blocks, n_pairs]
-            raw_r = jnp.einsum("rb,bp->rp", M, B, preferred_element_type=dtype)
-            cnt_r = None if C is None else jnp.einsum("rb,bp->rp", M, C, preferred_element_type=dtype)
+            raw_r = jnp.einsum("rb,bp->rp", M, B, preferred_element_type=dtype,
+                               precision=jax.lax.Precision.HIGHEST)
+            cnt_r = None if C is None else jnp.einsum("rb,bp->rp", M, C, preferred_element_type=dtype,
+                                                          precision=jax.lax.Precision.HIGHEST)
         else:
-            raw_r = jnp.einsum("rb,bij->rij", M, B, preferred_element_type=dtype)
-            cnt_r = None if C is None else jnp.einsum("rb,bij->rij", M, C, preferred_element_type=dtype)
+            raw_r = jnp.einsum("rb,bij->rij", M, B, preferred_element_type=dtype,
+                               precision=jax.lax.Precision.HIGHEST)
+            cnt_r = None if C is None else jnp.einsum("rb,bij->rij", M, C, preferred_element_type=dtype,
+                                                          precision=jax.lax.Precision.HIGHEST)
         for r in range(n_reps):
             if r + 1 < start_rep:
                 continue

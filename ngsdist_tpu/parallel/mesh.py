@@ -166,7 +166,8 @@ def _indep_local(Pl, ml, wl, score, pairwise_del: bool, use_pallas: bool = False
         else:
             valid = None
             Q = Pl
-        Y = jnp.einsum("sjh,gh->sjg", Q, score.astype(dtype))
+        Y = jnp.einsum("sjh,gh->sjg", Q, score.astype(dtype),
+                   precision=jax.lax.Precision.HIGHEST)
         N = Q.shape[1]
         rows = -(-N // n_pairs_axis)
         r0 = jax.lax.axis_index(PAIRS) * rows
@@ -203,7 +204,8 @@ def _indep_local(Pl, ml, wl, score, pairwise_del: bool, use_pallas: bool = False
     else:
         valid = None
         Q = Pl  # padded sites are all-zero -> contribute nothing
-    Y = jnp.einsum("sjh,gh->sjg", Q, score.astype(dtype))
+    Y = jnp.einsum("sjh,gh->sjg", Q, score.astype(dtype),
+                   precision=jax.lax.Precision.HIGHEST)
     L = Q * wl[:, None, None]
     raw = jnp.einsum("sig,sjg->ij", L, Y, preferred_element_type=dtype,
                      precision=jax.lax.Precision.HIGHEST)
@@ -246,7 +248,8 @@ def _indep_blocks_local(Pl, ml, score, pairwise_del: bool, block_size: int):
         valid = None
         Q = Pl
     Qb = Q.reshape(nb, block_size, N, 3)
-    Yb = jnp.einsum("bsjh,gh->bsjg", Qb, score.astype(dtype))
+    Yb = jnp.einsum("bsjh,gh->bsjg", Qb, score.astype(dtype),
+                    precision=jax.lax.Precision.HIGHEST)
     B = jnp.einsum("bsig,bsjg->bij", Qb, Yb, preferred_element_type=dtype,
                    precision=jax.lax.Precision.HIGHEST)
     C = None
@@ -550,7 +553,8 @@ def resum_blocks(M, B, mesh: Mesh):
     sub = "bp->rp" if B.ndim == 2 else "bij->rij"
 
     def fn(Ml, Bl):
-        out = jnp.einsum("rb," + sub, Ml, Bl, preferred_element_type=B.dtype)
+        out = jnp.einsum("rb," + sub, Ml, Bl, preferred_element_type=B.dtype,
+                         precision=jax.lax.Precision.HIGHEST)
         return jax.lax.psum(out, AXIS)
 
     in_specs = (P(None, AXIS), P(AXIS, *([None] * (B.ndim - 1))))
