@@ -27,6 +27,12 @@ GOLDEN_DIR = os.path.join(FIXTURES, "golden")
 import pytest  # noqa: E402
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: multi-process / long-running end-to-end tests"
+    )
+
+
 @pytest.fixture(scope="session")
 def fixtures_dir():
     return FIXTURES
