@@ -322,9 +322,15 @@ def iter_replicates(
     on_stats=None,
     alleles=None,
     start_rep: int = 0,
+    round_ckpt: bool = False,
 ) -> Iterator[np.ndarray]:
     """Yield the full-data matrix then one matrix per bootstrap replicate,
     computed with the batched engine.
+
+    round_ckpt: persist accumulated sufficient statistics after every
+    streamed site round (long-genome runs) so interruption mid-replicate
+    loses at most one round; enabled by the runner when it owns the
+    output file.
 
     With a `jax.sharding.Mesh` the site axis is sharded across its
     devices and per-shard partial sums are psum-merged
@@ -347,7 +353,7 @@ def iter_replicates(
     if mesh is not None:
         yield from _iter_replicates_sharded(
             pars, P_host, maps, n_trunc, mesh, on_stats=on_stats,
-            start_rep=start_rep,
+            start_rep=start_rep, round_ckpt=round_ckpt,
         )
         return
     dtype = default_dtype()
@@ -417,20 +423,45 @@ def iter_replicates(
     if not chunked:
         P = jnp.asarray(P_host, dtype)
 
-    def stats_stream(site_weights=None, n_used=S):
+    def stats_stream(site_weights=None, n_used=S, rep=0):
         if not chunked:
             Psub = P if n_used == S else P[:n_used]
             raw, cnt, _, _ = full_stats(Psub, site_weights=site_weights)
             return raw, cnt
+        # Chunked accumulation runs host-side in float64 so partial
+        # sums can checkpoint per round (utils/checkpoint.save_rounds)
+        # and a resumed run is byte-identical (round_ckpt in
+        # iter_replicates' signature gates the file writes).
         acc_raw = acc_cnt = None
+        skip = 0
+        if round_ckpt:
+            from ..utils import checkpoint as ckpt_mod
+
+            got = ckpt_mod.load_rounds(pars.out, pars, rep)
+            if got is not None:
+                skip, arrs = got
+                acc_raw = arrs["raw"]
+                acc_cnt = arrs.get("cnt")
+        idx = 0
         for start in range(0, n_used, chunk):
+            if idx < skip:
+                idx += 1
+                continue
             stop = min(start + chunk, n_used)
             Pc = jnp.asarray(P_host[start:stop], dtype)
             wc = None if site_weights is None else site_weights[start:stop]
             raw, cnt, _, _ = full_stats(Pc, site_weights=wc)
+            raw = np.asarray(raw, np.float64)
             acc_raw = raw if acc_raw is None else acc_raw + raw
             if cnt is not None:
+                cnt = np.asarray(cnt, np.float64)
                 acc_cnt = cnt if acc_cnt is None else acc_cnt + cnt
+            idx += 1
+            if round_ckpt:
+                arrs = {"raw": acc_raw}
+                if acc_cnt is not None:
+                    arrs["cnt"] = acc_cnt
+                ckpt_mod.save_rounds(pars.out, pars, rep, idx, arrs)
         return acc_raw, acc_cnt
 
     # Replicate 0: full dataset (skipped entirely on resume).
@@ -475,7 +506,7 @@ def iter_replicates(
             if r + 1 < start_rep:
                 continue
             w = np.bincount(maps[r], minlength=n_trunc).astype(np.float64)
-            raw, cnt = stats_stream(site_weights=w, n_used=n_trunc)
+            raw, cnt = stats_stream(site_weights=w, n_used=n_trunc, rep=r + 1)
             raw_m, cnt_m = to_matrix(raw, cnt)
             denom = cnt_m if pars.pairwise_del else float(n_trunc)
             yield _finalize(raw_m, denom, pars, on_stats)
@@ -497,7 +528,7 @@ def _as_stream(pars: Params, P_src, mesh):
 
 def _iter_replicates_sharded(
     pars: Params, P_src, maps: List[np.ndarray], n_trunc: int, mesh,
-    on_stats=None, start_rep: int = 0,
+    on_stats=None, start_rep: int = 0, round_ckpt: bool = False,
 ) -> Iterator[np.ndarray]:
     """Mesh-sharded replicate stream (sites sharded, psum-merged).
 
@@ -538,9 +569,47 @@ def _iter_replicates_sharded(
         return raw_m, cnt_m
 
     if streaming:
-        def stats_rounds(w_full: np.ndarray):
-            acc_raw = acc_cnt = None
+        import jax
+
+        def _ckpt_resume(rep: int):
+            """(skip, acc_raw, acc_cnt) from a round checkpoint.  Only
+            process 0 keeps the file; the resume state is broadcast so
+            every process re-enters the SAME round (the collective
+            stream must stay aligned)."""
+            if not round_ckpt:
+                return 0, None, None
+            from ..utils import checkpoint as ckpt_mod
+
+            got = None
+            if jax.process_index() == 0:
+                got = ckpt_mod.load_rounds(pars.out, pars, rep)
+            if jax.process_count() > 1:
+                from jax.experimental import multihost_utils as mhu
+
+                n_pairs = len(I)
+                rshape = (N, N) if pars.indep_geno else (n_pairs,)
+                cshape = rshape
+                skip = np.int64(got[0]) if got else np.int64(0)
+                raw0 = (np.asarray(got[1]["raw"], np.float64) if got
+                        else np.zeros(rshape))
+                cnt0 = (np.asarray(got[1].get("cnt", np.zeros(cshape)),
+                                   np.float64) if got else np.zeros(cshape))
+                skip = int(mhu.broadcast_one_to_all(skip))
+                raw0 = np.asarray(mhu.broadcast_one_to_all(raw0))
+                cnt0 = np.asarray(mhu.broadcast_one_to_all(cnt0))
+                if skip == 0:
+                    return 0, None, None
+                has_cnt = pars.pairwise_del or not pars.indep_geno
+                return skip, raw0, (cnt0 if has_cnt else None)
+            if got is None:
+                return 0, None, None
+            return got[0], got[1]["raw"], got[1].get("cnt")
+
+        def stats_rounds(w_full: np.ndarray, rep: int = 0):
+            skip, acc_raw, acc_cnt = _ckpt_resume(rep)
             for r in range(stream.n_rounds):
+                if r < skip:
+                    continue
                 Pr = stream.round_data(r)
                 wr = stream.round_cols(r, w_full)
                 raw, cnt, _, _ = pm.sharded_suffstats(
@@ -553,6 +622,13 @@ def _iter_replicates_sharded(
                 if cnt is not None:
                     cnt = np.asarray(cnt, np.float64)
                     acc_cnt = cnt if acc_cnt is None else acc_cnt + cnt
+                if round_ckpt and jax.process_index() == 0:
+                    from ..utils import checkpoint as ckpt_mod
+
+                    arrs = {"raw": acc_raw}
+                    if acc_cnt is not None:
+                        arrs["cnt"] = acc_cnt
+                    ckpt_mod.save_rounds(pars.out, pars, rep, r + 1, arrs)
             return acc_raw, acc_cnt
 
         for rep in range(start_rep, n_reps + 1):
@@ -563,7 +639,7 @@ def _iter_replicates_sharded(
                 w_full = np.zeros((S,), np.float64)
                 w_full[:n_trunc] = np.bincount(maps[rep - 1], minlength=n_trunc)
                 denom_sites = float(n_trunc)
-            raw, cnt = stats_rounds(w_full)
+            raw, cnt = stats_rounds(w_full, rep)
             raw_m, cnt_m = to_matrix(raw, cnt)
             denom = cnt_m if pars.pairwise_del else denom_sites
             yield _finalize(raw_m, denom, pars, on_stats)

@@ -405,7 +405,8 @@ def run_distributed(pars: Params, coordinator: Optional[str] = None,
         )
     else:
         rep_stream = _iter_replicates_sharded(pars, stream, maps, n_trunc, mesh,
-                                              start_rep=n_done)
+                                              start_rep=n_done,
+                                              round_ckpt=True)
     matrices = []
     interrupted = False
     try:

@@ -98,7 +98,7 @@ def resolve_engine(engine: str) -> str:
 
 def iter_replicates(pars: Params, P: np.ndarray, engine: str = "auto", mesh=None,
                     on_stats=None, alleles=None, labels=None,
-                    start_rep: int = 0):
+                    start_rep: int = 0, round_ckpt: bool = False):
     """Yield the distance matrices for replicates start_rep..n_boot_rep
     (streamed so output durability matches the reference, which prints
     each matrix as its replicate completes, ngsDist.cpp:282-287).
@@ -183,7 +183,7 @@ def iter_replicates(pars: Params, P: np.ndarray, engine: str = "auto", mesh=None
         # the replicate's computation like the reference's.
         gen = jax_engine.iter_replicates(
             pars, P, maps, n_trunc, mesh=mesh, on_stats=on_stats,
-            alleles=alleles, start_rep=start_rep,
+            alleles=alleles, start_rep=start_rep, round_ckpt=round_ckpt,
         )
         for rep in range(start_rep, pars.n_boot_rep + 1):
             _log(pars, 1, "==> Analyzing full dataset..." if rep == 0
@@ -280,7 +280,10 @@ def run(
             for rep, m in enumerate(
                 iter_replicates(pars, P, engine=engine, mesh=mesh,
                                 on_stats=on_stats, alleles=alleles,
-                                labels=labels, start_rep=n_done),
+                                labels=labels, start_rep=n_done,
+                                # round-level suffstats durability for
+                                # streamed long-genome replicates
+                                round_ckpt=close),
                 start=n_done,  # durable replicates are never recomputed
             ):
                 n_used = pars.n_sites if rep == 0 else n_trunc

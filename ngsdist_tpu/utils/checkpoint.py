@@ -79,3 +79,75 @@ def clear(out: str) -> None:
         os.remove(state_path(out))
     except OSError:
         pass
+    clear_rounds(out)
+
+
+# ------------------------------------------------------------------ #
+# Intra-replicate round checkpoints (streaming long-genome runs)      #
+# ------------------------------------------------------------------ #
+#
+# When a genome streams as site rounds (SiteStream), a single replicate
+# can take hours; the replicate-level sidecar above would lose all of
+# it on interruption.  These helpers persist the ACCUMULATED sufficient
+# statistics after each completed round, so a resumed run re-enters the
+# replicate at the first unfinished round.  The statistics are exact
+# partial sums of a deterministic computation, so resumed output is
+# byte-identical to an uninterrupted run.
+
+
+def rounds_path(out: str) -> str:
+    try:
+        import jax
+
+        suffix = f".p{jax.process_index()}" if jax.process_count() > 1 else ""
+    except Exception:
+        suffix = ""
+    return out + f".rounds{suffix}.npz"
+
+
+def save_rounds(out: str, pars: Params, rep: int, next_round: int,
+                arrays: dict) -> None:
+    import numpy as np
+
+    base = rounds_path(out)
+    tmp = base + ".tmp.npz"
+    with open(tmp, "wb") as fh:
+        np.savez(fh, **arrays)
+    meta = {"fingerprint": run_fingerprint(pars), "rep": rep,
+            "next_round": next_round}
+    with open(base + ".meta.tmp", "w") as fh:
+        json.dump(meta, fh)
+    os.replace(base + ".meta.tmp", base + ".meta")
+    os.replace(tmp, base)
+
+
+def load_rounds(out: str, pars: Params, rep: int):
+    """(next_round, arrays) for a matching interrupted replicate, else
+    None."""
+    import numpy as np
+
+    path = rounds_path(out)
+    if not (os.path.exists(path) and os.path.exists(path + ".meta")):
+        return None
+    try:
+        with open(path + ".meta") as fh:
+            meta = json.load(fh)
+    except (OSError, ValueError):
+        return None
+    if (meta.get("fingerprint") != run_fingerprint(pars)
+            or meta.get("rep") != rep):
+        return None
+    try:
+        with np.load(path) as z:
+            arrays = {k: z[k] for k in z.files}
+    except (OSError, ValueError):
+        return None
+    return int(meta["next_round"]), arrays
+
+
+def clear_rounds(out: str) -> None:
+    for suffix in ("", ".meta"):
+        try:
+            os.remove(rounds_path(out) + suffix)
+        except OSError:
+            pass

@@ -1,0 +1,127 @@
+"""Intra-replicate round checkpoints for streamed long-genome runs.
+
+A streamed replicate accumulates sufficient statistics over site
+rounds; utils/checkpoint.save_rounds persists the accumulator after
+each round, so an interruption mid-replicate loses at most one round
+and the resumed run is byte-identical (the statistics are exact partial
+sums of a deterministic computation)."""
+
+import numpy as np
+import pytest
+
+from ngsdist_tpu.config import Params
+from ngsdist_tpu.core import bootstrap as bt
+from ngsdist_tpu.core import distance as dist
+from ngsdist_tpu.utils import checkpoint as ckpt
+
+
+def _rand_probs(rng, S, N):
+    P = rng.dirichlet(np.ones(3), size=(S, N)).astype(np.float64)
+    P[rng.random((S, N)) < 0.15] = 1.0 / 3.0
+    return P
+
+
+def _pars(tmp_path, S, N, **kw):
+    kw.setdefault("seed", 3)
+    return Params(in_geno="x", n_ind=N, n_sites=S, in_probs=True,
+                  out=str(tmp_path / "o.dist"), verbose=0, **kw)
+
+
+def test_single_device_round_resume(tmp_path, monkeypatch):
+    """Kill after 2 of many chunks, resume: identical output, and the
+    completed chunks are NOT recomputed."""
+    rng = np.random.default_rng(40)
+    S, N = 96, 5
+    P = _rand_probs(rng, S, N)
+    pars = _pars(tmp_path, S, N, indep_geno=True, pairwise_del=True)
+    monkeypatch.setenv("NGSDIST_DEVICE_BUDGET", str(16 * N * 3 * 8))  # 16-site chunks
+
+    expected = list(dist.iter_replicates(pars, P, [], S))
+    ckpt.clear(pars.out)
+
+    calls = []
+    orig = dist.indep_suffstats
+
+    def spy(*a, **k):
+        calls.append(1)
+        if len(calls) == 3 and not spy.resumed:
+            raise KeyboardInterrupt("simulated kill mid-replicate")
+        return orig(*a, **k)
+
+    spy.resumed = False
+    monkeypatch.setattr(dist, "indep_suffstats", spy)
+
+    with pytest.raises(KeyboardInterrupt):
+        list(dist.iter_replicates(pars, P, [], S, round_ckpt=True))
+    assert len(calls) == 3  # 2 completed rounds + the failing third
+
+    # rounds sidecar holds the partial accumulator
+    got = ckpt.load_rounds(pars.out, pars, 0)
+    assert got is not None and got[0] == 2
+
+    spy.resumed = True
+    calls.clear()
+    resumed = list(dist.iter_replicates(pars, P, [], S, round_ckpt=True))
+    n_rounds_total = (S + 15) // 16
+    assert len(calls) == n_rounds_total - 2, "completed rounds were recomputed"
+    np.testing.assert_array_equal(resumed[0], expected[0])
+
+
+def test_round_ckpt_ignored_on_mismatch(tmp_path, monkeypatch):
+    """A stale rounds file from different parameters must be ignored."""
+    rng = np.random.default_rng(41)
+    S, N = 64, 4
+    P = _rand_probs(rng, S, N)
+    pars = _pars(tmp_path, S, N, indep_geno=True)
+    monkeypatch.setenv("NGSDIST_DEVICE_BUDGET", str(16 * N * 3 * 8))
+    clean = list(dist.iter_replicates(pars, P, [], S))
+
+    other = _pars(tmp_path, S, N, indep_geno=True, seed=99)
+    ckpt.save_rounds(pars.out, other, 0, 2,
+                     {"raw": np.full((N, N), 1e9)})
+    out = list(dist.iter_replicates(pars, P, [], S, round_ckpt=True))
+    np.testing.assert_array_equal(out[0], clean[0])
+
+
+def test_sharded_streaming_round_resume(tmp_path, monkeypatch):
+    """The mesh streaming path: same kill-and-resume contract, incl. a
+    bootstrap replicate (per-rep keyed checkpoints)."""
+    import jax
+
+    from ngsdist_tpu.parallel import mesh as pm
+
+    mesh = pm.make_mesh(n_devices=4)
+    rng = np.random.default_rng(42)
+    S, N = 90, 4
+    P = _rand_probs(rng, S, N)
+    pars = _pars(tmp_path, S, N, indep_geno=False, pairwise_del=True,
+                 n_boot_rep=1, boot_block_size=3)
+    n_trunc, maps = bt.site_maps(pars.seed, 1, S, 3)
+    monkeypatch.setenv("NGSDIST_DEVICE_BUDGET", str(6 * N * 3 * 8))
+
+    expected = list(dist.iter_replicates(pars, P, maps, n_trunc, mesh=mesh))
+    ckpt.clear(pars.out)
+
+    # interrupt during replicate 1 (rep index 1), third round
+    calls = {"n": 0, "armed": True}
+    orig = pm.sharded_suffstats
+
+    def spy(*a, **k):
+        calls["n"] += 1
+        if calls["armed"] and calls["n"] == 3:
+            raise KeyboardInterrupt
+        return orig(*a, **k)
+
+    monkeypatch.setattr(pm, "sharded_suffstats", spy)
+    gen = dist.iter_replicates(pars, P, maps, n_trunc, mesh=mesh,
+                               round_ckpt=True, start_rep=1)
+    with pytest.raises(KeyboardInterrupt):
+        list(gen)
+    got = ckpt.load_rounds(pars.out, pars, 1)
+    assert got is not None and got[0] == 2
+
+    calls["armed"] = False
+    calls["n"] = 0
+    resumed = list(dist.iter_replicates(pars, P, maps, n_trunc, mesh=mesh,
+                                        round_ckpt=True, start_rep=1))
+    np.testing.assert_array_equal(resumed[0], expected[1])
