@@ -89,19 +89,25 @@ def _atof(s: str) -> float:
 
 def _resolve(name: str):
     """getopt_long_only resolution: exact match, then unambiguous prefix,
-    then single-char short-option fallback."""
+    then single-char short-option fallback.
+
+    REFERENCE options strictly outrank the framework's extra options at
+    every stage — a script written for ngsDist must resolve identically
+    here (e.g. `--pair` is pairwise_del, `-x 4` is n_threads, `--e 2`
+    is evol_model), no matter what extensions exist."""
     if name in _BY_NAME:
         return _BY_NAME[name], False
     if name in _EXT_BY_NAME:
         return (name, _EXT_BY_NAME[name], None), True
     matches = [o for o in _OPTIONS if o[0].startswith(name)]
-    ext_matches = [o for o in _EXT_OPTIONS if o[0].startswith(name)]
-    if len(matches) + len(ext_matches) == 1:
-        if matches:
-            return matches[0], False
-        return (ext_matches[0][0], ext_matches[0][1], None), True
+    if len(matches) == 1:
+        return matches[0], False
     if len(name) == 1 and name in _BY_SHORT:
         return _BY_SHORT[name], False
+    if not matches:
+        ext_matches = [o for o in _EXT_OPTIONS if o[0].startswith(name)]
+        if len(ext_matches) == 1:
+            return (ext_matches[0][0], ext_matches[0][1], None), True
     return None, False
 
 

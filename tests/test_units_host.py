@@ -107,6 +107,23 @@ class TestConfig:
         pars, _ = cli.parse_args(["--n_boot", "7", "--geno", "x"])
         assert pars.n_boot_rep == 7
 
+    def test_reference_options_outrank_extensions(self):
+        """A script written for the reference CLI must resolve
+        identically regardless of the framework's extra flags: --pair
+        is pairwise_del (not --pairs), -x is the n_threads short option
+        (not --x64), --e is evol_model (not --engine), --t is
+        tot_sites (not --trace_dir/--throughput)."""
+        pars, extras = cli.parse_args(
+            ["--pair", "--geno", "x", "-x", "4", "--e", "2", "--t", "99"])
+        assert pars.pairwise_del and pars.n_threads == 4
+        assert pars.evol_model == 2 and pars.tot_sites == 99
+        assert extras.get("engine") == "auto" and not extras.get("x64")
+        # extensions still reachable by exact name or unique prefix
+        pars, extras = cli.parse_args(
+            ["--geno", "x", "--pairs", "2", "--x64", "--plat", "cpu"])
+        assert extras["pairs"] == "2" and extras["x64"] is True
+        assert extras["platform"] == "cpu" and not pars.pairwise_del
+
     def test_single_dash_long(self):
         pars, _ = cli.parse_args(["-geno", "f.gz", "-n_ind", "5"])
         assert pars.in_geno == "f.gz" and pars.n_ind == 5
