@@ -96,13 +96,11 @@ def clear(out: str) -> None:
 
 
 def rounds_path(out: str) -> str:
-    try:
-        import jax
-
-        suffix = f".p{jax.process_index()}" if jax.process_count() > 1 else ""
-    except Exception:
-        suffix = ""
-    return out + f".rounds{suffix}.npz"
+    # Round checkpoints are written and read by process 0 only (the
+    # resume state is broadcast, core/distance._ckpt_resume), so the
+    # path needs no per-process suffix — and touching jax here would
+    # initialize the backend inside jax-free exact-engine runs.
+    return out + ".rounds.npz"
 
 
 def save_rounds(out: str, pars: Params, rep: int, next_round: int,
