@@ -68,3 +68,51 @@ def test_random_config_engines_agree(tmp_path, trial):
     assert len(a) == len(b)
     for ma, mb in zip(a, b):
         np.testing.assert_allclose(mb, ma, rtol=0, atol=1e-10, err_msg=str(kw))
+
+
+@pytest.mark.parametrize("trial", range(8))
+def test_random_config_sharded_streamed_agree(tmp_path, trial, monkeypatch):
+    """Same cross-engine contract under randomized SCALE-OUT shapes:
+    random 1-D/2-D meshes and random (sometimes tiny) device budgets, so
+    the sharded, pairs-split and SiteStream-round paths all fuzz against
+    the bit-exact oracle."""
+    import jax
+
+    from ngsdist_tpu.parallel import mesh as pm
+
+    rng = np.random.default_rng(5000 + trial)
+    S = int(rng.integers(30, 120))
+    N = int(rng.integers(3, 8))
+    kind = rng.choice(["gt", "gp"])
+    path, extra = _write_inputs(tmp_path, rng, S, N, kind)
+
+    kw = dict(extra)
+    if kind == "gp" and rng.random() < 0.4:
+        kw["indep_geno"] = True
+    kw["pairwise_del"] = bool(rng.random() < 0.5)
+    kw["evol_model"] = int(rng.integers(0, 3))
+    if rng.random() < 0.6:
+        kw["n_boot_rep"] = int(rng.integers(1, 3))
+        kw["boot_block_size"] = int(rng.integers(1, max(2, S // 5)))
+
+    n_dev = int(rng.choice([2, 4, 8]))
+    pairs = int(rng.choice([1, 1, 2]))
+    if n_dev % pairs:
+        pairs = 1
+    mesh = pm.make_mesh(n_devices=n_dev, pairs=pairs)
+    if rng.random() < 0.5:  # force SiteStream rounds
+        monkeypatch.setenv("NGSDIST_DEVICE_BUDGET", str(8 * N * 3 * 8))
+    else:
+        monkeypatch.delenv("NGSDIST_DEVICE_BUDGET", raising=False)
+
+    base = dict(in_geno=path, n_ind=N, n_sites=S, seed=int(rng.integers(1, 10000)),
+                verbose=0, **kw)
+    a = runner.run(Params(out=str(tmp_path / "a.dist"), **base), engine="exact")
+    b = runner.run(Params(out=str(tmp_path / "b.dist"), **base), engine="jax",
+                   mesh=mesh)
+    assert len(a) == len(b)
+    for ma, mb in zip(a, b):
+        np.testing.assert_allclose(
+            mb, ma, rtol=0, atol=1e-10,
+            err_msg=f"{kw} mesh=({n_dev},{pairs})",
+        )
