@@ -74,11 +74,42 @@ ND_EXPORT void nd_taus_uniforms(uint32_t seed, uint64_t n, double *out) {
 /* Exact elementwise transforms (glibc libm)                           */
 /* ------------------------------------------------------------------ */
 
-ND_EXPORT void nd_exp_array(double *x, int64_t n) {
-  for (int64_t i = 0; i < n; i++) {
-    x[i] = exp(x[i]);
-    if (x[i] == -INFINITY) x[i] = -ND_BIGNEG; /* conv_space clamp */
+typedef struct {
+  double *x;
+  int64_t lo, hi;
+} nd_exp_job;
+
+static void *nd_exp_worker(void *arg) {
+  nd_exp_job *j = (nd_exp_job *)arg;
+  for (int64_t i = j->lo; i < j->hi; i++) {
+    j->x[i] = exp(j->x[i]);
+    if (j->x[i] == -INFINITY) j->x[i] = -ND_BIGNEG; /* conv_space clamp */
   }
+  return NULL;
+}
+
+ND_EXPORT void nd_exp_array(double *x, int64_t n) {
+  /* Elementwise exp is the whole of normal-space conversion for
+   * billion-element tensors (1k ind x 1M sites = 3e9 doubles), so it
+   * runs parallel across cores; per-element arithmetic is unchanged. */
+  long nt = sysconf(_SC_NPROCESSORS_ONLN);
+  if (nt < 1) nt = 1;
+  if (nt > 16) nt = 16;
+  if (n < (1 << 20) || nt == 1) {
+    nd_exp_job j = {x, 0, n};
+    nd_exp_worker(&j);
+    return;
+  }
+  nd_exp_job jobs[16];
+  pthread_t tids[16];
+  int64_t chunk = (n + nt - 1) / nt;
+  for (long w = 0; w < nt; w++) {
+    int64_t lo = w * chunk, hi = (w + 1) * chunk;
+    if (hi > n) hi = n;
+    jobs[w] = (nd_exp_job){x, lo, hi};
+    pthread_create(&tids[w], NULL, nd_exp_worker, &jobs[w]);
+  }
+  for (long w = 0; w < nt; w++) pthread_join(tids[w], NULL);
 }
 
 ND_EXPORT void nd_log_array(double *x, int64_t n) {
