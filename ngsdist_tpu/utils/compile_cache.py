@@ -32,9 +32,16 @@ def enable() -> None:
             os.path.expanduser("~"), ".cache", "ngsdist_tpu", "xla"
         )
     try:
-        os.makedirs(target, exist_ok=True)
         import jax
 
+        # TPU-only: CPU compiles are fast, and XLA:CPU persists
+        # AOT-compiled code keyed to the build host's CPU features — a
+        # VM migration then makes every cache load print a glog warning
+        # to stderr (breaking reference stderr parity) before falling
+        # back to a fresh compile.
+        if jax.default_backend() == "cpu":
+            return
+        os.makedirs(target, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", target)
         jax.config.update(
             "jax_persistent_cache_min_compile_time_secs",
