@@ -173,11 +173,13 @@ def main() -> None:
     IB, JB = _upper_blocks(N // 128)
     IBj, JBj = jnp.asarray(IB), jnp.asarray(JB)
 
+    ones_w = None  # [chunk, 1] dummy weights (unweighted headline path)
+
     def chunk_step(P3, score9):
         """One site-chunk's sufficient statistics via the fused
         upper-triangular Pallas kernel (P3 plane-major [3, chunk, N])."""
         return _indep_pallas_padded(
-            P3, score9, IBj, JBj, True, 128, SITE_TILE, False
+            P3, score9, ones_w, IBj, JBj, True, False, 128, SITE_TILE, False
         )
 
     @jax.jit
@@ -225,6 +227,7 @@ def main() -> None:
     P4 = jax.nn.softmax(logits, axis=-1)
     if engine != "einsum":
         P4 = jnp.moveaxis(P4, -1, 1)  # [NBUF, 3, chunk, N] plane-major
+        ones_w = jax.device_put(jnp.ones((chunk, 1), dtype), dev)
     bufs = [jax.device_put(P4[b], dev) for b in range(NBUF)]
     score_m = jnp.asarray(default_score_matrix(), dtype)
     score = jax.device_put(

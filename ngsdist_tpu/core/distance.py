@@ -52,11 +52,23 @@ def default_dtype():
     return jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
 
 
+# The engine's peak device footprint is a small multiple of the
+# probability tensor itself: the Pallas kernels materialize a padded
+# (indep: plane-major) layout copy, and the XLA einsum engine two
+# masked intermediates of the same shape.  The resident/chunk planner
+# divides the budget by this factor so the PEAK stays within budget —
+# without it an 8 GiB chunk OOMs a 16 GB v5e at transpose time (the
+# round-2 e2e RESOURCE_EXHAUSTED).
+_WORKING_SET_FACTOR = 3
+
+
 def _device_budget_bytes() -> int:
-    """Device-memory budget for the resident probability tensor; above
-    it the engine streams site chunks.  Default 8 GiB (half a v5e HBM);
-    NGSDIST_DEVICE_BUDGET overrides (bytes)."""
-    return int(os.environ.get("NGSDIST_DEVICE_BUDGET", 8 << 30))
+    """Device-memory budget for the engine's per-dispatch working set
+    (resident probability tensor PLUS its layout/masked copies); above
+    it the engine streams site chunks sized budget/3.  Default 12 GiB
+    (3/4 of a v5e HBM); NGSDIST_DEVICE_BUDGET overrides (bytes)."""
+    raw = int(os.environ.get("NGSDIST_DEVICE_BUDGET", 12 << 30))
+    return max(1, raw // _WORKING_SET_FACTOR)
 
 
 def _pallas_mode() -> str:
@@ -347,7 +359,7 @@ def iter_replicates(
     if pars.evol_model >= 3:
         yield from _iter_replicates_extended(
             pars, P_host, maps, n_trunc, alleles, on_stats, mesh=mesh,
-            start_rep=start_rep,
+            start_rep=start_rep, round_ckpt=round_ckpt,
         )
         return
     if mesh is not None:
@@ -372,11 +384,15 @@ def iter_replicates(
 
     def full_stats(Psub, site_weights=None, n_blocks=None, block_size=None):
         if pars.indep_geno:
-            if n_blocks is None and site_weights is None and pallas != "off":
+            if n_blocks is None and pallas != "off":
                 from ..ops.pallas_indep import indep_raw_cnt_pallas
 
+                # Weighted or not: bootstrap replicates stream their
+                # multiplicities as a [site_tile, 1] block, reusing one
+                # compiled kernel shape per run (no gather).
                 raw_m, cnt_m = indep_raw_cnt_pallas(
-                    Psub, score, pars.pairwise_del, interpret=interp
+                    Psub, score, pars.pairwise_del,
+                    site_weights=site_weights, interpret=interp,
                 )
                 # Kernel writes the upper triangle; extract pair order.
                 cntv = cnt_m[I, J] if pars.pairwise_del else None
@@ -512,6 +528,38 @@ def iter_replicates(
             yield _finalize(raw_m, denom, pars, on_stats)
 
 
+def _round_ckpt_resume(pars: Params, rep: int, shapes, round_ckpt: bool):
+    """(skip, {key: float64 array} | None): round-checkpoint resume
+    state for streamed collective paths.  Only process 0 keeps the
+    sidecar; the state is broadcast (fixed `shapes`) so every process
+    re-enters the SAME round and the collective stream stays aligned."""
+    if not round_ckpt:
+        return 0, None
+    import jax
+
+    from ..utils import checkpoint as ckpt_mod
+
+    got = None
+    if jax.process_index() == 0:
+        got = ckpt_mod.load_rounds(pars.out, pars, rep)
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils as mhu
+
+        skip = np.int64(got[0]) if got else np.int64(0)
+        arrs = {}
+        for k, shp in shapes.items():
+            a = (np.asarray(got[1][k], np.float64)
+                 if got and k in got[1] else np.zeros(shp))
+            arrs[k] = np.asarray(mhu.broadcast_one_to_all(a))
+        skip = int(mhu.broadcast_one_to_all(skip))
+        if skip == 0:
+            return 0, None
+        return skip, arrs
+    if got is None:
+        return 0, None
+    return got[0], dict(got[1])
+
+
 def _as_stream(pars: Params, P_src, mesh):
     """Normalize the sharded engine's input into a SiteStream (or None
     for a prebuilt legacy global array)."""
@@ -572,38 +620,16 @@ def _iter_replicates_sharded(
         import jax
 
         def _ckpt_resume(rep: int):
-            """(skip, acc_raw, acc_cnt) from a round checkpoint.  Only
-            process 0 keeps the file; the resume state is broadcast so
-            every process re-enters the SAME round (the collective
-            stream must stay aligned)."""
-            if not round_ckpt:
+            """(skip, acc_raw, acc_cnt) from a round checkpoint
+            (process-0 sidecar, broadcast — _round_ckpt_resume)."""
+            rshape = (N, N) if pars.indep_geno else (len(I),)
+            shapes = {"raw": rshape}
+            if pars.pairwise_del or not pars.indep_geno:
+                shapes["cnt"] = rshape
+            skip, arrs = _round_ckpt_resume(pars, rep, shapes, round_ckpt)
+            if arrs is None:
                 return 0, None, None
-            from ..utils import checkpoint as ckpt_mod
-
-            got = None
-            if jax.process_index() == 0:
-                got = ckpt_mod.load_rounds(pars.out, pars, rep)
-            if jax.process_count() > 1:
-                from jax.experimental import multihost_utils as mhu
-
-                n_pairs = len(I)
-                rshape = (N, N) if pars.indep_geno else (n_pairs,)
-                cshape = rshape
-                skip = np.int64(got[0]) if got else np.int64(0)
-                raw0 = (np.asarray(got[1]["raw"], np.float64) if got
-                        else np.zeros(rshape))
-                cnt0 = (np.asarray(got[1].get("cnt", np.zeros(cshape)),
-                                   np.float64) if got else np.zeros(cshape))
-                skip = int(mhu.broadcast_one_to_all(skip))
-                raw0 = np.asarray(mhu.broadcast_one_to_all(raw0))
-                cnt0 = np.asarray(mhu.broadcast_one_to_all(cnt0))
-                if skip == 0:
-                    return 0, None, None
-                has_cnt = pars.pairwise_del or not pars.indep_geno
-                return skip, raw0, (cnt0 if has_cnt else None)
-            if got is None:
-                return 0, None, None
-            return got[0], got[1]["raw"], got[1].get("cnt")
+            return skip, arrs["raw"], arrs.get("cnt")
 
         def stats_rounds(w_full: np.ndarray, rep: int = 0):
             skip, acc_raw, acc_cnt = _ckpt_resume(rep)
@@ -722,6 +748,7 @@ def _iter_replicates_extended(
     on_stats=None,
     mesh=None,
     start_rep: int = 0,
+    round_ckpt: bool = False,
 ) -> Iterator[np.ndarray]:
     """Replicate stream for evol_model 3-6 (core/submodels.py).
 
@@ -747,7 +774,7 @@ def _iter_replicates_extended(
     if mesh is not None:
         yield from _extended_mesh(
             pars, P_host, maps, n_trunc, a1, a2, masks, need_pi, on_stats,
-            mesh, start_rep=start_rep,
+            mesh, start_rep=start_rep, round_ckpt=round_ckpt,
         )
         return
 
@@ -778,17 +805,30 @@ def _iter_replicates_extended(
     pallas = _pallas_mode()
 
     def _class_stats_one(Psub, w: np.ndarray):
+        # Weights (class masks x replicate multiplicities) stream
+        # through the kernels' per-site weight block, so every
+        # (chunk, class, replicate) combination reuses one compiled
+        # shape per chunk length.
         if pars.indep_geno:
+            if pallas != "off":
+                from ..ops.pallas_indep import indep_raw_cnt_pallas
+
+                raw_m, cnt_m = indep_raw_cnt_pallas(
+                    Psub, score, pars.pairwise_del, site_weights=w,
+                    interpret=(pallas == "interpret"),
+                )
+                raw_f = np.asarray(raw_m, np.float64)
+                raw_f = np.triu(raw_f) + np.triu(raw_f, 1).T
+                if not pars.pairwise_del:
+                    return raw_f, None
+                cnt_f = np.asarray(cnt_m, np.float64)
+                return raw_f, np.triu(cnt_f) + np.triu(cnt_f, 1).T
             raw, cnt = indep_suffstats(
                 Psub, score, pars.pairwise_del, jnp.asarray(w, dtype)
             )
             return np.asarray(raw, np.float64), (
                 None if cnt is None else np.asarray(cnt, np.float64)
             )
-        # Weights (class masks x replicate multiplicities) stream
-        # through the kernel's per-site weight block, so every
-        # (chunk, class, replicate) combination reuses one compiled
-        # shape per chunk length.
         if pallas != "off":
             from ..ops.pallas_em import em_raw_cnt_pallas
 
@@ -809,19 +849,49 @@ def _iter_replicates_extended(
             _scatter_pairs(cntv, I, J, N),
         )
 
-    def class_stats(w: np.ndarray):
-        """raw/cnt matrices for site weights w, streamed when chunked."""
+    CLS = ("ag", "ct", "tv")
+
+    def all_class_stats(w: np.ndarray, rep: int):
+        """{class: (raw, cnt)} for site weights w.  Chunked runs upload
+        each chunk ONCE and reduce all three class masks against it,
+        checkpointing the six accumulators after every chunk round
+        (round_ckpt) so a kill mid-replicate loses at most one round."""
         if not chunked:
-            return _class_stats_one(P, w)
-        acc_r = acc_c = None
+            return {cl: _class_stats_one(P, w * masks[cl]) for cl in CLS}
+        accs = {cl: [None, None] for cl in CLS}
+        skip = 0
+        if round_ckpt:
+            from ..utils import checkpoint as ckpt_mod
+
+            got = ckpt_mod.load_rounds(pars.out, pars, rep)
+            if got is not None:
+                skip, arrs = got
+                for cl in CLS:
+                    accs[cl][0] = arrs[f"raw_{cl}"]
+                    accs[cl][1] = arrs.get(f"cnt_{cl}")
+        idx = 0
         for start in range(0, S, chunk):
+            if idx < skip:
+                idx += 1
+                continue
             stop = min(start + chunk, S)
             Pc = jnp.asarray(P_host[start:stop], dtype)
-            r, c = _class_stats_one(Pc, w[start:stop])
-            acc_r = r if acc_r is None else acc_r + r
-            if c is not None:
-                acc_c = c if acc_c is None else acc_c + c
-        return acc_r, acc_c
+            for cl in CLS:
+                r, c = _class_stats_one(Pc, (w * masks[cl])[start:stop])
+                accs[cl][0] = r if accs[cl][0] is None else accs[cl][0] + r
+                if c is not None:
+                    accs[cl][1] = c if accs[cl][1] is None else accs[cl][1] + c
+            idx += 1
+            if round_ckpt:
+                from ..utils import checkpoint as ckpt_mod
+
+                arrs = {}
+                for cl in CLS:
+                    arrs[f"raw_{cl}"] = accs[cl][0]
+                    if accs[cl][1] is not None:
+                        arrs[f"cnt_{cl}"] = accs[cl][1]
+                ckpt_mod.save_rounds(pars.out, pars, rep, idx, arrs)
+        return {cl: (accs[cl][0], accs[cl][1]) for cl in CLS}
 
     def pair_pi(w_ok: np.ndarray):
         """[N, N, 4] per-pair base frequencies over classifiable sites."""
@@ -836,10 +906,10 @@ def _iter_replicates_extended(
         with np.errstate(divide="ignore", invalid="ignore"):
             return tot / denom
 
-    def one_matrix(w: np.ndarray, denom_sites: float):
-        raws, cnts = {}, {}
-        for cl in ("ag", "ct", "tv"):
-            raws[cl], cnts[cl] = class_stats(w * masks[cl])
+    def one_matrix(w: np.ndarray, denom_sites: float, rep: int):
+        stats = all_class_stats(w, rep)
+        raws = {cl: stats[cl][0] for cl in CLS}
+        cnts = {cl: stats[cl][1] for cl in CLS}
         if pars.pairwise_del:
             true_cnt = cnts["ag"] + cnts["ct"] + cnts["tv"]
         else:
@@ -856,14 +926,14 @@ def _iter_replicates_extended(
 
     if start_rep == 0:
         w_full = np.ones((S,), np.float64)
-        yield one_matrix(w_full, float(np.sum(masks["ok"])))
+        yield one_matrix(w_full, float(np.sum(masks["ok"])), 0)
 
     for r in range(pars.n_boot_rep):
         if r + 1 < start_rep:
             continue
         w = np.zeros((S,), np.float64)
         w[:n_trunc] = np.bincount(maps[r], minlength=n_trunc)
-        yield one_matrix(w, float(np.sum(w * masks["ok"])))
+        yield one_matrix(w, float(np.sum(w * masks["ok"])), r + 1)
 
 
 def _extended_mesh(
@@ -878,6 +948,7 @@ def _extended_mesh(
     on_stats,
     mesh,
     start_rep: int = 0,
+    round_ckpt: bool = False,
 ) -> Iterator[np.ndarray]:
     """Mesh-sharded replicate stream for evol_model 3-6.
 
@@ -924,46 +995,82 @@ def _extended_mesh(
             )
         return raw, None if cnt is None else np.asarray(cnt, np.float64)
 
-    def class_stats(w: np.ndarray):
-        if not streaming:
-            return suffstats_one(Pp, w, S)
-        acc_r = acc_c = None
-        for r in range(stream.n_rounds):
-            rr, cc = suffstats_one(
-                stream.round_data(r), stream.round_cols(r, w),
-                stream.round_sites,
-            )
-            acc_r = rr if acc_r is None else acc_r + rr
-            if cc is not None:
-                acc_c = cc if acc_c is None else acc_c + cc
-        return acc_r, acc_c
+    CLS = ("ag", "ct", "tv")
+    has_cnt = pars.pairwise_del or not pars.indep_geno
 
-    def pair_pi(w_ok: np.ndarray):
+    def _ckpt_shapes():
+        shapes = {f"raw_{cl}": (N, N) for cl in CLS}
+        if has_cnt:
+            shapes.update({f"cnt_{cl}": (N, N) for cl in CLS})
+        if need_pi:
+            shapes["pi"] = (N, N, 4) if pars.pairwise_del else (N, 4)
+        return shapes
+
+    def all_stats(w: np.ndarray, rep: int):
+        """({class: (raw, cnt)}, pi) for site weights w.  Streaming
+        uploads each round's data ONCE and reduces all three class
+        masks plus the base-frequency counts against it; the seven
+        accumulators round-checkpoint on process 0 (broadcast resume
+        keeps the collective stream aligned across processes)."""
+        w_ok = w * masks["ok"] if need_pi else None
         if not streaming:
-            return pm.sharded_pair_pi(
+            stats = {cl: suffstats_one(Pp, w * masks[cl], S) for cl in CLS}
+            pi = pm.sharded_pair_pi(
                 Pp, a1, a2, w_ok, mesh,
                 pairwise_del=pars.pairwise_del, dtype=dtype, n_sites=S,
-            )
-        spec = lambda r, M: stream.round_cols(r, M)  # noqa: E731
-        acc = None
+            ) if need_pi else None
+            return stats, pi
+        skip, arrs = _round_ckpt_resume(pars, rep, _ckpt_shapes(), round_ckpt)
+        accs = {cl: [None, None] for cl in CLS}
+        pi_acc = None
+        if arrs is not None:
+            for cl in CLS:
+                accs[cl][0] = arrs[f"raw_{cl}"]
+                accs[cl][1] = arrs.get(f"cnt_{cl}")
+            pi_acc = arrs.get("pi")
         for r in range(stream.n_rounds):
-            c = pm.pair_pi_counts(
-                stream.round_data(r), spec(r, A1h), spec(r, A2h),
-                spec(r, w_ok), mesh, pairwise_del=pars.pairwise_del,
-            )
-            acc = c if acc is None else acc + c
-        return pm.normalize_pair_pi(acc, pars.pairwise_del)
+            if r < skip:
+                continue
+            Pr = stream.round_data(r)
+            for cl in CLS:
+                rr, cc = suffstats_one(
+                    Pr, stream.round_cols(r, w * masks[cl]),
+                    stream.round_sites,
+                )
+                accs[cl][0] = rr if accs[cl][0] is None else accs[cl][0] + rr
+                if cc is not None:
+                    accs[cl][1] = cc if accs[cl][1] is None else accs[cl][1] + cc
+            if need_pi:
+                c = pm.pair_pi_counts(
+                    Pr, stream.round_cols(r, A1h), stream.round_cols(r, A2h),
+                    stream.round_cols(r, w_ok), mesh,
+                    pairwise_del=pars.pairwise_del,
+                )
+                pi_acc = c if pi_acc is None else pi_acc + c
+            if round_ckpt and jax.process_index() == 0:
+                from ..utils import checkpoint as ckpt_mod
 
-    def one_matrix(w: np.ndarray, denom_sites: float):
-        raws, cnts = {}, {}
-        for cl in ("ag", "ct", "tv"):
-            raws[cl], cnts[cl] = class_stats(w * masks[cl])
+                out = {}
+                for cl in CLS:
+                    out[f"raw_{cl}"] = accs[cl][0]
+                    if accs[cl][1] is not None:
+                        out[f"cnt_{cl}"] = accs[cl][1]
+                if pi_acc is not None:
+                    out["pi"] = pi_acc
+                ckpt_mod.save_rounds(pars.out, pars, rep, r + 1, out)
+        pi = (pm.normalize_pair_pi(pi_acc, pars.pairwise_del)
+              if need_pi else None)
+        return {cl: (accs[cl][0], accs[cl][1]) for cl in CLS}, pi
+
+    def one_matrix(w: np.ndarray, denom_sites: float, rep: int):
+        stats, pi = all_stats(w, rep)
+        raws = {cl: stats[cl][0] for cl in CLS}
+        cnts = {cl: stats[cl][1] for cl in CLS}
         if pars.pairwise_del:
             true_cnt = cnts["ag"] + cnts["ct"] + cnts["tv"]
         else:
             true_cnt = denom_sites
         cnt = float(pars.tot_sites) if pars.tot_sites > 0 else true_cnt
-        pi = pair_pi(w * masks["ok"]) if need_pi else None
         if on_stats is not None:
             on_stats(raws["ag"] + raws["ct"] + raws["tv"], true_cnt)
         d = sm.apply_extended_model(
@@ -974,11 +1081,11 @@ def _extended_mesh(
 
     if start_rep == 0:
         w_full = np.ones((S,), np.float64)
-        yield one_matrix(w_full, float(np.sum(masks["ok"])))
+        yield one_matrix(w_full, float(np.sum(masks["ok"])), 0)
 
     for r in range(pars.n_boot_rep):
         if r + 1 < start_rep:
             continue
         w = np.zeros((S,), np.float64)
         w[:n_trunc] = np.bincount(maps[r], minlength=n_trunc)
-        yield one_matrix(w, float(np.sum(w * masks["ok"])))
+        yield one_matrix(w, float(np.sum(w * masks["ok"])), r + 1)

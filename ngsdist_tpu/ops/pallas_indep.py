@@ -61,9 +61,9 @@ def _valid(P0, P1, P2, dtype):
 
 def _indep_kernel(
     ib_ref, jb_ref,          # scalar prefetch
-    pi_ref, pj_ref, score_ref,
+    pi_ref, pj_ref, score_ref, w_ref,
     raw_ref, cnt_ref,
-    *, pairwise_del: bool,
+    *, pairwise_del: bool, weighted: bool,
 ):
     st = pl.program_id(1)
 
@@ -83,6 +83,15 @@ def _indep_kernel(
     else:
         # mask only padding; count real sites (missing included)
         vi, vj = vi_z, vj_z
+
+    if weighted:
+        # Per-site weights (bootstrap multiplicities x class masks) fold
+        # into the i-side validity, entering raw and cnt exactly once —
+        # a site of weight w behaves like w aliased copies of itself
+        # (the reference's resampling, ngsDist.cpp:416-437), with ONE
+        # compiled shape for every replicate.  [TS, 1] broadcasts over
+        # the lane (individual) dim on the VPU.
+        vi = vi * w_ref[:]
 
     Qi = [p * vi for p in Pi]
     Qj = [p * vj for p in Pj]
@@ -105,13 +114,14 @@ def _indep_kernel(
         A, Bm, (((0,), (0,)), ((), ())), preferred_element_type=dtype,
         precision=_PRECISION,
     )
-    # The count contraction is EXACT at single-pass bf16: the operands
-    # are {0,1} masks (exactly representable) and the MXU accumulates in
-    # f32, so per-site counts up to 2^24 carry no rounding — no reason
-    # to spend HIGHEST's multi-pass f32 here.
+    # The count contraction is EXACT at single-pass bf16 when the
+    # operands are {0,1} masks (exactly representable; the MXU
+    # accumulates in f32, so per-site counts up to 2^24 carry no
+    # rounding).  Weighted counts carry arbitrary multiplicities on the
+    # i side, so they pay HIGHEST like the raw contraction.
     cnt_ref[:] += jax.lax.dot_general(
         vi, vj, (((0,), (0,)), ((), ())), preferred_element_type=dtype,
-        precision=jax.lax.Precision.DEFAULT,
+        precision=_PRECISION if weighted else jax.lax.Precision.DEFAULT,
     )
 
 
@@ -122,11 +132,14 @@ def _upper_blocks(nb: int) -> Tuple[np.ndarray, np.ndarray]:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("pairwise_del", "block", "site_tile", "interpret", "vma"),
+    static_argnames=("pairwise_del", "weighted", "block", "site_tile",
+                     "interpret", "vma"),
 )
 def _indep_pallas_padded(
     P3,                      # [3, S_pad, N_pad] plane-major probabilities
-    score9, IB, JB, pairwise_del, block, site_tile, interpret, vma=None
+    score9,
+    w,                       # [S_pad, 1] per-site weights (ignored unless weighted)
+    IB, JB, pairwise_del, weighted, block, site_tile, interpret, vma=None
 ):
     _, S_pad, N_pad = P3.shape
     G = IB.shape[0]
@@ -148,6 +161,11 @@ def _indep_pallas_padded(
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(
+                (site_tile, 1),
+                lambda g, st, IB, JB: (st, 0),
+                memory_space=pltpu.VMEM,
+            ),
         ],
         out_specs=[
             pl.BlockSpec(
@@ -162,7 +180,8 @@ def _indep_pallas_padded(
             ),
         ],
     )
-    kernel = functools.partial(_indep_kernel, pairwise_del=pairwise_del)
+    kernel = functools.partial(_indep_kernel, pairwise_del=pairwise_del,
+                               weighted=weighted)
     # vma: varying-mesh-axes annotation, required when the kernel runs
     # per-device inside shard_map (outputs vary over the shard axis).
     kw = {} if vma is None else {"vma": frozenset(vma)}
@@ -174,7 +193,7 @@ def _indep_pallas_padded(
             jax.ShapeDtypeStruct((N_pad, N_pad), dtype, **kw),
         ],
         interpret=interpret,
-    )(IB, JB, P3, P3, score9)
+    )(IB, JB, P3, P3, score9, w)
     return raw, cnt
 
 
@@ -182,6 +201,7 @@ def indep_raw_cnt_pallas(
     P: jnp.ndarray,
     score,
     pairwise_del: bool,
+    site_weights=None,
     *,
     block: int = DEFAULT_BLOCK,
     site_tile: int = DEFAULT_SITE_TILE,
@@ -193,6 +213,13 @@ def indep_raw_cnt_pallas(
     P: [S, N, 3] normal-space probabilities.  Returns (raw, cnt) [N, N]
     with valid upper triangle including the diagonal.  cnt counts
     non-missing pairs under pairwise deletion, real sites otherwise.
+
+    site_weights (nonnegative floats: bootstrap multiplicities, class
+    masks, or their products) stream as a [site_tile, 1] block scaling
+    the i-side mask — every bootstrap replicate reuses ONE compiled
+    shape, no gather and no per-replicate recompilation (same contract
+    as ops/pallas_em.em_raw_cnt_pallas).  May be a traced array
+    (per-device weights under shard_map).
     """
     if interpret and vma is not None:
         raise ValueError(
@@ -204,11 +231,17 @@ def indep_raw_cnt_pallas(
     S_pad = ((S + site_tile - 1) // site_tile) * site_tile
     N_pad = ((N + block - 1) // block) * block
     P3 = jnp.moveaxis(jnp.pad(P, ((0, S_pad - S), (0, N_pad - N), (0, 0))), -1, 0)
+    weighted = site_weights is not None
+    if weighted:
+        w = jnp.pad(jnp.asarray(site_weights, dtype).reshape(-1, 1),
+                    ((0, S_pad - S), (0, 0)))
+    else:
+        w = jnp.ones((S_pad, 1), dtype)
     score9 = jnp.asarray(score, dtype).reshape(1, 9)  # traced-safe
     IB, JB = _upper_blocks(N_pad // block)
     raw, cnt = _indep_pallas_padded(
-        P3, score9, jnp.asarray(IB), jnp.asarray(JB),
-        pairwise_del, block, site_tile, interpret,
+        P3, score9, w, jnp.asarray(IB), jnp.asarray(JB),
+        pairwise_del, weighted, block, site_tile, interpret,
         None if vma is None else tuple(vma),
     )
     return raw[:N, :N], cnt[:N, :N]

@@ -190,7 +190,11 @@ def _indep_local(Pl, ml, wl, score, pairwise_del: bool, use_pallas: bool = False
     if use_pallas:
         from ..ops.pallas_indep import indep_raw_cnt_pallas
 
-        raw_m, cnt_m = indep_raw_cnt_pallas(Pl, score, pairwise_del, vma=(AXIS,))
+        # wl carries the real-site mask and any bootstrap/class weights;
+        # streaming it through the kernel keeps rep 0 and every
+        # replicate on ONE compiled shape per run.
+        raw_m, cnt_m = indep_raw_cnt_pallas(Pl, score, pairwise_del,
+                                            site_weights=wl, vma=(AXIS,))
         raw_m = jnp.triu(raw_m) + jnp.triu(raw_m, 1).T
         raw = jax.lax.psum(raw_m, AXIS)
         cnt = None
@@ -706,12 +710,12 @@ def sharded_suffstats(
             return None, None, B, C
         # Kernel dispatch decided here (outside jit) so NGSDIST_PALLAS
         # participates in the cache key via the static argument; the
-        # kernel serves only the unweighted case, and interpret mode
-        # cannot run under shard_map (jax vma limitation) so it falls
-        # back to the XLA formulation.
+        # weighted kernel serves bootstrap replicates too, and interpret
+        # mode cannot run under shard_map (jax vma limitation) so it
+        # falls back to the XLA formulation.
         from ..core.distance import _pallas_mode
 
-        use_pallas = site_weights is None and p == 1 and _pallas_mode() == "on"
+        use_pallas = p == 1 and _pallas_mode() == "on"
         raw, cnt = _indep_sharded(Pp, mask, w, score_d, pairwise_del, mesh,
                                   use_pallas=use_pallas)
         if p > 1:  # output rows were padded to a multiple of the pairs axis

@@ -43,6 +43,61 @@ def test_pallas_indep_matches_einsum(pairwise_del, avg_nuc):
         np.testing.assert_array_equal(np.asarray(cnt)[iu], float(S))
 
 
+@pytest.mark.parametrize("pairwise_del", [False, True])
+def test_pallas_indep_weighted_matches_einsum(pairwise_del):
+    """Per-site weights (bootstrap multiplicities) through the kernel
+    must equal the weighted einsum engine — the no-gather replicate
+    contract (ngsDist.cpp:416-437 aliasing semantics)."""
+    rng = np.random.default_rng(3)
+    S, N = 53, 11
+    P = _rand_probs(rng, S, N)
+    score = default_score_matrix()
+    w = rng.integers(0, 4, size=S).astype(np.float64)
+
+    raw_ref, cnt_ref = dist.indep_suffstats(
+        jnp.asarray(P), jnp.asarray(score), pairwise_del, jnp.asarray(w)
+    )
+    iu = np.triu_indices(N, k=1)
+    raw, cnt = indep_raw_cnt_pallas(
+        jnp.asarray(P), score, pairwise_del, site_weights=w,
+        block=8, site_tile=8, interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(raw)[iu], np.asarray(raw_ref)[iu], rtol=1e-12, atol=1e-12
+    )
+    if pairwise_del:
+        np.testing.assert_allclose(
+            np.asarray(cnt)[iu], np.asarray(cnt_ref)[iu], rtol=0, atol=1e-12
+        )
+
+
+def test_streamed_bootstrap_weighted_kernel_interpret(monkeypatch):
+    """Chunk-streamed bootstrap replicates (weighted kernel, one
+    compiled shape) must match the unstreamed einsum engine."""
+    from ngsdist_tpu.config import Params
+    from ngsdist_tpu.core import bootstrap as bt
+
+    rng = np.random.default_rng(11)
+    S, N = 60, 9
+    P = _rand_probs(rng, S, N)
+    pars = Params(in_geno="x", n_ind=N, n_sites=S, out="y", seed=9,
+                  indep_geno=True, pairwise_del=True, in_probs=True,
+                  n_boot_rep=3, boot_block_size=7)
+    n_trunc, maps = bt.site_maps(pars.seed, pars.n_boot_rep, S,
+                                 pars.boot_block_size)
+
+    monkeypatch.setenv("NGSDIST_PALLAS", "0")
+    monkeypatch.delenv("NGSDIST_DEVICE_BUDGET", raising=False)
+    ref = list(dist.iter_replicates(pars, P, maps, n_trunc))
+    monkeypatch.setenv("NGSDIST_PALLAS", "interpret")
+    # Budget forces ~3 site chunks -> streamed weighted-kernel replicates.
+    monkeypatch.setenv("NGSDIST_DEVICE_BUDGET", str(20 * N * 3 * 8))
+    got = list(dist.iter_replicates(pars, P, maps, n_trunc))
+    assert len(got) == len(ref) == 4
+    for g, r in zip(got, ref):
+        np.testing.assert_allclose(g, r, rtol=0, atol=1e-9)
+
+
 @pytest.mark.parametrize("indep", [True, False])
 def test_pipeline_pallas_dispatch_interpret(monkeypatch, indep):
     """Full replicate pipeline with NGSDIST_PALLAS=interpret must match
