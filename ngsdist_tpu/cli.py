@@ -12,6 +12,7 @@ Usage:  python -m ngsdist_tpu [options] --geno FILE --n_ind N --n_sites N --out 
 
 from __future__ import annotations
 
+import os
 import sys
 from typing import List, Optional
 
@@ -297,7 +298,11 @@ def main(argv: Optional[List[str]] = None) -> int:
         )
     except NgsDistError as e:
         sys.stdout.flush()
+        # error() block + perror("\t") suffix (gen_func.cpp:12-18):
+        # strerror of the failing syscall's errno, "Success" when none.
         sys.stderr.write(f"\n=====\nERROR: [{e.func}] {e.msg}\n=====\n\n")
+        sys.stderr.write(f"\t: {os.strerror(e.err) if e.err else 'Success'}\n")
+        sys.stderr.flush()
         return 255
     return 0
 

@@ -32,12 +32,18 @@ EVOL_MODEL_NAMES = [
 
 
 class NgsDistError(RuntimeError):
-    """Fatal configuration / data error (reference exits -1 on these)."""
+    """Fatal configuration / data error (reference exits -1 on these).
 
-    def __init__(self, func: str, msg: str):
+    err carries the OS errno at the failure point: the reference's
+    error() helper ends with perror("\\t") (gen_func.cpp:12-18), so the
+    CLI prints "\\t: <strerror(err)>" after the ERROR block ("Success"
+    when no syscall failed)."""
+
+    def __init__(self, func: str, msg: str, err: int = 0):
         super().__init__(f"[{func}] {msg}")
         self.func = func
         self.msg = msg
+        self.err = err
 
 
 def default_score_matrix(avg_nuc_dist: bool = False) -> np.ndarray:
@@ -169,8 +175,9 @@ class Params:
         else:
             try:
                 st_size = os.stat(self.in_geno).st_size
-            except OSError:
-                raise NgsDistError("main", "cannot check GENO file size!")
+            except OSError as ex:
+                raise NgsDistError("main", "cannot check GENO file size!",
+                                   err=ex.errno or 0)
             if self.in_geno.endswith(".gz"):
                 if self.verbose >= 1:
                     self.messages.append("==> GZIP input file (never BINARY)")

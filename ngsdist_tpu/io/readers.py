@@ -44,10 +44,16 @@ _STRTOD_RE = re.compile(
 )
 
 
-def _open_text(path: str):
+def _open_text(path: str, func: str = "read_file"):
     if path == "-":
         return sys.stdin.buffer
-    return gzip.open(path, "rb") if path.endswith(".gz") else open(path, "rb")
+    try:
+        return (gzip.open(path, "rb") if path.endswith(".gz")
+                else open(path, "rb"))
+    except OSError as ex:
+        # open_gzfile failure (gen_func.cpp:244-246): formatted fatal
+        # error carrying errno for the CLI's perror("\t") suffix.
+        raise NgsDistError(func, "cannot open file!", err=ex.errno or 0)
 
 
 def _split_numeric(line: str) -> List[float]:
@@ -120,10 +126,16 @@ def _read_geno_py(
     start, stop = site_range if site_range is not None else (0, n_sites)
     geno = np.full((stop - start, n_ind, N_GENO), -BIGNEG, dtype=np.float64)
 
-    fh = _open_text(path) if not in_bin else (
-        sys.stdin.buffer if path == "-" else
-        (gzip.open(path, "rb") if path.endswith(".gz") else open(path, "rb"))
-    )
+    try:
+        fh = _open_text(path) if not in_bin else (
+            sys.stdin.buffer if path == "-" else
+            (gzip.open(path, "rb") if path.endswith(".gz")
+             else open(path, "rb"))
+        )
+    except (OSError, NgsDistError) as ex:
+        # read_data.cpp:24-26 formats its own message for the GENO file
+        err = getattr(ex, "err", None) or getattr(ex, "errno", 0) or 0
+        raise NgsDistError("read_geno", "cannot open GENO file!", err=err)
     try:
         if in_bin:
             want = n_ind * N_GENO * 8

@@ -111,12 +111,13 @@ def iter_replicates(pars: Params, P: np.ndarray, engine: str = "auto", mesh=None
     engine = resolve_engine(engine)
 
     # Models 3-6 abort inside the first pair task in the reference
-    # (ngsDist.cpp:387-398).  The exact engine reproduces that abort for
-    # drop-in parity; the jax engine implements them (core/submodels.py)
-    # from the POS file's alleles.
-    if engine == "exact" or pars.evol_model < 3:
+    # (ngsDist.cpp:387-398) — AFTER the replicate's stage banners.  The
+    # exact engine reproduces that abort (native rc=2 raises inside the
+    # loop below, post-banner); the jax engine implements the models
+    # (core/submodels.py) from the POS file's alleles.
+    if pars.evol_model < 3:
         models.check_model_supported(pars.evol_model)
-    elif alleles is None:
+    elif engine == "jax" and alleles is None:
         raise NgsDistError(
             "main", "evolutionary models need allele info in the POS file!"
         )
@@ -250,8 +251,9 @@ def run(
     if out_fh is None:
         try:
             out_fh = open(pars.out, "a" if n_done else "w")
-        except OSError:
-            raise NgsDistError("main", "cannot open output file!")
+        except OSError as ex:
+            raise NgsDistError("main", "cannot open output file!",
+                               err=ex.errno or 0)
         close = True
     matrices: List[np.ndarray] = []
     meter = Throughput(pars.n_comb)
