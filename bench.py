@@ -156,7 +156,8 @@ def main() -> None:
     sys.path.insert(0, REPO)
     from ngsdist_tpu.config import default_score_matrix
     from ngsdist_tpu.core.distance import missing_mask
-    from ngsdist_tpu.ops.pallas_indep import _indep_pallas_padded, _upper_blocks
+    from ngsdist_tpu.ops.pallas_indep import (indep_raw_cnt_pallas,
+                                              prepare_plane_major)
 
     engine = os.environ.get("NGSDIST_BENCH_ENGINE", "pallas")
 
@@ -169,18 +170,15 @@ def main() -> None:
     dev = jax.devices()[0]
     dtype = jnp.float32
 
-    SITE_TILE = 512
-    IB, JB = _upper_blocks(N // 128)
-    IBj, JBj = jnp.asarray(IB), jnp.asarray(JB)
-
-    ones_w = None  # [chunk, 1] dummy weights (unweighted headline path)
-
     def chunk_step(P3, score9):
-        """One site-chunk's sufficient statistics via the fused
-        upper-triangular Pallas kernel (P3 plane-major [3, chunk, N])."""
-        return _indep_pallas_padded(
-            P3, score9, ones_w, IBj, JBj, True, False, 128, SITE_TILE, False
-        )
+        """One site-chunk's sufficient statistics through the engine's
+        kernel dispatcher.  The chunk is pre-relayouted plane-major via
+        prepare_plane_major — the same prepare-once-reuse-per-replicate
+        call pattern core/distance.py uses (kernel-resident headline:
+        replicate streams amortize the relayout, so it stays outside
+        the timed loop)."""
+        return indep_raw_cnt_pallas(P3, score9, True,
+                                    plane_major=(chunk, N))
 
     @jax.jit
     def chunk_step_einsum(P, score):
@@ -225,14 +223,12 @@ def main() -> None:
     key = jax.random.PRNGKey(0)
     logits = jax.random.normal(key, (NBUF, chunk, N, 3), dtype=dtype)
     P4 = jax.nn.softmax(logits, axis=-1)
-    if engine != "einsum":
-        P4 = jnp.moveaxis(P4, -1, 1)  # [NBUF, 3, chunk, N] plane-major
-        ones_w = jax.device_put(jnp.ones((chunk, 1), dtype), dev)
-    bufs = [jax.device_put(P4[b], dev) for b in range(NBUF)]
-    score_m = jnp.asarray(default_score_matrix(), dtype)
-    score = jax.device_put(
-        score_m if engine == "einsum" else score_m.reshape(1, 9), dev
-    )
+    if engine == "einsum":
+        bufs = [jax.device_put(P4[b], dev) for b in range(NBUF)]
+    else:
+        bufs = [jax.device_put(prepare_plane_major(P4[b])[0], dev)
+                for b in range(NBUF)]
+    score = jax.device_put(jnp.asarray(default_score_matrix(), dtype), dev)
 
     _ = np.asarray(full_matrix(bufs, score))  # warmup / compile
 

@@ -382,17 +382,35 @@ def iter_replicates(
     pallas = _pallas_mode()
     interp = pallas == "interpret"
 
+    plane_cache: dict = {}  # n_used -> (P3, dims); non-chunked reuse only
+
     def full_stats(Psub, site_weights=None, n_blocks=None, block_size=None):
         if pars.indep_geno:
             if n_blocks is None and pallas != "off":
-                from ..ops.pallas_indep import indep_raw_cnt_pallas
+                from ..ops.pallas_indep import (indep_raw_cnt_pallas,
+                                                prepare_plane_major)
 
+                # The [S,N,3] -> [3,S,N] relayout is the most expensive
+                # data movement in the dispatch (minor-dim-3 transpose);
+                # replicates reuse the SAME resident tensor with
+                # different weights, so cache the prepared layout per
+                # truncation length.  Chunked streams re-upload data
+                # per chunk — nothing to reuse there.
+                if chunked:
+                    P3, dims = prepare_plane_major(Psub)
+                else:
+                    key = int(Psub.shape[0])
+                    got = plane_cache.get(key)
+                    if got is None:
+                        got = plane_cache[key] = prepare_plane_major(Psub)
+                    P3, dims = got
                 # Weighted or not: bootstrap replicates stream their
                 # multiplicities as a [site_tile, 1] block, reusing one
                 # compiled kernel shape per run (no gather).
                 raw_m, cnt_m = indep_raw_cnt_pallas(
-                    Psub, score, pars.pairwise_del,
+                    P3, score, pars.pairwise_del,
                     site_weights=site_weights, interpret=interp,
+                    plane_major=dims,
                 )
                 # Kernel writes the upper triangle; extract pair order.
                 cntv = cnt_m[I, J] if pars.pairwise_del else None
@@ -804,6 +822,22 @@ def _iter_replicates_extended(
 
     pallas = _pallas_mode()
 
+    # One-slot plane-major cache: each replicate reduces THREE class
+    # masks (and non-chunked runs every replicate) against the same
+    # tensor — prepare the expensive [3,S,N] relayout once per distinct
+    # tensor.  The strong ref keeps id() valid; one slot bounds memory
+    # to a single extra layout copy (_WORKING_SET_FACTOR).
+    _plane_slot: list = [None]
+
+    def _prep3(Psub):
+        from ..ops.pallas_indep import prepare_plane_major
+
+        ent = _plane_slot[0]
+        if ent is None or ent[0] is not Psub:
+            P3, dims = prepare_plane_major(Psub)
+            _plane_slot[0] = ent = (Psub, P3, dims)
+        return ent[1], ent[2]
+
     def _class_stats_one(Psub, w: np.ndarray):
         # Weights (class masks x replicate multiplicities) stream
         # through the kernels' per-site weight block, so every
@@ -813,9 +847,10 @@ def _iter_replicates_extended(
             if pallas != "off":
                 from ..ops.pallas_indep import indep_raw_cnt_pallas
 
+                P3, dims = _prep3(Psub)
                 raw_m, cnt_m = indep_raw_cnt_pallas(
-                    Psub, score, pars.pairwise_del, site_weights=w,
-                    interpret=(pallas == "interpret"),
+                    P3, score, pars.pairwise_del, site_weights=w,
+                    interpret=(pallas == "interpret"), plane_major=dims,
                 )
                 raw_f = np.asarray(raw_m, np.float64)
                 raw_f = np.triu(raw_f) + np.triu(raw_f, 1).T

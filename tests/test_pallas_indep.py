@@ -98,6 +98,77 @@ def test_streamed_bootstrap_weighted_kernel_interpret(monkeypatch):
         np.testing.assert_allclose(g, r, rtol=0, atol=1e-9)
 
 
+@pytest.mark.parametrize("weighted", [False, True])
+def test_pallas_indep_paired_variant_matches_einsum(weighted):
+    """N past the resident-output VMEM bound routes to the paired
+    block-pair grid kernel (plan_layout use_resident=False); both
+    variants must agree with the einsum engine."""
+    from ngsdist_tpu.ops.pallas_indep import plan_layout
+
+    rng = np.random.default_rng(17)
+    S, N, block = 37, 70, 8  # 9 row blocks > RESIDENT_MAX_NB
+    assert plan_layout(S, N, block=block, site_tile=8)[0] is False
+    P = _rand_probs(rng, S, N)
+    score = default_score_matrix()
+    w = rng.integers(0, 4, size=S).astype(np.float64) if weighted else None
+
+    raw_ref, _ = dist.indep_suffstats(
+        jnp.asarray(P), jnp.asarray(score), True,
+        None if w is None else jnp.asarray(w),
+    )
+    iu = np.triu_indices(N, k=1)
+    raw, _ = indep_raw_cnt_pallas(
+        jnp.asarray(P), score, True, site_weights=w,
+        block=block, site_tile=8, interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(raw)[iu], np.asarray(raw_ref)[iu], rtol=1e-12, atol=1e-12
+    )
+
+
+def test_plane_major_prepared_input_matches():
+    """prepare_plane_major + plane_major= must equal the site-major
+    dispatch (the once-per-chunk relayout replicate streams reuse)."""
+    from ngsdist_tpu.ops.pallas_indep import prepare_plane_major
+
+    rng = np.random.default_rng(23)
+    S, N = 53, 11
+    P = _rand_probs(rng, S, N)
+    score = default_score_matrix()
+    w = rng.integers(0, 4, size=S).astype(np.float64)
+
+    P3, dims = prepare_plane_major(jnp.asarray(P), block=8, site_tile=8)
+    assert dims == (S, N)
+    for sw in (None, w):
+        raw_ref, cnt_ref = indep_raw_cnt_pallas(
+            jnp.asarray(P), score, True, site_weights=sw,
+            block=8, site_tile=8, interpret=True,
+        )
+        raw, cnt = indep_raw_cnt_pallas(
+            P3, score, True, site_weights=sw,
+            block=8, site_tile=8, interpret=True, plane_major=dims,
+        )
+        np.testing.assert_array_equal(np.asarray(raw), np.asarray(raw_ref))
+        np.testing.assert_array_equal(np.asarray(cnt), np.asarray(cnt_ref))
+
+
+def test_plane_major_mismatch_raises():
+    rng = np.random.default_rng(29)
+    P = _rand_probs(rng, 16, 5)
+    score = default_score_matrix()
+    with pytest.raises(ValueError, match="plane_major input"):
+        indep_raw_cnt_pallas(jnp.asarray(P), score, True,
+                             block=8, site_tile=8, interpret=True,
+                             plane_major=(16, 5))
+    from ngsdist_tpu.ops.pallas_indep import prepare_plane_major
+
+    P3, _ = prepare_plane_major(jnp.asarray(P), block=8, site_tile=8)
+    with pytest.raises(ValueError, match="does not match the planned"):
+        # layout prepared for block=8 (N_pad=8) dispatched at block=16
+        indep_raw_cnt_pallas(P3, score, True, block=16, site_tile=8,
+                             interpret=True, plane_major=(16, 5))
+
+
 @pytest.mark.parametrize("indep", [True, False])
 def test_pipeline_pallas_dispatch_interpret(monkeypatch, indep):
     """Full replicate pipeline with NGSDIST_PALLAS=interpret must match
