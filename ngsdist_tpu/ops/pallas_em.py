@@ -15,10 +15,11 @@ them to the 0 they converge to anyway).
 Kernel shape: individuals are tiled into BxB blocks; a scalar-prefetch
 table enumerates only the upper-triangular block pairs; sites stream as
 the innermost grid dimension, accumulating into the resident [B, B]
-output block (zero-initialised on the first site tile).  The 9
-genotype-combination channels sit on a *leading* axis so every reduction
-is 8 VPU adds over [TS·B, B] lane-aligned tiles; the inner while_loop
-does ~22 flops/lane/iteration with per-lane convergence freezing and
+output block (zero-initialised on the first site tile).  W is RANK-1
+(W[g,h] = P1[g]·P2[h]), so its power sums factorize per individual:
+the 9-channel power recurrences collapse to [sub, B] per-individual
+t_k = Σ_g p_g^k sequences, and the pair lanes only see a one-multiply
+convergence-ratio test per iteration (see _em_slab).  The while_loop
 exits as soon as every lane in the tile has converged.
 
 Numerics vs the reference: identical update order, convergence rule and
@@ -47,13 +48,13 @@ EPSILON = 1e-5  # miss_data tolerance (gen_func.hpp:16)
 # 128, so B=128.  site_tile is the DMA granularity per grid step; its
 # sublane position in the [TS, B, 3] / [TS, 1] blocks must be
 # 8-divisible (Mosaic block constraint), so TS=8.  sub_tile is the
-# inner COMPUTE slab: it bounds the three [9, sub, B, B] f32 work
-# arrays (W, the while-carry P, its update) against the 16 MB
-# scoped-VMEM limit, and sub=2 measures ~8% faster than sub=4 on v5e
-# (smaller slabs exit the convergence while_loop sooner).
+# inner COMPUTE slab: since the rank-1 factorization removed the
+# [9, sub, B, B] while-carry the slab arrays are just [sub, B, B], and
+# sub=4 measures best on v5e (8.9e8 vs 8.7e8 upd/s at 2 and 8 —
+# per-iteration overhead amortizes against whole-slab convergence).
 DEFAULT_BLOCK = 128
 DEFAULT_SITE_TILE = 8
-DEFAULT_SUB_TILE = 2
+DEFAULT_SUB_TILE = 4
 
 
 def _em_slab(Pi, Pj, score_ref, pairwise_del: bool):
@@ -61,72 +62,86 @@ def _em_slab(Pi, Pj, score_ref, pairwise_del: bool):
 
     Pi, Pj: [sub, B, 3] normal-space probabilities.  Returns
     (contrib, m): per-lane score-weighted sfs sums and validity masks,
-    both [sub, B, B]."""
+    both [sub, B, B].
+
+    The 9-cell weight matrix is RANK-1: W[g,h] = Pi[g]·Pj[h], so its
+    power sums factorize per individual — S_k(a,b) = Σ_{g,h} W^k
+    = tI_k[a]·tJ_k[b] with t_k = Σ_g p_g^k — and the reference's
+    convergence ratio (S_{k+1}·S_{k−1})/S_k² (emOptim2.cpp:112-135; the
+    test |l_k − l_{k−1}| < tole on l_k = log S_{k+1} − log S_k) becomes
+    rI_k[a]·rJ_k[b] with r_k = t_{k+1}·t_{k−1}/t_k².  The power
+    recurrences run on [sub, B] per-INDIVIDUAL arrays (O(B) work); only
+    the 1-multiply ratio test touches the [sub, B, B] pair lanes — ~3x
+    fewer VPU ops per iteration than advancing the 9-channel W^k state
+    per pair, and no [9, sub, B, B] while-carry.  Normalizing each
+    side by its max channel keeps t_k ≥ 1 (the per-lane scale
+    (mi·mj)^k cancels exactly in the ratio).
+    """
     dtype = Pi.dtype
 
-    # W[g*3+h, s, a, b] = Pi[s, a, g] * Pj[s, b, h]: 9 outer products.
-    cols_i = [Pi[:, :, g][:, :, None] for g in range(3)]   # [sub, B, 1]
-    rows_j = [Pj[:, :, h][:, None, :] for h in range(3)]   # [sub, 1, B]
-    W = jnp.stack(
-        [cols_i[g] * rows_j[h] for g in range(3) for h in range(3)], axis=0
-    )  # [9, sub, B, B]
-
-    wmax = jnp.max(W, axis=0)                       # [sub, B, B]
-    dead = wmax <= 0.0                              # padded / all-zero lanes
-    Wn = W / jnp.where(dead, 1.0, wmax)[None]       # max entry 1 per live lane
+    mi = jnp.max(Pi, axis=2)                         # [sub, B]
+    mj = jnp.max(Pj, axis=2)
+    dead_i = mi <= 0.0                               # padded / all-zero
+    dead_j = mj <= 0.0
+    pi = [Pi[:, :, g] / jnp.where(dead_i, 1.0, mi) for g in range(3)]
+    pj = [Pj[:, :, h] / jnp.where(dead_j, 1.0, mj) for h in range(3)]
+    dead = dead_i[:, :, None] | dead_j[:, None, :]   # [sub, B, B]
 
     lo = jnp.asarray(np.exp(-EM_TOLE), dtype)
     hi = jnp.asarray(np.exp(EM_TOLE), dtype)
 
-    # With S_t = Σ_k Wn_k^t (S_0 = 9), sfs after k EM steps is Wn^k/S_k
-    # and its loglik is l_k = log(S_{k+1}/S_k).  The reference updates
-    # first and breaks on |l_k − l_{k−1}| < tole keeping sfs_k
-    # (emOptim2.cpp:112-135), i.e. the test ratio is
-    # (S_{k+1}·S_{k−1})/S_k².
-    #
-    # Instead of freezing the 9-channel state per lane (a 9-wide select
-    # every iteration), the loop advances P = Wn^k unconditionally and
-    # only RECORDS each lane's stop step k*; the kept sfs is
-    # reconstructed once at the end as Wn^{k*} = exp(k*·ln Wn) — ~30%
-    # fewer ops in the hot loop, identical stop semantics.  Masks are
-    # carried as {0,1} floats (Mosaic-friendlier than i1 vectors);
-    # n_active lets the loop exit as soon as the whole tile converged.
+    # Loop invariant entering step k (k = 1, 2, …): PowI_g = pi_g^k,
+    # tIm = t_{k−1}, tIc = t_k (same on the j side).  Each step advances
+    # the per-individual powers one k ahead, forms the pair ratio, and
+    # counts still-active steps into kstar: a lane first converging at
+    # step k_c accumulates Σ active = k_c − 1, so k* = 1 + Σ — no
+    # per-lane select in the loop.  Never-converged lanes run to
+    # k = EM_MAX_ITER − 1 and land on the reference's iteration cap.
+    # Masks are {0,1} floats (Mosaic-friendlier than i1 vectors);
+    # n_active lets the loop exit once the whole tile converged.
     def cond(state):
-        k, _P, _S_cur, _S_prev, _kstar, _active, n_active = state
-        return jnp.logical_and(k < EM_MAX_ITER, n_active > 0.0)
+        return jnp.logical_and(state[0] < EM_MAX_ITER, state[-1] > 0.0)
 
     def body(state):
-        k, P, S_cur, S_prev, kstar, active, _na = state
-        P = P * Wn                                   # [9, sub, B, B]
-        S_next = jnp.sum(P, axis=0)
-        ratio = (S_next * S_prev) / (S_cur * S_cur)  # e^{l_k - l_{k-1}}
+        k, PI, tIm, tIc, PJ, tJm, tJc, ksum, active, _na = state
+        PI = [p * q for p, q in zip(PI, pi)]         # pi^{k+1}, [sub, B]
+        PJ = [p * q for p, q in zip(PJ, pj)]
+        tIn = PI[0] + PI[1] + PI[2]                  # t_{k+1}
+        tJn = PJ[0] + PJ[1] + PJ[2]
+        rI = tIn * tIm / (tIc * tIc)                 # [sub, B]
+        rJ = tJn * tJm / (tJc * tJc)
+        ratio = rI[:, :, None] * rJ[:, None, :]      # [sub, B, B]
         conv = ((ratio > lo) & (ratio < hi)).astype(dtype)
-        newly = active * conv
-        kstar = jnp.where(newly > 0.0, k.astype(dtype), kstar)
         active = active * (1.0 - conv)
-        return k + 1, P, S_next, S_cur, kstar, active, jnp.sum(active)
+        return (k + 1, PI, tIc, tIn, PJ, tJc, tJn,
+                ksum + active, active, jnp.sum(active))
 
-    P1 = Wn                                          # after EM step 1
-    S1 = jnp.sum(Wn, axis=0)
-    S0 = jnp.full_like(S1, 9.0)
+    tI1 = pi[0] + pi[1] + pi[2]
+    tJ1 = pj[0] + pj[1] + pj[2]
+    t0 = jnp.full_like(tI1, 3.0)
     active0 = 1.0 - dead.astype(dtype)
-    kstar0 = jnp.full_like(S1, float(EM_MAX_ITER))   # never-converged cap
-    _, _, _, _, kstar, _, _ = jax.lax.while_loop(
+    _, _, _, _, _, _, _, ksum, _, _ = jax.lax.while_loop(
         cond,
         body,
-        (jnp.asarray(1, jnp.int32), P1, S1, S0, kstar0, active0,
-         jnp.sum(active0)),
+        (jnp.asarray(1, jnp.int32), list(pi), t0, tI1, list(pj), t0, tJ1,
+         jnp.zeros_like(active0), active0, jnp.sum(active0)),
     )
+    kstar = 1.0 + ksum                               # [sub, B, B]
 
-    # sfs ∝ Wn^{k*} = exp(k*·ln Wn); ln 0 = -inf -> exp(-inf·k) = 0, the
-    # value those channels converge to.  Max channel is exactly 1.
-    lnW = jnp.log(Wn)
-    Sf = jnp.zeros_like(S1)
-    num = jnp.zeros_like(S1)
-    for k in range(9):
-        Pk = jnp.exp(kstar * lnW[k])
-        Sf = Sf + Pk
-        num = num + score_ref[0, k] * Pk
+    # sfs ∝ W^{k*} = (pi_g·pj_h)^{k*}: x_g = exp(k*·ln pi_g) per side
+    # (ln 0 = −inf → exp(−inf·k*) = 0, the value those channels converge
+    # to; the max channel is exactly 1), folded through the score as the
+    # bilinear form Σ_g x_g·(Σ_h score[g,h]·y_h), with the normalizer
+    # S_{k*} = (Σ x)(Σ y).
+    x = [jnp.exp(kstar * jnp.log(pi[g])[:, :, None]) for g in range(3)]
+    y = [jnp.exp(kstar * jnp.log(pj[h])[:, None, :]) for h in range(3)]
+    num = jnp.zeros_like(kstar)
+    for g in range(3):
+        z = (score_ref[0, 3 * g + 0] * y[0]
+             + score_ref[0, 3 * g + 1] * y[1]
+             + score_ref[0, 3 * g + 2] * y[2])
+        num = num + x[g] * z
+    Sf = (x[0] + x[1] + x[2]) * (y[0] + y[1] + y[2])
     contrib = jnp.where(dead, 0.0, num / Sf)         # [sub, B, B]
 
     # Site/individual padding is all-zero probability -> dead lanes;
