@@ -192,33 +192,26 @@ def main() -> None:
     if engine == "einsum":
         chunk_step = chunk_step_einsum
 
-    # Site chunks stream as asynchronously queued dispatches (jax
-    # dispatch is async; the single np.asarray at the end is the
-    # completion barrier — also the only reliable one through the
-    # remote-device tunnel).  NBUF distinct device-resident chunks cycle
-    # so no dispatch is a duplicate of the previous one.
+    # The whole chunk loop runs as ONE jitted dispatch: the axon tunnel
+    # costs ~8 ms per dispatch, which at 5 ms/chunk kernel time would
+    # dominate a per-chunk dispatch stream (measured 2.6e12 vs 7e12
+    # upd/s).  NBUF distinct device-resident chunks cycle so no chunk
+    # iteration is a duplicate of the previous one.
     NBUF = min(4, n_chunks)
 
     @jax.jit
-    def finalize(raw, cnt):
+    def full_matrix(bufs, score):
+        raw = jnp.zeros((N, N), dtype)
+        cnt = jnp.zeros((N, N), dtype)
+        for i in range(n_chunks):
+            r, c = chunk_step(bufs[i % NBUF], score)
+            raw, cnt = raw + r, cnt + c
         # Pallas path fills the upper triangle; mirror for the final map.
         if engine != "einsum":
             raw = jnp.triu(raw) + jnp.triu(raw, 1).T
             cnt = jnp.triu(cnt) + jnp.triu(cnt, 1).T
         d = raw / jnp.maximum(cnt, 1)
         return -jnp.log1p(-d) * (1 - jnp.eye(N, dtype=dtype))
-
-    @jax.jit
-    def acc(raw, cnt, r, c):
-        return raw + r, cnt + c
-
-    def full_matrix(bufs, score):
-        raw = jnp.zeros((N, N), dtype)
-        cnt = jnp.zeros((N, N), dtype)
-        for i in range(n_chunks):
-            r, c = chunk_step(bufs[i % NBUF], score)
-            raw, cnt = acc(raw, cnt, r, c)
-        return finalize(raw, cnt)
 
     key = jax.random.PRNGKey(0)
     logits = jax.random.normal(key, (NBUF, chunk, N, 3), dtype=dtype)

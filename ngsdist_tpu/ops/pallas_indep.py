@@ -12,13 +12,23 @@ Data layout: the host passes the probabilities as three planes
 lane-padded 3 -> 128 in VMEM (43x memory blowup — the scoped-VMEM OOM
 this replaced); plane-major blocks (3, TS, B) are tightly tiled.
 
-Per grid step (upper block pair (IB, JB), site tile):
+Per loaded site-tile slab (both variants keep outputs VMEM-resident and
+the slab-prep VPU work runs once per slab, amortized over every block
+pair it covers):
     vi[s,a]   = site a valid at s              (miss_data, gen_func.cpp:862-868)
-    Qi_g      = Pi_g * vi                      three [TS, B] planes
+    Qi_g      = Pi_g * vi                      three [TS, W] planes
     Yj_g      = Σ_h score[g,h]·Qj_h            (score fold on the j side)
     raw[a,b] += Σ_{g,s} Qi_g[s,a]·Yj_g[s,b]    — MXU dot, K = 3·TS
     cnt[a,b] += Σ_s vi[s,a]·vj[s,b]            — MXU dot, K = TS
-accumulated across site tiles into the resident [B, B] output block.
+
+Two variants, chosen by plan_layout:
+  resident (N_pad ≤ 1024): grid over site tiles only; the whole
+    upper-tri [nbU, B, B] output set stays in VMEM; one HBM read of the
+    genotype slab per chunk.
+  superblock (larger cohorts): blocks grouped into panels of SUPER_G;
+    grid over (upper-tri panel pair, site tile) with a [SB, SB] output
+    tile resident; each panel is read nsuper times per chunk instead of
+    nb (the per-block-pair paired kernel this replaced).
 
 Without pairwise deletion the mask is applied only to padding (all-zero
 probability rows are already inert) and cnt counts real sites, matching
@@ -48,49 +58,29 @@ import os as _os
 _PREC_ENV = _os.environ.get("NGSDIST_MXU_PRECISION", "auto")
 
 
-def _raw_precision(resident: bool, dtype):
+def _raw_precision(dtype):
     """Precision scheme for the raw (probability) contraction.
 
-    Returns Precision.* or the string "bf16x3" (3 single-pass bf16 dots
-    emulating f32, _dot_bf16x3).  Policy (NGSDIST_MXU_PRECISION):
+    Returns Precision.* or the string "bf16x3": each f32 operand splits
+    as x = hi + lo with hi = bf16(x) (top 8 mantissa bits) and lo =
+    bf16(x − hi) (next 8); the product keeps hi*hi + hi*lo + lo*hi and
+    drops lo*lo (≤ 2^-16 relative).  Mosaic lowers each bf16 dot with
+    f32 accumulation, so this is the bfloat16_3x scheme XLA uses for
+    Precision.HIGH (which Mosaic's dot_general does not lower
+    directly).  Policy (NGSDIST_MXU_PRECISION):
       fast    — single-pass bf16 (~4e-3 input rounding; throughput-only)
-      high    — bf16x3 wherever the dtype is f32
+      auto/high — bf16x3 at f32 (measured equivalent to HIGHEST on v5e:
+                max 1.5e-6 vs f64 for BOTH schemes over 65k-site chunks
+                — the error floor is f32 rounding, not MXU passes — at
+                ~1.5x the throughput)
       highest — full f32 MXU passes everywhere
-      auto    — resident kernel at f32 uses bf16x3 (measured equivalent
-                on v5e: max 1.5e-6 vs f64 for BOTH schemes over 65k-site
-                chunks — the error floor is f32 rounding, not MXU passes
-                — at ~1.5x the throughput); everything else HIGHEST.
     bf16x3 never applies to f64 (interpret/x64 runs keep bit-level
     HIGHEST exactness)."""
     if _PREC_ENV == "fast":
         return jax.lax.Precision.DEFAULT
-    if dtype != jnp.float32:
+    if dtype != jnp.float32 or _PREC_ENV == "highest":
         return jax.lax.Precision.HIGHEST
-    if _PREC_ENV == "high" or (_PREC_ENV == "auto" and resident):
-        return "bf16x3"
-    return jax.lax.Precision.HIGHEST
-
-
-def _dot_bf16x3(A, B, dtype):
-    """[K, M] x [K, N] -> [M, N] contraction over axis 0 at ~16-bit
-    mantissa precision in 3 single-pass bf16 MXU dots.
-
-    Each f32 operand splits as x = hi + lo with hi = bf16(x) (top 8
-    mantissa bits) and lo = bf16(x - hi) (next 8); the product keeps
-    hi*hi + hi*lo + lo*hi and drops lo*lo (<= 2^-16 relative).  Mosaic
-    lowers each bf16 dot with f32 accumulation, so this is the
-    bfloat16_3x scheme XLA uses for Precision.HIGH (which Mosaic's
-    dot_general does not lower directly)."""
-    dims = (((0,), (0,)), ((), ()))
-    A_hi = A.astype(jnp.bfloat16)
-    B_hi = B.astype(jnp.bfloat16)
-    A_lo = (A - A_hi.astype(dtype)).astype(jnp.bfloat16)
-    B_lo = (B - B_hi.astype(dtype)).astype(jnp.bfloat16)
-    kw = dict(preferred_element_type=dtype,
-              precision=jax.lax.Precision.DEFAULT)
-    return (jax.lax.dot_general(A_hi, B_hi, dims, **kw)
-            + (jax.lax.dot_general(A_hi, B_lo, dims, **kw)
-               + jax.lax.dot_general(A_lo, B_hi, dims, **kw)))
+    return "bf16x3"
 
 
 def _valid(P0, P1, P2, dtype):
@@ -98,79 +88,6 @@ def _valid(P0, P1, P2, dtype):
     # padded rows are all-zero: treat as missing so cnt excludes them
     nonzero = (P0 + P1 + P2) > 0.0
     return (nonmiss & nonzero).astype(dtype), nonzero.astype(dtype)
-
-
-def _indep_kernel(
-    ib_ref, jb_ref,          # scalar prefetch
-    pi_ref, pj_ref, score_ref, w_ref,
-    raw_ref, cnt_ref,
-    *, pairwise_del: bool, weighted: bool,
-):
-    st = pl.program_id(1)
-
-    @pl.when(st == 0)
-    def _init():
-        raw_ref[:] = jnp.zeros_like(raw_ref)
-        cnt_ref[:] = jnp.zeros_like(cnt_ref)
-
-    Pi = [pi_ref[g] for g in range(3)]  # three [TS, B] planes
-    Pj = [pj_ref[g] for g in range(3)]
-    dtype = Pi[0].dtype
-
-    vi_m, vi_z = _valid(*Pi, dtype)
-    vj_m, vj_z = _valid(*Pj, dtype)
-    if pairwise_del:
-        vi, vj = vi_m, vj_m
-    else:
-        # mask only padding; count real sites (missing included)
-        vi, vj = vi_z, vj_z
-
-    if weighted:
-        # Per-site weights (bootstrap multiplicities x class masks) fold
-        # into the i-side validity, entering raw and cnt exactly once —
-        # a site of weight w behaves like w aliased copies of itself
-        # (the reference's resampling, ngsDist.cpp:416-437), with ONE
-        # compiled shape for every replicate.  [TS, 1] broadcasts over
-        # the lane (individual) dim on the VPU.
-        vi = vi * w_ref[:]
-
-    Qi = [p * vi for p in Pi]
-    Qj = [p * vj for p in Pj]
-    Yj = [
-        score_ref[0, 3 * g + 0] * Qj[0]
-        + score_ref[0, 3 * g + 1] * Qj[1]
-        + score_ref[0, 3 * g + 2] * Qj[2]
-        for g in range(3)
-    ]
-
-    # Contract over (g, s): [3TS, B] x [3TS, B] -> [B, B] on the MXU.
-    A = jnp.concatenate(Qi, axis=0)
-    Bm = jnp.concatenate(Yj, axis=0)
-    # HIGHEST: full-f32 MXU passes (default single-pass bf16 rounds the
-    # inputs at ~4e-3 relative, visible in final distances; f32 measures
-    # 2.5e-7 vs f64 at 21ms/65k-site chunk on v5e — and is still 2x the
-    # einsum engine).  NGSDIST_MXU_PRECISION=fast opts into bf16 for
-    # throughput-over-accuracy runs (7.3ms/chunk).
-    prec = _raw_precision(False, dtype)
-    if prec == "bf16x3":
-        raw_ref[:] += _dot_bf16x3(A, Bm, dtype)
-    else:
-        raw_ref[:] += jax.lax.dot_general(
-            A, Bm, (((0,), (0,)), ((), ())), preferred_element_type=dtype,
-            precision=prec,
-        )
-    # The count contraction is EXACT at single-pass bf16 when the
-    # operands are {0,1} masks (exactly representable; the MXU
-    # accumulates in f32, so per-site counts up to 2^24 carry no
-    # rounding).  Weighted counts carry arbitrary multiplicities on the
-    # i side, so they pay HIGHEST like the raw contraction.
-    if weighted and prec == "bf16x3":
-        cnt_ref[:] += _dot_bf16x3(vi, vj, dtype)
-    else:
-        cnt_ref[:] += jax.lax.dot_general(
-            vi, vj, (((0,), (0,)), ((), ())), preferred_element_type=dtype,
-            precision=(prec if weighted else jax.lax.Precision.DEFAULT),
-        )
 
 
 def _upper_blocks(nb: int) -> Tuple[np.ndarray, np.ndarray]:
@@ -185,26 +102,47 @@ def _upper_blocks(nb: int) -> Tuple[np.ndarray, np.ndarray]:
 # slab (nbU scales ~nb^2/2).  SITE_ELEMS = site_tile * N_pad bound.
 RESIDENT_MAX_NB = 8
 RESIDENT_SITE_ELEMS = 128 * 1024
+# Superblock variant (nb > RESIDENT_MAX_NB): panels of SUPER_G blocks;
+# VMEM = 2 resident [SB, SB] outputs (8.4 MB at SB=1024) + double-
+# buffered [3, TS, SB] panels + the concat/bf16-split operands, so the
+# site tile is bounded by SUPER_SITE_ELEMS = site_tile * SB.
+SUPER_G = 8
+SUPER_SITE_ELEMS = 32 * 1024
+
+
+def _super_shape(N: int, block: int):
+    """(ns, G, N_pad) for the superblock plan: nb blocks grouped into ns
+    panels of G (G chosen so panel padding never exceeds one panel)."""
+    nb = -(-N // block)
+    ns = -(-nb // SUPER_G)
+    G = -(-nb // ns)
+    return ns, G, ns * G * block
 
 
 def plan_layout(S: int, N: int, *, block: int = DEFAULT_BLOCK,
                 site_tile: int = DEFAULT_SITE_TILE):
     """Choose the kernel variant and padded layout for an [S, N] problem.
 
-    Returns (use_resident, block, site_tile, S_pad, N_pad).  The
-    output-resident kernel is used when the upper-tri output blocks fit
-    VMEM (N_pad <= RESIDENT_MAX_NB * block); its site tile shrinks so
-    the [3, site_tile, N_pad] slab stays within the measured budget.
-    prepare_plane_major and indep_raw_cnt_pallas both call this, so a
-    tensor prepared once always matches the dispatcher's plan.
+    Returns (mode, block, site_tile, S_pad, N_pad) with mode "resident"
+    (upper-tri output blocks fit VMEM: N_pad <= RESIDENT_MAX_NB * block)
+    or "super" (G-block panels with [SB, SB]-resident outputs).  Either
+    way the site tile shrinks so the per-step slab stays within the
+    measured VMEM budget.  prepare_plane_major and indep_raw_cnt_pallas
+    both call this, so a tensor prepared once always matches the
+    dispatcher's plan.
     """
     N_pad = -(-N // block) * block
     nb = N_pad // block
-    use_resident = nb <= RESIDENT_MAX_NB
-    if use_resident:
+    if nb <= RESIDENT_MAX_NB:
+        mode = "resident"
         site_tile = min(site_tile, max(128, RESIDENT_SITE_ELEMS // N_pad))
+    else:
+        mode = "super"
+        _, G, N_pad = _super_shape(N, block)
+        ts = max(8, (SUPER_SITE_ELEMS // (G * block)) // 8 * 8)
+        site_tile = min(site_tile, ts)
     S_pad = -(-S // site_tile) * site_tile
-    return use_resident, block, site_tile, S_pad, N_pad
+    return mode, block, site_tile, S_pad, N_pad
 
 
 def prepare_plane_major(P: jnp.ndarray, *, block: int = DEFAULT_BLOCK,
@@ -230,29 +168,14 @@ def prepare_plane_major(P: jnp.ndarray, *, block: int = DEFAULT_BLOCK,
     return P3, (S, N)
 
 
-def _resident_kernel(
-    pi_ref, score_ref, w_ref,
-    raw_ref, cnt_ref,
-    *, pairwise_del: bool, weighted: bool, nb: int, block: int,
-):
-    """Output-resident variant: the grid runs over site tiles only; each
-    step loads ONE [3, TS, N_pad] slab and contracts every upper-tri
-    block pair against it, accumulating into VMEM-resident [nbU, B, B]
-    outputs.  The genotype tensor is read from HBM exactly once per
-    chunk (the paired kernel re-reads each block for every partner:
-    ~nb x more traffic), and the mask/score-fold VPU work runs once per
-    site tile instead of once per pair."""
-    st = pl.program_id(0)
-
-    @pl.when(st == 0)
-    def _init():
-        raw_ref[:] = jnp.zeros_like(raw_ref)
-        cnt_ref[:] = jnp.zeros_like(cnt_ref)
-
-    P = [pi_ref[g] for g in range(3)]  # three [TS, N_pad] planes
-    dtype = P[0].dtype
-
-    v_m, v_z = _valid(*P, dtype)
+def _fold_operands(P, score_ref, w_ref, pairwise_del: bool, weighted: bool):
+    """Shared per-site-tile operand production: validity masks, weight
+    fold, probability masking and score fold — the VPU work both
+    resident variants run ONCE per loaded slab and reuse across every
+    block pair it covers.  P: three [TS, W] planes.  Returns (vi, v,
+    A_all, B_all) with A_all/B_all the [3*TS, W] stacked contraction
+    operands (raw[a, b] = Σ_{g,s} Qi_g[s,a]·Yj_g[s,b])."""
+    v_m, v_z = _valid(*P, P[0].dtype)
     v = v_m if pairwise_del else v_z
     vi = v * w_ref[:] if weighted else v
 
@@ -264,48 +187,141 @@ def _resident_kernel(
         + score_ref[0, 3 * g + 2] * Q[2]
         for g in range(3)
     ]
-    A_all = jnp.concatenate(Qi, axis=0)   # [3TS, N_pad]
+    A_all = jnp.concatenate(Qi, axis=0)   # [3TS, W]
     B_all = jnp.concatenate(Y, axis=0)
+    return vi, v, A_all, B_all
 
+
+def _make_raw_dot(A_all, B_all, dtype):
+    """Closure computing the raw-contraction [B, B] tile for column
+    windows (i0, ib) x (j0, jb), under the active precision policy.
+    For bf16x3 the operand halves are split ONCE per site tile here and
+    reused by every block pair."""
     dims = (((0,), (0,)), ((), ()))
     kw = dict(preferred_element_type=dtype)
-    prec = _raw_precision(True, dtype)
-    bf16x3 = prec == "bf16x3"
-    if bf16x3:
-        # Split once per site tile; the pair loop reuses the halves.
+    prec = _raw_precision(dtype)
+    if prec == "bf16x3":
         A_hi = A_all.astype(jnp.bfloat16)
         B_hi = B_all.astype(jnp.bfloat16)
         A_lo = (A_all - A_hi.astype(dtype)).astype(jnp.bfloat16)
         B_lo = (B_all - B_hi.astype(dtype)).astype(jnp.bfloat16)
+
+        def raw_dot(i0, ib, j0, jb):
+            return (
+                jax.lax.dot_general(
+                    A_hi[:, i0:i0 + ib], B_hi[:, j0:j0 + jb], dims, **kw)
+                + (jax.lax.dot_general(
+                    A_hi[:, i0:i0 + ib], B_lo[:, j0:j0 + jb], dims, **kw)
+                   + jax.lax.dot_general(
+                    A_lo[:, i0:i0 + ib], B_hi[:, j0:j0 + jb], dims, **kw))
+            )
+    else:
+        def raw_dot(i0, ib, j0, jb):
+            return jax.lax.dot_general(
+                A_all[:, i0:i0 + ib], B_all[:, j0:j0 + jb], dims,
+                precision=prec, **kw,
+            )
+    return raw_dot
+
+
+def _cnt_dot(vi, v, i0, j0, block, weighted, dtype):
+    # The count contraction is EXACT at single-pass bf16 when the
+    # operands are {0,1} masks (exactly representable; the MXU
+    # accumulates in f32, so per-site counts up to 2^24 carry no
+    # rounding).  Weighted counts carry arbitrary multiplicities on
+    # the i side, so they pay HIGHEST.
+    return jax.lax.dot_general(
+        vi[:, i0:i0 + block], v[:, j0:j0 + block],
+        (((0,), (0,)), ((), ())),
+        precision=(jax.lax.Precision.HIGHEST if weighted
+                   else jax.lax.Precision.DEFAULT),
+        preferred_element_type=dtype,
+    )
+
+
+def _resident_kernel(
+    pi_ref, score_ref, w_ref,
+    raw_ref, cnt_ref,
+    *, pairwise_del: bool, weighted: bool, nb: int, block: int,
+):
+    """Output-resident variant: the grid runs over site tiles only; each
+    step loads ONE [3, TS, N_pad] slab and contracts every upper-tri
+    block pair against it, accumulating into VMEM-resident [nbU, B, B]
+    outputs.  The genotype tensor is read from HBM exactly once per
+    chunk, and the mask/score-fold VPU work runs once per site tile
+    instead of once per pair."""
+    st = pl.program_id(0)
+
+    @pl.when(st == 0)
+    def _init():
+        raw_ref[:] = jnp.zeros_like(raw_ref)
+        cnt_ref[:] = jnp.zeros_like(cnt_ref)
+
+    P = [pi_ref[g] for g in range(3)]  # three [TS, N_pad] planes
+    dtype = P[0].dtype
+    vi, v, A_all, B_all = _fold_operands(P, score_ref, w_ref,
+                                         pairwise_del, weighted)
+    raw_dot = _make_raw_dot(A_all, B_all, dtype)
     k = 0
     for ib in range(nb):
         i0 = ib * block
-        vi_i = vi[:, i0:i0 + block]
         for jb in range(ib, nb):
             j0 = jb * block
-            if bf16x3:
-                raw_ref[k] += (
-                    jax.lax.dot_general(
-                        A_hi[:, i0:i0 + block], B_hi[:, j0:j0 + block],
-                        dims, **kw)
-                    + (jax.lax.dot_general(
-                        A_hi[:, i0:i0 + block], B_lo[:, j0:j0 + block],
-                        dims, **kw)
-                       + jax.lax.dot_general(
-                        A_lo[:, i0:i0 + block], B_hi[:, j0:j0 + block],
-                        dims, **kw))
-                )
-            else:
-                raw_ref[k] += jax.lax.dot_general(
-                    A_all[:, i0:i0 + block], B_all[:, j0:j0 + block],
-                    dims, precision=prec, **kw,
-                )
-            cnt_ref[k] += jax.lax.dot_general(
-                vi_i, v[:, j0:j0 + block], dims,
-                precision=(jax.lax.Precision.HIGHEST if weighted
-                           else jax.lax.Precision.DEFAULT), **kw,
-            )
+            raw_ref[k] += raw_dot(i0, block, j0, block)
+            cnt_ref[k] += _cnt_dot(vi, v, i0, j0, block, weighted, dtype)
             k += 1
+
+
+def _super_kernel(
+    is_ref, js_ref,            # scalar prefetch: super-pair panel ids
+    pi_ref, pj_ref, score_ref, w_ref,
+    raw_ref, cnt_ref,
+    *, pairwise_del: bool, weighted: bool, G: int, block: int,
+):
+    """Superblock variant for cohorts whose full output triangle exceeds
+    VMEM: blocks are grouped into panels of G; the grid enumerates
+    upper-triangular PANEL pairs (scalar-prefetched) with sites
+    innermost, keeping one [SB, SB] output tile resident per panel pair
+    (SB = G*block).  Each step loads two [3, TS, SB] panels, runs the
+    mask/score-fold prep once per panel (amortized over the G*G block
+    pairs it covers — the round-1 paired kernel redid it per pair, nb/G
+    times more VPU work), and skips the sub-diagonal block pairs of
+    diagonal panel pairs behind a scalar branch."""
+    sp = pl.program_id(0)
+    st = pl.program_id(1)
+
+    @pl.when(st == 0)
+    def _init():
+        raw_ref[:] = jnp.zeros_like(raw_ref)
+        cnt_ref[:] = jnp.zeros_like(cnt_ref)
+
+    off_diag = is_ref[sp] != js_ref[sp]
+
+    Pi = [pi_ref[g] for g in range(3)]  # three [TS, SB] planes
+    Pj = [pj_ref[g] for g in range(3)]
+    dtype = Pi[0].dtype
+    vi, _vj_w, A_i, _B_i = _fold_operands(Pi, score_ref, w_ref,
+                                          pairwise_del, weighted)
+    _vi_j, vj, _A_j, B_j = _fold_operands(Pj, score_ref, w_ref,
+                                          pairwise_del, False)
+    raw_dot = _make_raw_dot(A_i, B_j, dtype)
+    for gi in range(G):
+        i0 = gi * block
+        for gj in range(G):
+            j0 = gj * block
+
+            def _acc(i0=i0, j0=j0):
+                raw_ref[0, i0:i0 + block, j0:j0 + block] += raw_dot(
+                    i0, block, j0, block
+                )
+                cnt_ref[0, i0:i0 + block, j0:j0 + block] += _cnt_dot(
+                    vi, vj, i0, j0, block, weighted, dtype
+                )
+
+            if gj >= gi:
+                _acc()                       # needed on every panel pair
+            else:
+                pl.when(off_diag)(_acc)      # diagonal panels: upper only
 
 
 @functools.partial(
@@ -367,68 +383,82 @@ def _indep_pallas_resident(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("pairwise_del", "weighted", "block", "site_tile",
+    static_argnames=("pairwise_del", "weighted", "G", "block", "site_tile",
                      "interpret", "vma"),
 )
-def _indep_pallas_padded(
+def _indep_pallas_super(
     P3,                      # [3, S_pad, N_pad] plane-major probabilities
     score9,
-    w,                       # [S_pad, 1] per-site weights (ignored unless weighted)
-    IB, JB, pairwise_del, weighted, block, site_tile, interpret, vma=None
+    w,                       # [S_pad, 1] per-site weights
+    pairwise_del, weighted, G, block, site_tile, interpret, vma=None,
 ):
     _, S_pad, N_pad = P3.shape
-    G = IB.shape[0]
+    sb = G * block
+    ns = N_pad // sb
+    ISh, JSh = _upper_blocks(ns)     # host-side: panel-pair enumeration
+    IS, JS = jnp.asarray(ISh), jnp.asarray(JSh)
+    n_sp = ISh.shape[0]
     n_st = S_pad // site_tile
     dtype = P3.dtype
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(G, n_st),
+        grid=(n_sp, n_st),
         in_specs=[
             pl.BlockSpec(
-                (3, site_tile, block),
-                lambda g, st, IB, JB: (0, st, IB[g]),
+                (3, site_tile, sb),
+                lambda sp, st, IS, JS: (0, st, IS[sp]),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (3, site_tile, block),
-                lambda g, st, IB, JB: (0, st, JB[g]),
+                (3, site_tile, sb),
+                lambda sp, st, IS, JS: (0, st, JS[sp]),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(
                 (site_tile, 1),
-                lambda g, st, IB, JB: (st, 0),
+                lambda sp, st, IS, JS: (st, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=[
             pl.BlockSpec(
-                (block, block),
-                lambda g, st, IB, JB: (IB[g], JB[g]),
+                (1, sb, sb),
+                lambda sp, st, IS, JS: (sp, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (block, block),
-                lambda g, st, IB, JB: (IB[g], JB[g]),
+                (1, sb, sb),
+                lambda sp, st, IS, JS: (sp, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
     )
-    kernel = functools.partial(_indep_kernel, pairwise_del=pairwise_del,
-                               weighted=weighted)
+    kernel = functools.partial(_super_kernel, pairwise_del=pairwise_del,
+                               weighted=weighted, G=G, block=block)
     # vma: varying-mesh-axes annotation, required when the kernel runs
     # per-device inside shard_map (outputs vary over the shard axis).
     kw = {} if vma is None else {"vma": frozenset(vma)}
-    raw, cnt = pl.pallas_call(
+    raw_u, cnt_u = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((N_pad, N_pad), dtype, **kw),
-            jax.ShapeDtypeStruct((N_pad, N_pad), dtype, **kw),
+            jax.ShapeDtypeStruct((n_sp, sb, sb), dtype, **kw),
+            jax.ShapeDtypeStruct((n_sp, sb, sb), dtype, **kw),
         ],
         interpret=interpret,
-    )(IB, JB, P3, P3, score9, w)
+    )(IS, JS, P3, P3, score9, w)
+
+    # Scatter the packed upper-tri panel tiles into [N_pad, N_pad]
+    # (n_sp slice moves per chunk; sub-diagonal blocks of diagonal
+    # panels were never written and stay zero).
+    raw = jnp.zeros((N_pad, N_pad), dtype)
+    cnt = jnp.zeros((N_pad, N_pad), dtype)
+    for k in range(n_sp):
+        i0, j0 = int(ISh[k]) * sb, int(JSh[k]) * sb
+        raw = jax.lax.dynamic_update_slice(raw, raw_u[k], (i0, j0))
+        cnt = jax.lax.dynamic_update_slice(cnt, cnt_u[k], (i0, j0))
     return raw, cnt
 
 
@@ -473,7 +503,7 @@ def indep_raw_cnt_pallas(
     else:
         S, N, _ = P.shape
     dtype = P.dtype
-    use_resident, block, site_tile, S_pad, N_pad = plan_layout(
+    mode, block, site_tile, S_pad, N_pad = plan_layout(
         S, N, block=block, site_tile=site_tile
     )
     if plane_major is not None:
@@ -495,16 +525,16 @@ def indep_raw_cnt_pallas(
     else:
         w = jnp.ones((S_pad, 1), dtype)
     score9 = jnp.asarray(score, dtype).reshape(1, 9)  # traced-safe
-    if use_resident:
+    vma_t = None if vma is None else tuple(vma)
+    if mode == "resident":
         raw, cnt = _indep_pallas_resident(
             P3, score9, w, pairwise_del, weighted, block, site_tile,
-            interpret, None if vma is None else tuple(vma),
+            interpret, vma_t,
         )
-        return raw[:N, :N], cnt[:N, :N]
-    IB, JB = _upper_blocks(N_pad // block)
-    raw, cnt = _indep_pallas_padded(
-        P3, score9, w, jnp.asarray(IB), jnp.asarray(JB),
-        pairwise_del, weighted, block, site_tile, interpret,
-        None if vma is None else tuple(vma),
-    )
+    else:
+        _, G, _ = _super_shape(N, block)
+        raw, cnt = _indep_pallas_super(
+            P3, score9, w, pairwise_del, weighted, G, block, site_tile,
+            interpret, vma_t,
+        )
     return raw[:N, :N], cnt[:N, :N]

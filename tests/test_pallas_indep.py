@@ -99,15 +99,15 @@ def test_streamed_bootstrap_weighted_kernel_interpret(monkeypatch):
 
 
 @pytest.mark.parametrize("weighted", [False, True])
-def test_pallas_indep_paired_variant_matches_einsum(weighted):
-    """N past the resident-output VMEM bound routes to the paired
-    block-pair grid kernel (plan_layout use_resident=False); both
-    variants must agree with the einsum engine."""
+def test_pallas_indep_super_variant_matches_einsum(weighted):
+    """N past the resident-output VMEM bound routes to the superblock
+    panel kernel (plan_layout mode "super"); both variants must agree
+    with the einsum engine."""
     from ngsdist_tpu.ops.pallas_indep import plan_layout
 
     rng = np.random.default_rng(17)
     S, N, block = 37, 70, 8  # 9 row blocks > RESIDENT_MAX_NB
-    assert plan_layout(S, N, block=block, site_tile=8)[0] is False
+    assert plan_layout(S, N, block=block, site_tile=8)[0] == "super"
     P = _rand_probs(rng, S, N)
     score = default_score_matrix()
     w = rng.integers(0, 4, size=S).astype(np.float64) if weighted else None
