@@ -192,26 +192,39 @@ def main() -> None:
     if engine == "einsum":
         chunk_step = chunk_step_einsum
 
-    # The whole chunk loop runs as ONE jitted dispatch: the axon tunnel
-    # costs ~8 ms per dispatch, which at 5 ms/chunk kernel time would
-    # dominate a per-chunk dispatch stream (measured 2.6e12 vs 7e12
-    # upd/s).  NBUF distinct device-resident chunks cycle so no chunk
-    # iteration is a duplicate of the previous one.
+    # Chunks run as an asynchronously queued dispatch stream (submission
+    # overlaps device execution); NBUF distinct device-resident chunks
+    # cycle so no dispatch repeats the previous one.  A single fused jit
+    # would let XLA CSE the repeated pallas calls down to NBUF real
+    # kernels (measured 0.2 ms/"chunk" — a lie), and fetching the [N,N]
+    # result through the axon tunnel costs a constant ~0.15 s that would
+    # swamp the ~5 ms/chunk kernel time, so: dispatch-stream form, a
+    # SCALAR checksum as the completion barrier, and differential timing
+    # over two chunk counts to cancel the constant fetch latency (on
+    # real PCIe hosts the 4 MB fetch is ~0.4 ms — a tunnel artifact).
     NBUF = min(4, n_chunks)
 
     @jax.jit
-    def full_matrix(bufs, score):
-        raw = jnp.zeros((N, N), dtype)
-        cnt = jnp.zeros((N, N), dtype)
-        for i in range(n_chunks):
-            r, c = chunk_step(bufs[i % NBUF], score)
-            raw, cnt = raw + r, cnt + c
+    def acc(raw, cnt, r, c):
+        return raw + r, cnt + c
+
+    @jax.jit
+    def finalize(raw, cnt):
         # Pallas path fills the upper triangle; mirror for the final map.
         if engine != "einsum":
             raw = jnp.triu(raw) + jnp.triu(raw, 1).T
             cnt = jnp.triu(cnt) + jnp.triu(cnt, 1).T
         d = raw / jnp.maximum(cnt, 1)
-        return -jnp.log1p(-d) * (1 - jnp.eye(N, dtype=dtype))
+        d = -jnp.log1p(-d) * (1 - jnp.eye(N, dtype=dtype))
+        return jnp.sum(d)
+
+    def full_matrix(bufs, score, k):
+        raw = jnp.zeros((N, N), dtype)
+        cnt = jnp.zeros((N, N), dtype)
+        for i in range(k):
+            r, c = chunk_step(bufs[i % NBUF], score)
+            raw, cnt = acc(raw, cnt, r, c)
+        return np.asarray(finalize(raw, cnt))  # scalar barrier
 
     key = jax.random.PRNGKey(0)
     logits = jax.random.normal(key, (NBUF, chunk, N, 3), dtype=dtype)
@@ -223,14 +236,18 @@ def main() -> None:
                 for b in range(NBUF)]
     score = jax.device_put(jnp.asarray(default_score_matrix(), dtype), dev)
 
-    _ = np.asarray(full_matrix(bufs, score))  # warmup / compile
+    _ = full_matrix(bufs, score, 1)  # warmup / compile
 
-    times = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        d = np.asarray(full_matrix(bufs, score))
-        times.append(time.perf_counter() - t0)
-    elapsed = min(times)
+    def tmin(k, n=3):
+        ts = []
+        for _ in range(n):
+            t0 = time.perf_counter()
+            full_matrix(bufs, score, k)
+            ts.append(time.perf_counter() - t0)
+        return min(ts)
+
+    k1 = max(1, n_chunks // 4)
+    elapsed = tmin(n_chunks + k1) - tmin(k1)  # device time for n_chunks
 
     n_pairs = N * (N - 1) // 2
     updates = float(n_pairs) * float(S_total)

@@ -103,11 +103,15 @@ def _upper_blocks(nb: int) -> Tuple[np.ndarray, np.ndarray]:
 RESIDENT_MAX_NB = 8
 RESIDENT_SITE_ELEMS = 128 * 1024
 # Superblock variant (nb > RESIDENT_MAX_NB): panels of SUPER_G blocks;
-# VMEM = 2 resident [SB, SB] outputs (8.4 MB at SB=1024) + double-
-# buffered [3, TS, SB] panels + the concat/bf16-split operands, so the
-# site tile is bounded by SUPER_SITE_ELEMS = site_tile * SB.
-SUPER_G = 8
-SUPER_SITE_ELEMS = 32 * 1024
+# VMEM = 2 resident [SB, SB] outputs + double-buffered [3, TS, SB]
+# panels + the concat/bf16-split operands, so the site tile is bounded
+# by SUPER_SITE_ELEMS = site_tile * SB.  v5e sweep at N=2048 (16k-site
+# chunks): (G=4, TS=256) 6.0e12 upd/s > (8,64) 4.6e12 > (8,128) 4.5e12
+# > (2,512) 5.6e12* > (8,32) 3.3e12; TS=384+ fails to compile (VMEM).
+# Deep site tiles beat wide panels: MXU K = 3*TS dominates, panel
+# re-reads are cheap next to it.  (*G=2 re-reads panels 2x more.)
+SUPER_G = 4
+SUPER_SITE_ELEMS = 256 * 4 * 128
 
 
 def _super_shape(N: int, block: int):

@@ -126,6 +126,36 @@ def test_pallas_indep_super_variant_matches_einsum(weighted):
     )
 
 
+def test_pallas_indep_super_three_panels():
+    """ns=3 panel grid (6 panel pairs, 3 diagonal) with a padding block
+    in the last panel: every panel-pair class and the diagonal
+    sub-block skip must agree with the einsum engine."""
+    from ngsdist_tpu.ops.pallas_indep import _super_shape, plan_layout
+
+    rng = np.random.default_rng(31)
+    S, N, block = 29, 89, 8            # nb=12 -> ns=3, G=4, N_pad=96
+    assert plan_layout(S, N, block=block, site_tile=8)[0] == "super"
+    assert _super_shape(N, block) == (3, 4, 96)
+    P = _rand_probs(rng, S, N)
+    score = default_score_matrix()
+    w = rng.integers(0, 3, size=S).astype(np.float64)
+
+    raw_ref, cnt_ref = dist.indep_suffstats(
+        jnp.asarray(P), jnp.asarray(score), True, jnp.asarray(w)
+    )
+    iu = np.triu_indices(N, k=1)
+    raw, cnt = indep_raw_cnt_pallas(
+        jnp.asarray(P), score, True, site_weights=w,
+        block=block, site_tile=8, interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(raw)[iu], np.asarray(raw_ref)[iu], rtol=1e-12, atol=1e-12
+    )
+    np.testing.assert_allclose(
+        np.asarray(cnt)[iu], np.asarray(cnt_ref)[iu], rtol=1e-12, atol=1e-12
+    )
+
+
 def test_plane_major_prepared_input_matches():
     """prepare_plane_major + plane_major= must equal the site-major
     dispatch (the once-per-chunk relayout replicate streams reuse)."""
