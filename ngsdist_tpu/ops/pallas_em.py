@@ -49,12 +49,21 @@ EPSILON = 1e-5  # miss_data tolerance (gen_func.hpp:16)
 # sublane position in the [TS, B, 3] / [TS, 1] blocks must be
 # 8-divisible (Mosaic block constraint), so TS=8.  sub_tile is the
 # inner COMPUTE slab: since the rank-1 factorization removed the
-# [9, sub, B, B] while-carry the slab arrays are just [sub, B, B], and
-# sub=4 measures best on v5e (8.9e8 vs 8.7e8 upd/s at 2 and 8 —
-# per-iteration overhead amortizes against whole-slab convergence).
+# [9, sub, B, B] while-carry the slab arrays are just [sub, B, B].
+# The convergence loop runs EM_CHUNK steps per while iteration so the
+# scalar any-lane-active reduction (a pipeline-serializing [sub, B, B]
+# -> scalar sum) is paid once per 7 steps, not per step; smaller slabs
+# then exit earlier (slab-max convergence over fewer lanes).  v5e sweep
+# at 1024/2048 ind: sub=1 1.48/1.62e9 > sub=2 1.41/1.53e9 > sub=4
+# 1.28e9 > shipped-round-1 per-step exit 8.7e8 > fixed 49 steps (no
+# exit) 7.2e8 upd/s; sub=8 overflows scoped VMEM under the 7-step
+# unroll.
 DEFAULT_BLOCK = 128
 DEFAULT_SITE_TILE = 8
-DEFAULT_SUB_TILE = 4
+DEFAULT_SUB_TILE = 1
+# 7 | EM_MAX_ITER - 1, so chunked exit checks preserve the exact
+# 49-step iteration cap of the reference (maxIter=50, ngsDist.cpp:349).
+EM_CHUNK = 7
 
 
 def _em_slab(Pi, Pj, score_ref, pairwise_del: bool):
@@ -87,23 +96,21 @@ def _em_slab(Pi, Pj, score_ref, pairwise_del: bool):
     pj = [Pj[:, :, h] / jnp.where(dead_j, 1.0, mj) for h in range(3)]
     dead = dead_i[:, :, None] | dead_j[:, None, :]   # [sub, B, B]
 
-    lo = jnp.asarray(np.exp(-EM_TOLE), dtype)
     hi = jnp.asarray(np.exp(EM_TOLE), dtype)
 
-    # Loop invariant entering step k (k = 1, 2, …): PowI_g = pi_g^k,
+    # Step invariant entering step k (k = 1, 2, …): PowI_g = pi_g^k,
     # tIm = t_{k−1}, tIc = t_k (same on the j side).  Each step advances
     # the per-individual powers one k ahead, forms the pair ratio, and
     # counts still-active steps into kstar: a lane first converging at
     # step k_c accumulates Σ active = k_c − 1, so k* = 1 + Σ — no
-    # per-lane select in the loop.  Never-converged lanes run to
-    # k = EM_MAX_ITER − 1 and land on the reference's iteration cap.
-    # Masks are {0,1} floats (Mosaic-friendlier than i1 vectors);
-    # n_active lets the loop exit once the whole tile converged.
-    def cond(state):
-        return jnp.logical_and(state[0] < EM_MAX_ITER, state[-1] > 0.0)
-
-    def body(state):
-        k, PI, tIm, tIc, PJ, tJm, tJc, ksum, active, _na = state
+    # per-lane select in the loop.  Never-converged lanes run all
+    # EM_MAX_ITER − 1 steps and land on the reference's iteration cap.
+    # The band test needs only the UPPER edge: power sums are log-convex
+    # in k (Cauchy–Schwarz: S_{k+1}·S_{k−1} ≥ S_k²), so rI, rJ and the
+    # pair ratio are ≥ 1 > exp(−tole) exactly — the reference's
+    # |l_k − l_{k−1}| < tole collapses to ratio < hi, one compare.
+    # Masks are {0,1} floats (Mosaic-friendlier than i1 vectors).
+    def step(PI, tIm, tIc, PJ, tJm, tJc, ksum, active):
         PI = [p * q for p, q in zip(PI, pi)]         # pi^{k+1}, [sub, B]
         PJ = [p * q for p, q in zip(PJ, pj)]
         tIn = PI[0] + PI[1] + PI[2]                  # t_{k+1}
@@ -111,10 +118,27 @@ def _em_slab(Pi, Pj, score_ref, pairwise_del: bool):
         rI = tIn * tIm / (tIc * tIc)                 # [sub, B]
         rJ = tJn * tJm / (tJc * tJc)
         ratio = rI[:, :, None] * rJ[:, None, :]      # [sub, B, B]
-        conv = ((ratio > lo) & (ratio < hi)).astype(dtype)
-        active = active * (1.0 - conv)
-        return (k + 1, PI, tIc, tIn, PJ, tJc, tJn,
-                ksum + active, active, jnp.sum(active))
+        active = active * (ratio >= hi).astype(dtype)
+        return PI, tIc, tIn, PJ, tJc, tJn, ksum + active, active
+
+    # EM_CHUNK steps run per while iteration and the whole-slab
+    # early-exit reduction (n_active, a pipeline-serializing scalar
+    # dependency) is evaluated once per chunk: measured 1.41e9 upd/s
+    # vs 9.4e8 checking every step and 7.2e8 never checking (v5e,
+    # 1024 ind) — early exit pays, per-step exit checks don't.
+    n_steps = EM_MAX_ITER - 1
+    assert n_steps % EM_CHUNK == 0
+
+    def cond(state):
+        return jnp.logical_and(state[0] < n_steps, state[-1] > 0.0)
+
+    def body(state):
+        k, PI, tIm, tIc, PJ, tJm, tJc, ksum, active, _na = state
+        for _ in range(EM_CHUNK):
+            PI, tIm, tIc, PJ, tJm, tJc, ksum, active = step(
+                PI, tIm, tIc, PJ, tJm, tJc, ksum, active)
+        return (k + EM_CHUNK, PI, tIm, tIc, PJ, tJm, tJc, ksum, active,
+                jnp.sum(active))
 
     tI1 = pi[0] + pi[1] + pi[2]
     tJ1 = pj[0] + pj[1] + pj[2]
@@ -123,7 +147,7 @@ def _em_slab(Pi, Pj, score_ref, pairwise_del: bool):
     _, _, _, _, _, _, _, ksum, _, _ = jax.lax.while_loop(
         cond,
         body,
-        (jnp.asarray(1, jnp.int32), list(pi), t0, tI1, list(pj), t0, tJ1,
+        (jnp.asarray(0, jnp.int32), list(pi), t0, tI1, list(pj), t0, tJ1,
          jnp.zeros_like(active0), active0, jnp.sum(active0)),
     )
     kstar = 1.0 + ksum                               # [sub, B, B]

@@ -147,3 +147,33 @@ def test_pallas_em_hard_genotype_lanes():
     np.testing.assert_allclose(
         np.asarray(raw)[iu], np.asarray(raw_ref), rtol=1e-9, atol=1e-9
     )
+
+
+def test_pallas_em_slowest_converging_lanes():
+    """Channels (1, 0.94, 0.93) are the slowest-converging shape for the
+    rank-1 ratio test: k* = 39, deep in the 6th exit-check chunk of the
+    kernel's chunked while_loop (empirical max over 2-parameter sides —
+    the power-sum ratio decays geometrically, so the reference's
+    50-iteration cap is unreachable at tole=1e-3 and exists only as a
+    defensive bound).  Fast lanes mixed in exercise per-lane k* spread
+    within one slab."""
+    S, N = 8, 4
+    p = np.array([1.0, 0.94, 0.93])
+    P = np.tile((p / p.sum()), (S, N, 1))
+    # a couple of fast lanes mixed in so the slab isn't uniformly slow
+    P[:, 0] = np.array([1.0, 1e-9, 1e-9]) / (1.0 + 2e-9)
+    score9 = default_score_matrix().reshape(-1)
+
+    raw_ref, cnt_ref, _, _ = dist.em_suffstats(
+        jnp.asarray(P), jnp.asarray(score9), False
+    )
+    iu = np.triu_indices(N, k=1)
+    raw, cnt = em_raw_cnt_pallas(
+        jnp.asarray(P), score9, False, block=8, site_tile=8, interpret=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(raw)[iu], np.asarray(raw_ref), rtol=1e-9, atol=1e-9
+    )
+    np.testing.assert_allclose(
+        np.asarray(cnt)[iu], np.asarray(cnt_ref), rtol=0, atol=1e-9
+    )
