@@ -36,6 +36,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import Params
+from ..utils.hostmem import parallel_astype
 from . import bootstrap as bt
 from . import models
 from .em import em_pair_site_contribs
@@ -455,7 +456,9 @@ def iter_replicates(
     chunked = S * N * 3 * itemsize > budget
     chunk = max(1, budget // max(1, N * 3 * itemsize)) if chunked else S
     if not chunked:
-        P = jnp.asarray(P_host, dtype)
+        # Threaded host-side cast: a serial f64->f32 copy first-touches
+        # hundreds of MB at page-fault speed on sandboxed VMs.
+        P = jnp.asarray(parallel_astype(P_host, np.dtype(dtype)))
 
     def stats_stream(site_weights=None, n_used=S, rep=0):
         if not chunked:
@@ -482,7 +485,7 @@ def iter_replicates(
                 idx += 1
                 continue
             stop = min(start + chunk, n_used)
-            Pc = jnp.asarray(P_host[start:stop], dtype)
+            Pc = jnp.asarray(parallel_astype(P_host[start:stop], np.dtype(dtype)))
             wc = None if site_weights is None else site_weights[start:stop]
             raw, cnt, _, _ = full_stats(Pc, site_weights=wc)
             raw = np.asarray(raw, np.float64)
@@ -808,7 +811,7 @@ def _iter_replicates_extended(
     budget = _device_budget_bytes()
     chunked = S * N * 3 * itemsize > budget
     chunk = max(1, budget // max(1, N * 3 * itemsize)) if chunked else S
-    P = None if chunked else jnp.asarray(P_host, dtype)
+    P = None if chunked else jnp.asarray(parallel_astype(P_host, np.dtype(dtype)))
 
     if pars.pairwise_del:
         # host-side miss_data (keeps chunk streaming device-free here)
@@ -910,7 +913,7 @@ def _iter_replicates_extended(
                 idx += 1
                 continue
             stop = min(start + chunk, S)
-            Pc = jnp.asarray(P_host[start:stop], dtype)
+            Pc = jnp.asarray(parallel_astype(P_host[start:stop], np.dtype(dtype)))
             for cl in CLS:
                 r, c = _class_stats_one(Pc, (w * masks[cl])[start:stop])
                 accs[cl][0] = r if accs[cl][0] is None else accs[cl][0] + r

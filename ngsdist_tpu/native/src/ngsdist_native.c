@@ -112,6 +112,44 @@ ND_EXPORT void nd_exp_array(double *x, int64_t n) {
   for (long w = 0; w < nt; w++) pthread_join(tids[w], NULL);
 }
 
+typedef struct {
+  double *x;
+  int64_t lo, hi;
+  double v;
+} nd_fill_job;
+
+static void *nd_fill_worker(void *arg) {
+  nd_fill_job *j = (nd_fill_job *)arg;
+  for (int64_t i = j->lo; i < j->hi; i++) j->x[i] = j->v;
+  return NULL;
+}
+
+/* Threaded fill: the first write to a fresh allocation pays the page
+ * fault, and on para-virtualized kernels (this rig's sandbox) faulting
+ * runs at ~10 MB/s/thread — a serial init of a multi-GB tensor costs
+ * tens of seconds while 4 threads cut it ~4x.  Also the bandwidth-bound
+ * fast path on bare metal. */
+ND_EXPORT void nd_fill_array(double *x, int64_t n, double v) {
+  long nt = sysconf(_SC_NPROCESSORS_ONLN);
+  if (nt < 1) nt = 1;
+  if (nt > 16) nt = 16;
+  if (n < (1 << 20) || nt == 1) {
+    nd_fill_job j = {x, 0, n, v};
+    nd_fill_worker(&j);
+    return;
+  }
+  nd_fill_job jobs[16];
+  pthread_t tids[16];
+  int64_t chunk = (n + nt - 1) / nt;
+  for (long w = 0; w < nt; w++) {
+    int64_t lo = w * chunk, hi = (w + 1) * chunk;
+    if (hi > n) hi = n;
+    jobs[w] = (nd_fill_job){x, lo, hi, v};
+    pthread_create(&tids[w], NULL, nd_fill_worker, &jobs[w]);
+  }
+  for (long w = 0; w < nt; w++) pthread_join(tids[w], NULL);
+}
+
 ND_EXPORT void nd_log_array(double *x, int64_t n) {
   for (int64_t i = 0; i < n; i++) {
     x[i] = log(x[i]);
@@ -290,7 +328,10 @@ ND_EXPORT int nd_read_geno(const char *path, int in_bin, int in_probs,
   }
   gzbuffer(fh, 1 << 20);
 
-  for (int64_t i = 0; i < n_sites * n_ind * ND_NGENO; i++) out[i] = -ND_BIGNEG;
+  /* Threaded init: doubles as the parallel first-touch of the fresh
+   * output tensor (see nd_fill_array) — the serial loop here was the
+   * single slowest line of a large binary load on faulting-bound VMs. */
+  nd_fill_array(out, n_sites * n_ind * ND_NGENO, -ND_BIGNEG);
 
   char *line = NULL;
   double *vals = NULL;

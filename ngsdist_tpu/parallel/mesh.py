@@ -41,6 +41,7 @@ except AttributeError:  # pragma: no cover - older jax
     from jax.experimental.shard_map import shard_map  # type: ignore
 
 from ..core.distance import missing_mask
+from ..utils.hostmem import parallel_cast_pad
 from ..core.em import em_pair_site_contribs
 
 AXIS = "sites"
@@ -98,17 +99,6 @@ def distributed_init(coordinator: Optional[str] = None, **kw) -> None:
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
-
-
-def pad_sites(P_host: np.ndarray, s_pad: int) -> np.ndarray:
-    """Zero-pad the site axis to s_pad rows (zeros are inert: they carry
-    no probability mass and are masked out of EM/count paths)."""
-    S = P_host.shape[0]
-    if s_pad == S:
-        return P_host
-    out = np.zeros((s_pad,) + P_host.shape[1:], dtype=P_host.dtype)
-    out[:S] = P_host
-    return out
 
 
 def shard_sites(arr, mesh: Mesh):
@@ -502,7 +492,7 @@ def sharded_pair_pi(
         Pp = P_host
     else:
         s_pad = _plan_padding(S, n_dev, 1)
-        Pp = shard_sites(pad_sites(np.asarray(P_host, dtype=np_dtype), s_pad), mesh)
+        Pp = shard_sites(parallel_cast_pad(P_host, np_dtype, s_pad), mesh)
 
     A1h, A2h = allele_onehots(a1, a2, np_dtype)
 
@@ -671,7 +661,7 @@ def sharded_suffstats(
                             block_size)
             granule = tile
         s_pad = _plan_padding(S, n_dev, granule)
-        Pp = shard_sites(pad_sites(np.asarray(P_host, dtype=np_dtype), s_pad), mesh)
+        Pp = shard_sites(parallel_cast_pad(P_host, np_dtype, s_pad), mesh)
 
     def mask_fn(start, stop):
         out = np.zeros((stop - start,), np_dtype)

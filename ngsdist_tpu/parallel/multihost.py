@@ -23,6 +23,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..config import Params
 from ..core.preprocess import preprocess
 from ..io import readers
+from ..utils.hostmem import parallel_cast_pad
 from .mesh import AXIS, _round_up
 
 
@@ -194,10 +195,10 @@ class SiteStream:
         s_loc, chunk = cls._plan(pars, mesh, np_dtype)
         s_pad = s_loc * sites_size(mesh)
         start, stop = host_site_range(s_pad, mesh)
-        local = np.zeros((stop - start, pars.n_ind, 3), np_dtype)
-        hi = min(stop, pars.n_sites)
-        if hi > start:
-            local[: hi - start] = P_host[start:hi]
+        hi = max(min(stop, pars.n_sites), start)
+        # Threaded cast+pad: parallel first-touch of the local shard
+        # (serial f64->f32 copies run at page-fault speed on VMs).
+        local = parallel_cast_pad(P_host[start:hi], np_dtype, stop - start)
         return cls(pars, mesh, np_dtype, local, s_pad, chunk, start, stop)
 
     @classmethod
@@ -212,15 +213,17 @@ class SiteStream:
         start, stop = host_site_range(s_pad, mesh)
         read_start = min(start, pars.n_sites)
         read_stop = min(stop, pars.n_sites)
-        local = np.zeros((stop - start, pars.n_ind, 3), np_dtype)
         if read_stop > read_start:
             geno_log = readers.read_geno(
                 pars.in_geno, pars.in_bin, pars.in_probs, pars.in_logscale,
                 pars.n_ind, pars.n_sites, site_range=(read_start, read_stop),
             )
-            local[: read_stop - read_start] = preprocess(
+            pre = preprocess(
                 geno_log, pars.call_geno, pars.N_thresh, pars.call_thresh
             )
+        else:
+            pre = np.zeros((0, pars.n_ind, 3), np_dtype)
+        local = parallel_cast_pad(pre, np_dtype, stop - start)
         return cls(pars, mesh, np_dtype, local, s_pad, chunk, start, stop)
 
     # ------------------------- resident path ------------------------- #

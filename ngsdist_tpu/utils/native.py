@@ -45,6 +45,8 @@ def _configure(lib: ctypes.CDLL) -> None:
     lib.nd_exp_array.restype = None
     lib.nd_log_array.argtypes = [_c_dp, ctypes.c_int64]
     lib.nd_log_array.restype = None
+    lib.nd_fill_array.argtypes = [_c_dp, ctypes.c_int64, ctypes.c_double]
+    lib.nd_fill_array.restype = None
     lib.nd_postprob3.argtypes = [_c_dp, ctypes.c_int64]
     lib.nd_postprob3.restype = None
     lib.nd_call_geno3.argtypes = [_c_dp, ctypes.c_int64, ctypes.c_double, ctypes.c_double]
