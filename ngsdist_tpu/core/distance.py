@@ -454,7 +454,11 @@ def iter_replicates(
     itemsize = np.dtype(np.float64 if dtype == jnp.float64 else np.float32).itemsize
     budget = _device_budget_bytes()
     chunked = S * N * 3 * itemsize > budget
-    chunk = max(1, budget // max(1, N * 3 * itemsize)) if chunked else S
+    # Streamed chunks double-buffer (the next chunk's cast + async
+    # device transfer overlap the current chunk's kernel), so the
+    # prefetched tensor joins the working set: 3/4 of the per-chunk
+    # budget keeps tensor + layout copies + prefetch within it.
+    chunk = max(1, (budget * 3 // 4) // max(1, N * 3 * itemsize)) if chunked else S
     if not chunked:
         # Threaded host-side cast: a serial f64->f32 copy first-touches
         # hundreds of MB at page-fault speed on sandboxed VMs.
@@ -479,15 +483,24 @@ def iter_replicates(
                 skip, arrs = got
                 acc_raw = arrs["raw"]
                 acc_cnt = arrs.get("cnt")
-        idx = 0
-        for start in range(0, n_used, chunk):
-            if idx < skip:
-                idx += 1
-                continue
-            stop = min(start + chunk, n_used)
+
+        def stage(start, stop):
+            # jnp.asarray dispatches the host->device copy
+            # asynchronously: staged uploads overlap the in-flight
+            # kernel of the previous chunk.
             Pc = jnp.asarray(parallel_astype(P_host[start:stop], np.dtype(dtype)))
             wc = None if site_weights is None else site_weights[start:stop]
+            return Pc, wc
+
+        ranges = [(s, min(s + chunk, n_used))
+                  for s in range(0, n_used, chunk)][skip:]
+        idx = skip
+        pending = stage(*ranges[0]) if ranges else None
+        for k, _rng in enumerate(ranges):
+            Pc, wc = pending
             raw, cnt, _, _ = full_stats(Pc, site_weights=wc)
+            if k + 1 < len(ranges):  # prefetch while the device works
+                pending = stage(*ranges[k + 1])
             raw = np.asarray(raw, np.float64)
             acc_raw = raw if acc_raw is None else acc_raw + raw
             if cnt is not None:
@@ -654,16 +667,25 @@ def _iter_replicates_sharded(
 
         def stats_rounds(w_full: np.ndarray, rep: int = 0):
             skip, acc_raw, acc_cnt = _ckpt_resume(rep)
-            for r in range(stream.n_rounds):
-                if r < skip:
-                    continue
-                Pr = stream.round_data(r)
-                wr = stream.round_cols(r, w_full)
+            rounds = list(range(skip, stream.n_rounds))
+            # One-round lookahead: stage the next round's shard (host
+            # assembly + async device transfer) while the current
+            # round's suffstats are in flight; the SiteStream planner
+            # budgets for the extra resident round (_plan's 3/4).
+            pending = ((stream.round_data(rounds[0]),
+                        stream.round_cols(rounds[0], w_full))
+                       if rounds else None)
+            for k, r in enumerate(rounds):
+                Pr, wr = pending
                 raw, cnt, _, _ = pm.sharded_suffstats(
                     Pr, score, mesh, indep=pars.indep_geno,
                     pairwise_del=pars.pairwise_del, site_weights=wr,
                     dtype=dtype, n_sites=int(Pr.shape[0]),
                 )
+                if k + 1 < len(rounds):
+                    nr = rounds[k + 1]
+                    pending = (stream.round_data(nr),
+                               stream.round_cols(nr, w_full))
                 raw = np.asarray(raw, np.float64)
                 acc_raw = raw if acc_raw is None else acc_raw + raw
                 if cnt is not None:
@@ -810,7 +832,8 @@ def _iter_replicates_extended(
     itemsize = np.dtype(np.float64 if dtype == jnp.float64 else np.float32).itemsize
     budget = _device_budget_bytes()
     chunked = S * N * 3 * itemsize > budget
-    chunk = max(1, budget // max(1, N * 3 * itemsize)) if chunked else S
+    # 3/4: the double-buffered prefetch joins the per-chunk working set.
+    chunk = max(1, (budget * 3 // 4) // max(1, N * 3 * itemsize)) if chunked else S
     P = None if chunked else jnp.asarray(parallel_astype(P_host, np.dtype(dtype)))
 
     if pars.pairwise_del:
@@ -907,13 +930,18 @@ def _iter_replicates_extended(
                 for cl in CLS:
                     accs[cl][0] = arrs[f"raw_{cl}"]
                     accs[cl][1] = arrs.get(f"cnt_{cl}")
-        idx = 0
-        for start in range(0, S, chunk):
-            if idx < skip:
-                idx += 1
-                continue
-            stop = min(start + chunk, S)
-            Pc = jnp.asarray(parallel_astype(P_host[start:stop], np.dtype(dtype)))
+        ranges = [(s, min(s + chunk, S)) for s in range(0, S, chunk)][skip:]
+        idx = skip
+        pending = (jnp.asarray(parallel_astype(P_host[slice(*ranges[0])],
+                                               np.dtype(dtype)))
+                   if ranges else None)
+        for k, (start, stop) in enumerate(ranges):
+            Pc = pending
+            if k + 1 < len(ranges):
+                # prefetch the next chunk (async device transfer) while
+                # this chunk's three class reductions run
+                pending = jnp.asarray(parallel_astype(
+                    P_host[slice(*ranges[k + 1])], np.dtype(dtype)))
             for cl in CLS:
                 r, c = _class_stats_one(Pc, (w * masks[cl])[start:stop])
                 accs[cl][0] = r if accs[cl][0] is None else accs[cl][0] + r
@@ -1066,10 +1094,14 @@ def _extended_mesh(
                 accs[cl][0] = arrs[f"raw_{cl}"]
                 accs[cl][1] = arrs.get(f"cnt_{cl}")
             pi_acc = arrs.get("pi")
-        for r in range(stream.n_rounds):
-            if r < skip:
-                continue
-            Pr = stream.round_data(r)
+        rounds = list(range(skip, stream.n_rounds))
+        # one-round lookahead (see stats_rounds): stage round r+1 while
+        # round r's class reductions are in flight
+        pending = stream.round_data(rounds[0]) if rounds else None
+        for k, r in enumerate(rounds):
+            Pr = pending
+            if k + 1 < len(rounds):
+                pending = stream.round_data(rounds[k + 1])
             for cl in CLS:
                 rr, cc = suffstats_one(
                     Pr, stream.round_cols(r, w * masks[cl]),

@@ -181,6 +181,10 @@ class SiteStream:
         s_loc = _round_up(s_min, g)
         if budget_sites >= s_loc:
             return s_loc, s_loc                     # resident, minimal padding
+        # 3/4: streamed rounds double-buffer (the next round's shard is
+        # staged while the current one computes), so the prefetched
+        # round joins the per-device working set.
+        budget_sites = max(1, budget_sites * 3 // 4)
         chunk = (budget_sites // pref) * pref or (budget_sites // g) * g or g
         return s_loc, chunk
 
