@@ -96,15 +96,23 @@ def read_geno(
             site_range=site_range,
         )
     if native and path != "-":
+        import ctypes
+
         lib = _native.get_lib()
         out = np.empty((n_sites, n_ind, N_GENO), dtype=np.float64)
         errbuf = bytes(256)
+        # the reference's fatal reader errors carry strerror(errno) from
+        # the perror suffix; the native reader aggregates the libm errno
+        # (ERANGE underflow from one-hot/missing triples) its parse saw
+        err = ctypes.c_int(0)
         rc = lib.nd_read_geno(
             path.encode(), int(in_bin), int(in_probs), int(in_logscale),
             n_ind, n_sites, _native.as_double_ptr(out), errbuf, len(errbuf),
+            ctypes.byref(err),
         )
         if rc != 0:
-            raise NgsDistError("read_geno", errbuf.split(b"\0")[0].decode())
+            raise NgsDistError("read_geno", errbuf.split(b"\0")[0].decode(),
+                               err=err.value)
         return out
     return _read_geno_py(path, in_bin, in_probs, in_logscale, n_ind, n_sites)
 

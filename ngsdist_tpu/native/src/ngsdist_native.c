@@ -26,6 +26,7 @@
 #include <stdlib.h>
 #include <string.h>
 #include <stdint.h>
+#include <errno.h>
 #include <math.h>
 #include <pthread.h>
 #include <unistd.h>
@@ -222,11 +223,26 @@ static void nd_seterr(char *errbuf, int64_t cap, const char *msg) {
   }
 }
 
-/* Tokenize a line on single ' '/'\t' separators and keep only the fields
- * that strtod fully consumes, i.e. the numeric-field filter of the
- * reference splitter (gen_func.cpp:390-417).  Returns the number of
- * numeric fields stored in vals (caller provides capacity = strlen+1). */
-static int64_t nd_split_numeric(char *line, double *vals) {
+/* Strip a single trailing '\n' or '\r' (chomp, gen_func.cpp:192-199). */
+static void nd_chomp(char *s) {
+  size_t len = strlen(s);
+  if (len == 0) return;
+  char c = s[len - 1];
+  if (c == '\n' || c == '\r') s[len - 1] = '\0';
+}
+
+/* ------------------------------------------------------------------ */
+/* Parallel text parsing                                               */
+/* ------------------------------------------------------------------ */
+
+/* Tokenize a line on single ' '/'\t' separators and keep only fields
+ * that strtod fully consumes — the numeric-field filter of the
+ * reference splitter (gen_func.cpp:390-417) — in O(K) memory:
+ * counts every numeric field but keeps only the last K in a ring
+ * (ring[i % K]) — the reader only ever uses the LAST n_ind*n_geno
+ * fields (Beagle-style leading columns), and per-line field counts can
+ * otherwise force a full-line buffer per parallel slot. */
+static int64_t nd_split_lastk(char *line, double *ring, int64_t K) {
   int64_t n = 0;
   char *tok = line;
   while (tok) {
@@ -236,19 +252,82 @@ static int64_t nd_split_numeric(char *line, double *vals) {
     if (*tok != '\0') {
       char *end = NULL;
       double v = strtod(tok, &end);
-      if (end && *end == '\0') vals[n++] = v;
+      if (end && *end == '\0') {
+        ring[n % K] = v;
+        n++;
+      }
     }
     tok = next;
   }
   return n;
 }
 
-/* Strip a single trailing '\n' or '\r' (chomp, gen_func.cpp:192-199). */
-static void nd_chomp(char *s) {
-  size_t len = strlen(s);
-  if (len == 0) return;
-  char c = s[len - 1];
-  if (c == '\n' || c == '\r') s[len - 1] = '\0';
+/* One line of a text slab.  Workers fill n_fields/geno_err/stage; the
+ * serial assignment pass replicates the reference's control flow (site
+ * numbering, header skips, error precedence) over the parsed slots. */
+typedef struct {
+  char *buf;        /* malloc'd, chomped in the worker */
+  int64_t n_fields; /* -1: empty line (site stays missing) */
+  int geno_err;     /* genotype code > 2 seen on this line */
+  double *stage;    /* [n_ind*ND_NGENO] parsed log-normalized triples */
+} nd_text_slot;
+
+typedef struct {
+  nd_text_slot *slots;
+  int64_t lo, hi;
+  int64_t n_ind;
+  int in_probs, in_logscale;
+  double *ring;    /* per-worker [n_ind*n_geno] scratch */
+  int saved_errno; /* libm errno seen by this worker (ERANGE underflow) */
+} nd_text_job;
+
+static void nd_parse_text_slot(nd_text_slot *sl, int64_t n_ind, int in_probs,
+                               int in_logscale, double *ring) {
+  int64_t n_geno = in_probs ? ND_NGENO : 1;
+  int64_t K = n_ind * n_geno;
+  sl->geno_err = 0;
+  nd_chomp(sl->buf);
+  if (sl->buf[0] == '\0') {
+    sl->n_fields = -1;
+    return;
+  }
+  int64_t n = nd_split_lastk(sl->buf, ring, K);
+  sl->n_fields = n;
+  if (n < K) /* header or wrong-columns: the serial pass decides */
+    return;
+  for (int64_t i = 0; i < n_ind; i++) {
+    double *p = sl->stage + i * ND_NGENO;
+    if (in_probs) {
+      for (int g = 0; g < ND_NGENO; g++) {
+        double v = ring[(n - K + i * ND_NGENO + g) % K];
+        p[g] = in_logscale ? v : log(v);
+        if (p[g] == -INFINITY) p[g] = -ND_BIGNEG;
+      }
+    } else {
+      int g = (int)ring[(n - K + i) % K];
+      p[0] = p[1] = p[2] = -ND_BIGNEG; /* reference rows start missing */
+      if (g >= 0) {
+        if (g > 2) {
+          sl->geno_err = 1;
+          return;
+        }
+        p[g] = log(1.0);
+      } else {
+        p[0] = p[1] = p[2] = log(1.0 / ND_NGENO);
+      }
+    }
+    nd_postprob3(p, 1);
+  }
+}
+
+static void *nd_text_worker(void *arg) {
+  nd_text_job *j = (nd_text_job *)arg;
+  errno = 0;
+  for (int64_t k = j->lo; k < j->hi; k++)
+    nd_parse_text_slot(&j->slots[k], j->n_ind, j->in_probs, j->in_logscale,
+                       j->ring);
+  j->saved_errno = errno;
+  return NULL;
 }
 
 /* Read a genotype / genotype-probability file into out[site][ind][geno]
@@ -271,31 +350,36 @@ typedef struct {
   double *out;
   int64_t lo, hi; /* triple range */
   int in_logscale;
-  int *nan_flag; /* shared; benign racy write of 1 */
+  int *nan_flag;   /* shared; benign racy write of 1 */
+  int saved_errno; /* libm errno seen by this worker (ERANGE underflow) */
 } nd_norm_job;
 
 static void *nd_norm_worker(void *arg) {
   nd_norm_job *j = (nd_norm_job *)arg;
+  errno = 0;
   for (int64_t t = j->lo; t < j->hi; t++) {
     double *p = j->out + 3 * t;
     if (!j->in_logscale) nd_log_array(p, ND_NGENO);
     nd_postprob3(p, 1);
     if (isnan(p[0]) || isnan(p[1]) || isnan(p[2])) *j->nan_flag = 1;
   }
+  j->saved_errno = errno;
   return NULL;
 }
 
 /* log-if-needed + per-triple normalize over n_triples, parallel across
  * available cores.  Returns nonzero if any NaN was produced. */
-static int nd_normalize_rows(double *out, int64_t n_triples, int in_logscale) {
+static int nd_normalize_rows(double *out, int64_t n_triples, int in_logscale,
+                             int *err_out) {
   long nt = sysconf(_SC_NPROCESSORS_ONLN);
   if (nt < 1) nt = 1;
   if (nt > 16) nt = 16;
   if (nt > n_triples) nt = (long)(n_triples > 0 ? n_triples : 1);
   int nan_flag = 0;
   if (nt == 1) {
-    nd_norm_job j = {out, 0, n_triples, in_logscale, &nan_flag};
+    nd_norm_job j = {out, 0, n_triples, in_logscale, &nan_flag, 0};
     nd_norm_worker(&j);
+    if (!*err_out) *err_out = j.saved_errno;
     return nan_flag;
   }
   nd_norm_job *jobs = (nd_norm_job *)malloc((size_t)nt * sizeof(nd_norm_job));
@@ -304,19 +388,28 @@ static int nd_normalize_rows(double *out, int64_t n_triples, int in_logscale) {
   for (long w = 0; w < nt; w++) {
     int64_t lo = w * chunk, hi = (w + 1) * chunk;
     if (hi > n_triples) hi = n_triples;
-    jobs[w] = (nd_norm_job){out, lo, hi, in_logscale, &nan_flag};
+    jobs[w] = (nd_norm_job){out, lo, hi, in_logscale, &nan_flag, 0};
     pthread_create(&tids[w], NULL, nd_norm_worker, &jobs[w]);
   }
   for (long w = 0; w < nt; w++) pthread_join(tids[w], NULL);
+  for (long w = 0; w < nt; w++)
+    if (!*err_out && jobs[w].saved_errno) *err_out = jobs[w].saved_errno;
   free(jobs);
   free(tids);
   return nan_flag;
 }
 
+/* err_out receives the libm errno observed while parsing (the
+ * reference's error() helper ends in perror, so its fatal reader
+ * messages carry strerror(errno) — ERANGE whenever an earlier triple's
+ * log-sum-exp underflowed, e.g. any one-hot genotype; thread-local
+ * errno from the parse workers is aggregated here). */
 ND_EXPORT int nd_read_geno(const char *path, int in_bin, int in_probs,
                            int in_logscale, int64_t n_ind, int64_t n_sites,
-                           double *out, char *errbuf, int64_t errbuf_cap) {
+                           double *out, char *errbuf, int64_t errbuf_cap,
+                           int *err_out) {
   int64_t n_geno = in_probs ? ND_NGENO : 1;
+  *err_out = 0;
   gzFile fh;
   if (strcmp(path, "-") == 0)
     fh = gzdopen(0 /* stdin */, in_bin ? "rb" : "r");
@@ -334,7 +427,6 @@ ND_EXPORT int nd_read_geno(const char *path, int in_bin, int in_probs,
   nd_fill_array(out, n_sites * n_ind * ND_NGENO, -ND_BIGNEG);
 
   char *line = NULL;
-  double *vals = NULL;
   int rc = 0;
 
   if (in_bin) {
@@ -364,77 +456,145 @@ ND_EXPORT int nd_read_geno(const char *path, int in_bin, int in_probs,
       }
       got += r;
     }
-    if (rc == 0 && nd_normalize_rows(out, n_sites * n_ind, in_logscale))
-      {
-        rc = 1;
-        nd_seterr(errbuf, errbuf_cap, "NaN found! Is the file format correct?");
-      }
+    if (rc != 0) {
+      /* the reference normalizes each site as it reads, so errno at a
+       * premature-EOF error reflects the completed triples' underflows
+       * — normalize what was read to reproduce that state */
+      nd_normalize_rows(out, got / (ND_NGENO * (int64_t)sizeof(double)),
+                        in_logscale, err_out);
+    } else if (nd_normalize_rows(out, n_sites * n_ind, in_logscale, err_out)) {
+      rc = 1;
+      nd_seterr(errbuf, errbuf_cap, "NaN found! Is the file format correct?");
+    }
   } else {
+    /* Slab-parallel text parse: lines are read serially (gz decompress
+     * is a serial stream) into a slab of slots, workers split/convert/
+     * normalize each line independently (strtod + log + log-sum-exp is
+     * the actual bottleneck of large TSV loads), and a serial
+     * assignment pass replays the reference's exact control flow over
+     * the parsed slots — site numbering, empty-line missing sites,
+     * header skips (with their stderr prints in order), and the
+     * precedence of format errors over the EOF check.  Per-element
+     * arithmetic is unchanged. */
+    long nt = sysconf(_SC_NPROCESSORS_ONLN);
+    if (nt < 1) nt = 1;
+    if (nt > 16) nt = 16;
+    int64_t K_out = n_ind * ND_NGENO;
+    int64_t slab = (32 << 20) / (K_out * (int64_t)sizeof(double) + 64);
+    if (slab < 16) slab = 16;
+    if (slab > 4096) slab = 4096;
     line = (char *)malloc(ND_LINE_MAX);
-    vals = (double *)malloc(ND_LINE_MAX * sizeof(double) / 2);
-    if (!line || !vals) {
+    nd_text_slot *slots =
+        (nd_text_slot *)calloc((size_t)slab, sizeof(nd_text_slot));
+    double *stage = (double *)malloc((size_t)(slab * K_out) * sizeof(double));
+    double *rings =
+        (double *)malloc((size_t)(nt * n_ind * n_geno) * sizeof(double));
+    if (!line || !slots || !stage || !rings) {
       nd_seterr(errbuf, errbuf_cap, "cannot allocate read buffers!");
       rc = 1;
+    } else {
+      for (int64_t k = 0; k < slab; k++) slots[k].stage = stage + k * K_out;
     }
-    for (int64_t s = 0; s < n_sites && rc == 0; s++) {
-      if (gzgets(fh, line, ND_LINE_MAX) == NULL) {
-        rc = 1;
-        nd_seterr(errbuf, errbuf_cap,
-                  gzeof(fh)
-                      ? "GENO file at premature EOF. Check GENO file and "
-                        "number of sites!"
-                      : "cannot read GZip GENO file. Check GENO file and "
-                        "number of sites!");
-        break;
-      }
-      nd_chomp(line);
-      if (line[0] == '\0') /* empty line: site stays missing */
-        continue;
-      int64_t n_fields = nd_split_numeric(line, vals);
-
-      if (n_fields == 0 || (s == 0 && n_fields < n_ind * n_geno)) {
-        fprintf(stderr, "> Header found! Skipping line...\n");
-        if (s != 0)
-          fprintf(stderr,
-                  "\n=======\nWARNING: [read_geno]  header found but not on "
-                  "first line. Is this an error?\n=======\n\n");
-        s--;
-        continue;
-      }
-      if (n_fields < n_ind * n_geno) {
-        rc = 1;
-        nd_seterr(errbuf, errbuf_cap,
-                  "wrong GENO file format. Less fields than expected!");
-        break;
-      }
-      double *ptr = vals + (n_fields - n_ind * n_geno);
-      double *row = out + s * n_ind * ND_NGENO;
-      for (int64_t i = 0; i < n_ind; i++) {
-        double *p = row + i * ND_NGENO;
-        if (in_probs) {
-          for (int g = 0; g < ND_NGENO; g++) {
-            double v = ptr[i * ND_NGENO + g];
-            p[g] = in_logscale ? v : log(v);
-            if (p[g] == -INFINITY) p[g] = -ND_BIGNEG;
-          }
-        } else {
-          int g = (int)ptr[i];
-          if (g >= 0) {
-            if (g > 2) {
-              rc = 1;
-              nd_seterr(errbuf, errbuf_cap,
-                        "wrong GENO file format. Genotypes must be coded as "
-                        "{-1,0,1,2} !");
-              break;
-            }
-            p[g] = log(1.0);
-          } else {
-            p[0] = p[1] = p[2] = log(1.0 / ND_NGENO);
-          }
+    int64_t s = 0;
+    int eof_kind = 0; /* 1: EOF, 2: gz read error */
+    while (rc == 0 && s < n_sites && eof_kind == 0) {
+      int64_t n_lines = 0;
+      while (n_lines < slab) {
+        if (gzgets(fh, line, ND_LINE_MAX) == NULL) {
+          eof_kind = gzeof(fh) ? 1 : 2;
+          break;
         }
-        nd_postprob3(p, 1);
+        size_t len = strlen(line);
+        free(slots[n_lines].buf);
+        slots[n_lines].buf = (char *)malloc(len + 1);
+        if (!slots[n_lines].buf) {
+          nd_seterr(errbuf, errbuf_cap, "cannot allocate read buffers!");
+          rc = 1;
+          break;
+        }
+        memcpy(slots[n_lines].buf, line, len + 1);
+        n_lines++;
+      }
+      if (rc != 0 || n_lines == 0)
+        break;
+      long nw = nt;
+      if (nw > n_lines) nw = (long)n_lines;
+      if (nw <= 1 || n_lines < 64) {
+        nd_text_job j = {slots, 0, n_lines, n_ind, in_probs, in_logscale,
+                         rings, 0};
+        nd_text_worker(&j);
+        if (!*err_out) *err_out = j.saved_errno;
+      } else {
+        nd_text_job jobs[16];
+        pthread_t tids[16];
+        int64_t per = (n_lines + nw - 1) / nw;
+        for (long w = 0; w < nw; w++) {
+          int64_t lo = w * per, hi = (w + 1) * per;
+          if (hi > n_lines) hi = n_lines;
+          jobs[w] = (nd_text_job){slots,    lo,          hi,
+                                  n_ind,    in_probs,    in_logscale,
+                                  rings + w * n_ind * n_geno, 0};
+          pthread_create(&tids[w], NULL, nd_text_worker, &jobs[w]);
+        }
+        for (long w = 0; w < nw; w++) pthread_join(tids[w], NULL);
+        for (long w = 0; w < nw; w++)
+          if (!*err_out && jobs[w].saved_errno) *err_out = jobs[w].saved_errno;
+      }
+      int64_t k = 0;
+      for (; k < n_lines && rc == 0 && s < n_sites; k++) {
+        nd_text_slot *sl = &slots[k];
+        if (sl->n_fields == -1) { /* empty line: site stays missing */
+          s++;
+          continue;
+        }
+        if (sl->n_fields == 0 || (s == 0 && sl->n_fields < n_ind * n_geno)) {
+          fprintf(stderr, "> Header found! Skipping line...\n");
+          if (s != 0)
+            fprintf(stderr,
+                    "\n=======\nWARNING: [read_geno]  header found but not on "
+                    "first line. Is this an error?\n=======\n\n");
+          continue;
+        }
+        if (sl->n_fields < n_ind * n_geno) {
+          rc = 1;
+          nd_seterr(errbuf, errbuf_cap,
+                    "wrong GENO file format. Less fields than expected!");
+          break;
+        }
+        if (!in_probs && sl->geno_err) {
+          rc = 1;
+          nd_seterr(errbuf, errbuf_cap,
+                    "wrong GENO file format. Genotypes must be coded as "
+                    "{-1,0,1,2} !");
+          break;
+        }
+        memcpy(out + s * K_out, sl->stage, (size_t)K_out * sizeof(double));
+        s++;
+      }
+      if (rc == 0 && s == n_sites && k < n_lines) {
+        /* lines past the last site were already consumed from the gz
+         * stream: the reference's strict 1-byte probe below would miss
+         * them, so the "not at EOF" error is raised here. */
+        rc = 1;
+        nd_seterr(errbuf, errbuf_cap,
+                  "GENO file not at EOF. Check GENO file and number of "
+                  "sites!");
       }
     }
+    if (rc == 0 && s < n_sites) {
+      rc = 1;
+      nd_seterr(errbuf, errbuf_cap,
+                eof_kind == 2 ? "cannot read GZip GENO file. Check GENO file "
+                                "and number of sites!"
+                              : "GENO file at premature EOF. Check GENO file "
+                                "and number of sites!");
+    }
+    if (slots) {
+      for (int64_t k = 0; k < slab; k++) free(slots[k].buf);
+      free(slots);
+    }
+    free(stage);
+    free(rings);
   }
 
   if (rc == 0) {
@@ -449,7 +609,6 @@ ND_EXPORT int nd_read_geno(const char *path, int in_bin, int in_probs,
   }
 
   free(line);
-  free(vals);
   gzclose(fh);
   return rc;
 }

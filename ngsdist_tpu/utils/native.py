@@ -54,6 +54,7 @@ def _configure(lib: ctypes.CDLL) -> None:
     lib.nd_read_geno.argtypes = [
         ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ctypes.c_int64, ctypes.c_int64, _c_dp, ctypes.c_char_p, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int),
     ]
     lib.nd_read_geno.restype = ctypes.c_int
     lib.nd_pair_dists.argtypes = [

@@ -273,6 +273,33 @@ class TestReaders:
         with pytest.raises(NgsDistError, match="not at EOF"):
             readers.read_geno(path, False, False, False, 2, 1)
 
+    def test_reader_error_carries_libm_errno(self, tmp_path):
+        """The reference's fatal reader messages end in perror, so their
+        strerror suffix is ERANGE whenever an earlier triple's
+        log-sum-exp underflowed (any one-hot genotype does).  The
+        native reader aggregates its parse workers' thread-local errno
+        into NgsDistError.err."""
+        import errno as _errno
+
+        path = self._gz(tmp_path, "0\t1\n")
+        with pytest.raises(NgsDistError) as ei:
+            readers.read_geno(path, False, False, False, 2, 5)
+        assert ei.value.err == _errno.ERANGE
+        # probability input with moderate spreads: no underflow -> 0
+        path = self._gz(tmp_path, "0.2\t0.3\t0.5\t0.1\t0.1\t0.8\n")
+        with pytest.raises(NgsDistError) as ei:
+            readers.read_geno(path, False, True, False, 2, 5)
+        assert ei.value.err == 0
+
+    def test_mid_file_header_warning(self, tmp_path, capfd):
+        """A zero-numeric-field line past the first prints the header
+        warning but does not consume a site (read_data.cpp:64-72)."""
+        path = self._gz(tmp_path, "0\t1\nmarker\tallele\n1\t1\n")
+        g = readers.read_geno(path, False, False, False, 2, 2)
+        assert g[1, 0, 1] == 0.0
+        err = capfd.readouterr().err
+        assert "Header found" in err and "not on first line" in err
+
     def test_binary_roundtrip_normalizes(self, tmp_path):
         vals = [0.2, 0.3, 0.5, 0.1, 0.1, 0.8]
         p = tmp_path / "b.bin"
