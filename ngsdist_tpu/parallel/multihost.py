@@ -14,6 +14,7 @@ real multi-host runs.
 
 from __future__ import annotations
 
+import os
 from typing import Optional, Tuple
 
 import jax
@@ -135,10 +136,11 @@ class SiteStream:
     """
 
     def __init__(self, pars: Params, mesh: Mesh, np_dtype,
-                 local_rows: np.ndarray, s_pad: int, chunk: int,
+                 local_rows: Optional[np.ndarray], s_pad: int, chunk: int,
                  start: int, stop: int):
         from .mesh import sites_size
 
+        self.pars = pars
         self.mesh = mesh
         self.N = pars.n_ind
         self.S = pars.n_sites
@@ -149,8 +151,11 @@ class SiteStream:
         self.start, self.stop = start, stop
         self.n_local_dev = (stop - start) // self.s_loc
         self.local = local_rows  # [(stop-start), N, 3], padded rows zero
+        self.lazy = local_rows is None  # rounds read from disk on demand
         self.chunk = int(min(chunk, self.s_loc))
-        self.resident = self.chunk >= self.s_loc
+        # lazy shards always iterate rounds (there is no host tensor to
+        # assemble a resident global array from)
+        self.resident = (not self.lazy) and self.chunk >= self.s_loc
 
     # -------------------------- planning ----------------------------- #
 
@@ -205,16 +210,56 @@ class SiteStream:
         local = parallel_cast_pad(P_host[start:hi], np_dtype, stop - start)
         return cls(pars, mesh, np_dtype, local, s_pad, chunk, start, stop)
 
+    @staticmethod
+    def _host_budget_bytes() -> int:
+        """Host-RAM budget for a process's resident site shard.  Above
+        it (binary, seekable inputs) the stream goes LAZY: no host
+        tensor at all — each round reads its own site rows from disk,
+        so neither device HBM nor host RAM bounds genome length (the
+        reference's only capacity bound is host RAM, read_data.cpp:21).
+        Default: half of MemAvailable; NGSDIST_HOST_BUDGET overrides
+        (bytes)."""
+        env = os.environ.get("NGSDIST_HOST_BUDGET")
+        if env:
+            return max(1, int(env))
+        try:
+            with open("/proc/meminfo") as fh:
+                for ln in fh:
+                    if ln.startswith("MemAvailable:"):
+                        return max(1 << 30, int(ln.split()[1]) * 1024 // 2)
+        except OSError:
+            pass
+        return 1 << 62
+
     @classmethod
     def from_reader(cls, pars: Params, mesh: Mesh,
                     np_dtype) -> "SiteStream":
         """Each process reads only its own site range of the genotype
-        file (io/readers.py site_range) — the multi-host path."""
+        file (io/readers.py site_range) — the multi-host path.  Shards
+        beyond the host budget stream rounds from disk (lazy)."""
         from .mesh import sites_size
 
         s_loc, chunk = cls._plan(pars, mesh, np_dtype)
         s_pad = s_loc * sites_size(mesh)
         start, stop = host_site_range(s_pad, mesh)
+        itemsize = np.dtype(np_dtype).itemsize
+        # eager loading peaks at the f64 read tensor PLUS the cast shard
+        shard_bytes = (stop - start) * pars.n_ind * 3 * (itemsize + 8)
+        seekable_bin = (pars.in_bin and pars.in_geno != "-"
+                        and not pars.in_geno.endswith(".gz"))
+        host_budget = cls._host_budget_bytes()
+        if seekable_bin and shard_bytes > host_budget:
+            # Lazy: bound the per-round host staging (the round buffer,
+            # its f64 read slab and the prefetched next round ~ 3x).
+            n_local_dev = (stop - start) // s_loc
+            g = pars.boot_block_size if pars.n_boot_rep else 1
+            pref = g if pars.indep_geno else int(np.lcm(g, 256))
+            host_sites = (host_budget // 3) // max(
+                1, n_local_dev * pars.n_ind * 3 * itemsize)
+            host_sites = (host_sites // pref) * pref or (
+                host_sites // g) * g or g
+            chunk = min(chunk, host_sites)
+            return cls(pars, mesh, np_dtype, None, s_pad, chunk, start, stop)
         read_start = min(start, pars.n_sites)
         read_stop = min(stop, pars.n_sites)
         if read_stop > read_start:
@@ -263,9 +308,30 @@ class SiteStream:
         """Global sharded [chunk*n_dev, N, 3] array for round r."""
         lo = r * self.chunk
         hi = min(lo + self.chunk, self.s_loc)
-        l3 = self.local.reshape(self.n_local_dev, self.s_loc, self.N, 3)
         out = np.zeros((self.n_local_dev, self.chunk, self.N, 3), self.np_dtype)
-        out[:, : hi - lo] = l3[:, lo:hi]
+        if self.lazy:
+            # Read this round's rows of every local device's shard from
+            # disk (binary seek via site_range), preprocess, cast.  The
+            # engines' one-round lookahead overlaps this IO with the
+            # in-flight round's device compute.
+            d0 = self.start // self.s_loc
+            for d in range(self.n_local_dev):
+                g_lo = min((d0 + d) * self.s_loc + lo, self.S)
+                g_hi = min((d0 + d) * self.s_loc + hi, self.S)
+                if g_hi > g_lo:
+                    geno_log = readers.read_geno(
+                        self.pars.in_geno, self.pars.in_bin,
+                        self.pars.in_probs, self.pars.in_logscale,
+                        self.pars.n_ind, self.pars.n_sites,
+                        site_range=(g_lo, g_hi),
+                    )
+                    out[d, : g_hi - g_lo] = preprocess(
+                        geno_log, self.pars.call_geno, self.pars.N_thresh,
+                        self.pars.call_thresh,
+                    )
+        else:
+            l3 = self.local.reshape(self.n_local_dev, self.s_loc, self.N, 3)
+            out[:, : hi - lo] = l3[:, lo:hi]
         return self._put(out.reshape(-1, self.N, 3), P(AXIS, None, None),
                          (self.round_sites, self.N, 3))
 

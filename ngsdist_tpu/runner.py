@@ -31,9 +31,12 @@ def _log(pars: Params, level: int, msg: str) -> None:
         print(msg, file=sys.stderr)
 
 
-def load_inputs(pars: Params):
+def load_inputs(pars: Params, geno: bool = True):
     """Read labels, positions and the genotype tensor; returns
-    (labels, pos_rows, P_normal [n_sites, n_ind, 3])."""
+    (labels, pos_rows, P_normal [n_sites, n_ind, 3]).
+
+    geno=False skips the genotype read (P is None) — the lazy
+    disk-streaming path constructs a SiteStream instead."""
     if pars.in_labels:
         _log(pars, 1, "==> Reading labels")
         labels = readers.read_labels(pars.in_labels, pars.in_labels_header, pars.n_ind)
@@ -51,6 +54,8 @@ def load_inputs(pars: Params):
             for row in pos_rows:
                 print("\t".join((row + ["", "", "", ""])[:4]), file=sys.stderr)
 
+    if not geno:
+        return labels, pos_rows, None
     _log(pars, 1, "==> Reading genotype data")
     geno_log = readers.read_geno(
         pars.in_geno, pars.in_bin, pars.in_probs, pars.in_logscale,
@@ -58,6 +63,23 @@ def load_inputs(pars: Params):
     )
     P = preprocess(geno_log, pars.call_geno, pars.N_thresh, pars.call_thresh)
     return labels, pos_rows, P
+
+
+def _lazy_stream_wanted(pars: Params, engine: str) -> bool:
+    """True when the full f64 genotype tensor would exceed the host-RAM
+    budget and the input supports per-round disk reads (binary,
+    seekable): the jax engine then streams rounds from disk via a lazy
+    SiteStream, so host RAM no longer bounds genome length (the
+    reference's only capacity bound, read_data.cpp:21)."""
+    if engine != "jax":
+        return False
+    if not (pars.in_geno and pars.in_bin and pars.in_geno != "-"
+            and not pars.in_geno.endswith(".gz")):
+        return False
+    from .parallel.multihost import SiteStream
+
+    need = pars.n_sites * pars.n_ind * 3 * 8  # the f64 read tensor
+    return need > SiteStream._host_budget_bytes()
 
 
 def make_pair_report(pars: Params, labels):
@@ -232,8 +254,21 @@ def run(
     for msg in pars.messages:
         print(msg, file=sys.stderr)
 
-    labels, pos_rows, P = load_inputs(pars)
     engine = resolve_engine(engine)
+    lazy = _lazy_stream_wanted(pars, engine)
+    labels, pos_rows, P = load_inputs(pars, geno=not lazy)
+    if lazy:
+        from .core.distance import default_dtype
+        from .parallel.mesh import make_mesh
+        from .parallel.multihost import SiteStream
+
+        import jax.numpy as jnp
+
+        _log(pars, 1, "==> Reading genotype data")  # read happens per round
+        if mesh is None:
+            mesh = make_mesh()  # all local devices
+        np_dtype = np.float64 if default_dtype() == jnp.float64 else np.float32
+        P = SiteStream.from_reader(pars, mesh, np_dtype)
     alleles = None
     if pars.evol_model >= 3 and pos_rows is not None and engine != "exact":
         from .core.submodels import encode_alleles

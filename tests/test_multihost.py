@@ -71,3 +71,95 @@ def test_load_global_probs_single_process(mesh8, tmp_path):
 def test_host_site_range_covers_all(mesh8):
     start, stop = mh.host_site_range(80, mesh8)
     assert (start, stop) == (0, 80)  # single process owns everything
+
+
+def test_lazy_stream_matches_eager(mesh8, tmp_path, monkeypatch):
+    """A lazy SiteStream (host shard over NGSDIST_HOST_BUDGET, rounds
+    read from disk via binary seeks) must produce the same sharded
+    suffstats as the eager host-resident stream — host RAM no longer
+    bounds genome length (beyond the reference's read_data.cpp:21
+    bound)."""
+    rng = np.random.default_rng(50)
+    S, N = 96, 5
+    gp = rng.dirichlet(np.ones(3), size=(S, N))
+    path = tmp_path / "gp.bin"
+    gp.tofile(path)
+    pars = Params(in_geno=str(path), in_bin=True, in_probs=True,
+                  n_ind=N, n_sites=S, out="y", seed=3, indep_geno=True,
+                  pairwise_del=True, verbose=0)
+
+    monkeypatch.setenv("NGSDIST_DEVICE_BUDGET", "100000000")
+    monkeypatch.delenv("NGSDIST_HOST_BUDGET", raising=False)
+    eager = mh.SiteStream.from_reader(pars, mesh8, np.float64)
+    assert not eager.lazy
+
+    monkeypatch.setenv("NGSDIST_HOST_BUDGET", "2000")
+    lazy = mh.SiteStream.from_reader(pars, mesh8, np.float64)
+    assert lazy.lazy and not lazy.resident and lazy.n_rounds > 1
+
+    from ngsdist_tpu.config import default_score_matrix
+    from ngsdist_tpu.parallel.mesh import sharded_suffstats
+
+    score = default_score_matrix()
+
+    def total(stream):
+        acc_raw = acc_cnt = None
+        w = np.ones((S,), np.float64)
+        for r in range(stream.n_rounds):
+            raw, cnt, _, _ = sharded_suffstats(
+                stream.round_data(r), score, mesh8, indep=True,
+                pairwise_del=True, site_weights=stream.round_cols(r, w),
+                n_sites=stream.round_sites,
+            )
+            raw = np.asarray(raw, np.float64)
+            cnt = np.asarray(cnt, np.float64)
+            acc_raw = raw if acc_raw is None else acc_raw + raw
+            acc_cnt = cnt if acc_cnt is None else acc_cnt + cnt
+        return acc_raw, acc_cnt
+
+    # identical chunking -> identical grouping: byte-equal sums
+    assert eager.resident  # big device budget: eager is resident
+    raw_l, cnt_l = total(lazy)
+    monkeypatch.setenv("NGSDIST_DEVICE_BUDGET",
+                       str(lazy.chunk * N * 3 * 8 * 4))
+    monkeypatch.delenv("NGSDIST_HOST_BUDGET", raising=False)
+    eager_rounds = mh.SiteStream.from_reader(pars, mesh8, np.float64)
+    if eager_rounds.chunk == lazy.chunk:
+        raw_e, cnt_e = total(eager_rounds)
+        np.testing.assert_array_equal(raw_l, raw_e)
+        np.testing.assert_array_equal(cnt_l, cnt_e)
+    else:  # chunk plans differ: values still agree to regroup rounding
+        raw_e, cnt_e = total(eager_rounds)
+        np.testing.assert_allclose(raw_l, raw_e, rtol=1e-12)
+        np.testing.assert_allclose(cnt_l, cnt_e, rtol=0, atol=0)
+
+
+def test_lazy_runner_end_to_end(tmp_path, monkeypatch):
+    """runner.run with a tiny NGSDIST_HOST_BUDGET routes through the
+    lazy stream (mesh auto-created) and reproduces the eager output."""
+    from ngsdist_tpu import runner
+
+    rng = np.random.default_rng(51)
+    S, N = 60, 4
+    gp = rng.dirichlet(np.ones(3), size=(S, N))
+    path = tmp_path / "gp.bin"
+    gp.tofile(path)
+
+    def run(out, env):
+        for k, v in env.items():
+            if v is None:
+                monkeypatch.delenv(k, raising=False)
+            else:
+                monkeypatch.setenv(k, v)
+        pars = Params(in_geno=str(path), in_bin=True, in_probs=True,
+                      n_ind=N, n_sites=S, out=str(tmp_path / out),
+                      seed=9, indep_geno=True, pairwise_del=True,
+                      n_boot_rep=2, boot_block_size=7, verbose=0)
+        pars.validate(); pars.finalize()
+        return runner.run(pars, engine="jax")
+
+    ref = run("eager.dist", {"NGSDIST_HOST_BUDGET": None})
+    lazy = run("lazy.dist", {"NGSDIST_HOST_BUDGET": "1000"})
+    assert len(ref) == len(lazy) == 3
+    for a, b in zip(ref, lazy):
+        np.testing.assert_allclose(b, a, rtol=1e-12, atol=1e-15)

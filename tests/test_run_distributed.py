@@ -64,7 +64,7 @@ def _load(path):
 
 @pytest.mark.slow
 @pytest.mark.parametrize("pairwise_del,streamed", [(True, False), (False, False),
-                                                   (True, True)])
+                                                   (True, True), (True, "lazy")])
 def test_run_distributed_two_processes(tmp_path, pairwise_del, streamed):
     """pairwise_del=False is the regression case for the prebuilt-array
     padding bug: padded sites must not count toward the EM statistics.
@@ -83,6 +83,8 @@ def test_run_distributed_two_processes(tmp_path, pairwise_del, streamed):
            if k not in ("XLA_FLAGS", "NGSDIST_DEVICE_BUDGET")}
     if streamed:
         env["NGSDIST_DEVICE_BUDGET"] = str(5 * 6 * 3 * 8)  # ~5 sites/round
+    if streamed == "lazy":  # rounds read from disk, no host shard at all
+        env["NGSDIST_HOST_BUDGET"] = "1000"
     procs = [
         subprocess.Popen(
             [sys.executable, worker, str(pid), "2", port, str(tmp_path),
