@@ -53,6 +53,13 @@ def default_dtype():
     return jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
 
 
+# Streamed loops double-buffer (the next chunk/round stages while the
+# current one computes), so planners keep KEEP/DEN of the per-chunk
+# budget for the current chunk's working set and reserve the rest for
+# the prefetched tensor.  Tests derive expected chunk sizes from these.
+PREFETCH_KEEP_NUM = 3
+PREFETCH_KEEP_DEN = 4
+
 # The engine's peak device footprint is a small multiple of the
 # probability tensor itself: the Pallas kernels materialize a padded
 # (indep: plane-major) layout copy, and the XLA einsum engine two
@@ -454,11 +461,8 @@ def iter_replicates(
     itemsize = np.dtype(np.float64 if dtype == jnp.float64 else np.float32).itemsize
     budget = _device_budget_bytes()
     chunked = S * N * 3 * itemsize > budget
-    # Streamed chunks double-buffer (the next chunk's cast + async
-    # device transfer overlap the current chunk's kernel), so the
-    # prefetched tensor joins the working set: 3/4 of the per-chunk
-    # budget keeps tensor + layout copies + prefetch within it.
-    chunk = max(1, (budget * 3 // 4) // max(1, N * 3 * itemsize)) if chunked else S
+    chunk = max(1, (budget * PREFETCH_KEEP_NUM // PREFETCH_KEEP_DEN)
+                // max(1, N * 3 * itemsize)) if chunked else S
     if not chunked:
         # Threaded host-side cast: a serial f64->f32 copy first-touches
         # hundreds of MB at page-fault speed on sandboxed VMs.
@@ -832,8 +836,8 @@ def _iter_replicates_extended(
     itemsize = np.dtype(np.float64 if dtype == jnp.float64 else np.float32).itemsize
     budget = _device_budget_bytes()
     chunked = S * N * 3 * itemsize > budget
-    # 3/4: the double-buffered prefetch joins the per-chunk working set.
-    chunk = max(1, (budget * 3 // 4) // max(1, N * 3 * itemsize)) if chunked else S
+    chunk = max(1, (budget * PREFETCH_KEEP_NUM // PREFETCH_KEEP_DEN)
+                // max(1, N * 3 * itemsize)) if chunked else S
     P = None if chunked else jnp.asarray(parallel_astype(P_host, np.dtype(dtype)))
 
     if pars.pairwise_del:

@@ -157,21 +157,27 @@ def _read_geno_py(
             # apply the same per-element arithmetic).
             n_rows = stop - start
             buf = fh.read(n_rows * want)
-            if len(buf) != n_rows * want:
-                raise NgsDistError(
-                    "read_geno",
-                    "GENO file at premature EOF. Check GENO file and number of sites!",
-                )
-            rows = np.frombuffer(buf, dtype=np.float64).reshape(
-                n_rows, n_ind, N_GENO).copy()
+            short = len(buf) != n_rows * want
+            tb = N_GENO * 8  # one triple
+            rows = np.frombuffer(
+                buf[: len(buf) - len(buf) % tb], dtype=np.float64
+            ).reshape(-1, N_GENO).copy()
             if not in_logscale:
                 with np.errstate(divide="ignore", invalid="ignore"):
                     rows = np.log(rows)
                 rows[np.isneginf(rows)] = -BIGNEG
             rows = _postprob_py(rows)
+            # the reference normalizes + NaN-checks each triple as it
+            # reads, so a NaN among the completed triples outranks a
+            # later premature EOF (read_data.cpp:29-47)
             if np.isnan(rows).any():
                 raise NgsDistError("read_geno", "NaN found! Is the file format correct?")
-            geno[:] = rows
+            if short:
+                raise NgsDistError(
+                    "read_geno",
+                    "GENO file at premature EOF. Check GENO file and number of sites!",
+                )
+            geno[:] = rows.reshape(n_rows, n_ind, N_GENO)
         else:
             s = 0
             while s < stop:

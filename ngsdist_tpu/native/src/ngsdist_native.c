@@ -266,10 +266,15 @@ static int64_t nd_split_lastk(char *line, double *ring, int64_t K) {
  * serial assignment pass replicates the reference's control flow (site
  * numbering, header skips, error precedence) over the parsed slots. */
 typedef struct {
-  char *buf;        /* malloc'd, chomped in the worker */
+  char *buf;        /* malloc'd, chomped in the worker (kept intact for
+                     * the serial pass's header/debug echoes) */
   int64_t n_fields; /* -1: empty line (site stays missing) */
   int geno_err;     /* genotype code > 2 seen on this line */
-  double *stage;    /* [n_ind*ND_NGENO] parsed log-normalized triples */
+  int parse_errno;  /* libm errno set while parsing THIS line */
+  double *stage;    /* [n_ind*ND_NGENO] parsed log-normalized triples;
+                     * for short lines, stage[0..1] hold the first two
+                     * numeric fields (the reference's t[0]/t[1] debug
+                     * print before the Less-fields fatal) */
 } nd_text_slot;
 
 typedef struct {
@@ -277,8 +282,7 @@ typedef struct {
   int64_t lo, hi;
   int64_t n_ind;
   int in_probs, in_logscale;
-  double *ring;    /* per-worker [n_ind*n_geno] scratch */
-  int saved_errno; /* libm errno seen by this worker (ERANGE underflow) */
+  double *ring; /* per-worker [n_ind*n_geno] scratch */
 } nd_text_job;
 
 static void nd_parse_text_slot(nd_text_slot *sl, int64_t n_ind, int in_probs,
@@ -286,15 +290,28 @@ static void nd_parse_text_slot(nd_text_slot *sl, int64_t n_ind, int in_probs,
   int64_t n_geno = in_probs ? ND_NGENO : 1;
   int64_t K = n_ind * n_geno;
   sl->geno_err = 0;
+  errno = 0; /* per-line errno: the serial pass merges in consumption
+              * order so the perror-suffix state never includes lines
+              * the reference would not have parsed */
   nd_chomp(sl->buf);
   if (sl->buf[0] == '\0') {
     sl->n_fields = -1;
+    sl->parse_errno = 0;
     return;
   }
-  int64_t n = nd_split_lastk(sl->buf, ring, K);
+  /* split a COPY: the reference's tokenizer copies (gen_func.cpp:305),
+   * leaving the line intact for the header/debug stderr echoes */
+  char *tmp = (char *)malloc(strlen(sl->buf) + 1);
+  memcpy(tmp, sl->buf, strlen(sl->buf) + 1);
+  int64_t n = nd_split_lastk(tmp, ring, K);
+  free(tmp);
   sl->n_fields = n;
-  if (n < K) /* header or wrong-columns: the serial pass decides */
+  if (n < K) { /* header or wrong-columns: the serial pass decides */
+    sl->stage[0] = n >= 1 && n < K ? ring[0] : 0.0;
+    sl->stage[1] = n >= 2 && n < K ? ring[1] : 0.0;
+    sl->parse_errno = errno;
     return;
+  }
   for (int64_t i = 0; i < n_ind; i++) {
     double *p = sl->stage + i * ND_NGENO;
     if (in_probs) {
@@ -309,6 +326,7 @@ static void nd_parse_text_slot(nd_text_slot *sl, int64_t n_ind, int in_probs,
       if (g >= 0) {
         if (g > 2) {
           sl->geno_err = 1;
+          sl->parse_errno = errno;
           return;
         }
         p[g] = log(1.0);
@@ -318,15 +336,14 @@ static void nd_parse_text_slot(nd_text_slot *sl, int64_t n_ind, int in_probs,
     }
     nd_postprob3(p, 1);
   }
+  sl->parse_errno = errno;
 }
 
 static void *nd_text_worker(void *arg) {
   nd_text_job *j = (nd_text_job *)arg;
-  errno = 0;
   for (int64_t k = j->lo; k < j->hi; k++)
     nd_parse_text_slot(&j->slots[k], j->n_ind, j->in_probs, j->in_logscale,
                        j->ring);
-  j->saved_errno = errno;
   return NULL;
 }
 
@@ -379,7 +396,7 @@ static int nd_normalize_rows(double *out, int64_t n_triples, int in_logscale,
   if (nt == 1) {
     nd_norm_job j = {out, 0, n_triples, in_logscale, &nan_flag, 0};
     nd_norm_worker(&j);
-    if (!*err_out) *err_out = j.saved_errno;
+    if (j.saved_errno) *err_out = j.saved_errno;
     return nan_flag;
   }
   nd_norm_job *jobs = (nd_norm_job *)malloc((size_t)nt * sizeof(nd_norm_job));
@@ -392,8 +409,10 @@ static int nd_normalize_rows(double *out, int64_t n_triples, int in_logscale,
     pthread_create(&tids[w], NULL, nd_norm_worker, &jobs[w]);
   }
   for (long w = 0; w < nt; w++) pthread_join(tids[w], NULL);
+  /* libm errno semantics: the LAST non-zero call wins (errno is only
+   * ever set, never cleared) — workers partition triples in order */
   for (long w = 0; w < nt; w++)
-    if (!*err_out && jobs[w].saved_errno) *err_out = jobs[w].saved_errno;
+    if (jobs[w].saved_errno) *err_out = jobs[w].saved_errno;
   free(jobs);
   free(tids);
   return nan_flag;
@@ -457,11 +476,15 @@ ND_EXPORT int nd_read_geno(const char *path, int in_bin, int in_probs,
       got += r;
     }
     if (rc != 0) {
-      /* the reference normalizes each site as it reads, so errno at a
-       * premature-EOF error reflects the completed triples' underflows
-       * — normalize what was read to reproduce that state */
-      nd_normalize_rows(out, got / (ND_NGENO * (int64_t)sizeof(double)),
-                        in_logscale, err_out);
+      /* the reference normalizes + NaN-checks each site as it reads,
+       * so (a) errno at a premature-EOF error reflects the completed
+       * triples' underflows and (b) a NaN among them outranks the EOF
+       * error — normalize what was read to reproduce both */
+      if (nd_normalize_rows(out, got / (ND_NGENO * (int64_t)sizeof(double)),
+                            in_logscale, err_out)) {
+        nd_seterr(errbuf, errbuf_cap,
+                  "NaN found! Is the file format correct?");
+      }
     } else if (nd_normalize_rows(out, n_sites * n_ind, in_logscale, err_out)) {
       rc = 1;
       nd_seterr(errbuf, errbuf_cap, "NaN found! Is the file format correct?");
@@ -521,9 +544,8 @@ ND_EXPORT int nd_read_geno(const char *path, int in_bin, int in_probs,
       if (nw > n_lines) nw = (long)n_lines;
       if (nw <= 1 || n_lines < 64) {
         nd_text_job j = {slots, 0, n_lines, n_ind, in_probs, in_logscale,
-                         rings, 0};
+                         rings};
         nd_text_worker(&j);
-        if (!*err_out) *err_out = j.saved_errno;
       } else {
         nd_text_job jobs[16];
         pthread_t tids[16];
@@ -531,14 +553,12 @@ ND_EXPORT int nd_read_geno(const char *path, int in_bin, int in_probs,
         for (long w = 0; w < nw; w++) {
           int64_t lo = w * per, hi = (w + 1) * per;
           if (hi > n_lines) hi = n_lines;
-          jobs[w] = (nd_text_job){slots,    lo,          hi,
-                                  n_ind,    in_probs,    in_logscale,
-                                  rings + w * n_ind * n_geno, 0};
+          jobs[w] = (nd_text_job){slots, lo,       hi,
+                                  n_ind, in_probs, in_logscale,
+                                  rings + w * n_ind * n_geno};
           pthread_create(&tids[w], NULL, nd_text_worker, &jobs[w]);
         }
         for (long w = 0; w < nw; w++) pthread_join(tids[w], NULL);
-        for (long w = 0; w < nw; w++)
-          if (!*err_out && jobs[w].saved_errno) *err_out = jobs[w].saved_errno;
       }
       int64_t k = 0;
       for (; k < n_lines && rc == 0 && s < n_sites; k++) {
@@ -547,15 +567,33 @@ ND_EXPORT int nd_read_geno(const char *path, int in_bin, int in_probs,
           s++;
           continue;
         }
+        /* merge this line's parse errno NOW: the reference splits and
+         * converts a line before deciding its fate, and libm errno
+         * (last non-zero call wins) is what perror reports at a fatal */
+        if (sl->parse_errno) *err_out = sl->parse_errno;
         if (sl->n_fields == 0 || (s == 0 && sl->n_fields < n_ind * n_geno)) {
           fprintf(stderr, "> Header found! Skipping line...\n");
-          if (s != 0)
+          if (s != 0) {
             fprintf(stderr,
                     "\n=======\nWARNING: [read_geno]  header found but not on "
                     "first line. Is this an error?\n=======\n\n");
+            /* the reference echoes the line with a literal "/n"
+             * (read_data.cpp:68 fprintf(stderr, "%s/n", buf)) */
+            fprintf(stderr, "%s/n", sl->buf);
+          }
           continue;
         }
         if (sl->n_fields < n_ind * n_geno) {
+          /* reference debug dump before the fatal (read_data.cpp:75-76);
+           * t[1] past n_fields is an out-of-bounds read there — printed
+           * as 0 here */
+          fprintf(stderr, "\tline: %s\n\tt[0]: %f\n\tt[1]: %f\n",
+                  sl->buf, sl->stage[0], sl->stage[1]);
+          fprintf(stderr,
+                  "\tn_line: %lu\n\tfields: %lu\n\tn_ind: %lu\n\tn_geno: "
+                  "%lu\n",
+                  (unsigned long)s, (unsigned long)sl->n_fields,
+                  (unsigned long)n_ind, (unsigned long)n_geno);
           rc = 1;
           nd_seterr(errbuf, errbuf_cap,
                     "wrong GENO file format. Less fields than expected!");

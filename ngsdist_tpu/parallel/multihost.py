@@ -171,14 +171,14 @@ class SiteStream:
         actually force rounds (the 256 floor must not defeat it) but
         round down to pref multiples when there is room.
         """
-        from ..core.distance import _device_budget_bytes
+        from ..core import distance as _dist
         from .mesh import sites_size
 
         n_dev = sites_size(mesh)
         g = pars.boot_block_size if pars.n_boot_rep else 1
         pref = int(np.lcm(g, 256)) if not pars.indep_geno else g
         itemsize = np.dtype(np_dtype).itemsize
-        budget_sites = _device_budget_bytes() // max(1, pars.n_ind * 3 * itemsize)
+        budget_sites = _dist._device_budget_bytes() // max(1, pars.n_ind * 3 * itemsize)
         s_min = _round_up(pars.n_sites, n_dev) // n_dev
         s_loc_pref = _round_up(s_min, pref)
         if budget_sites >= s_loc_pref:
@@ -186,10 +186,9 @@ class SiteStream:
         s_loc = _round_up(s_min, g)
         if budget_sites >= s_loc:
             return s_loc, s_loc                     # resident, minimal padding
-        # 3/4: streamed rounds double-buffer (the next round's shard is
-        # staged while the current one computes), so the prefetched
-        # round joins the per-device working set.
-        budget_sites = max(1, budget_sites * 3 // 4)
+        # streamed rounds double-buffer: reserve the prefetch fraction
+        budget_sites = max(
+            1, budget_sites * _dist.PREFETCH_KEEP_NUM // _dist.PREFETCH_KEEP_DEN)
         chunk = (budget_sites // pref) * pref or (budget_sites // g) * g or g
         return s_loc, chunk
 
@@ -231,34 +230,54 @@ class SiteStream:
             pass
         return 1 << 62
 
+    @staticmethod
+    def seekable_binary(pars: Params) -> bool:
+        """True when per-round disk reads are possible: binary input,
+        not stdin, not gzip-compressed (site_range seeks directly)."""
+        return bool(pars.in_geno and pars.in_bin and pars.in_geno != "-"
+                    and not pars.in_geno.endswith(".gz"))
+
+    @classmethod
+    def wants_lazy(cls, pars: Params, np_dtype, n_rows: int) -> bool:
+        """True when eagerly loading n_rows sites (the f64 read tensor
+        plus the cast shard) would exceed the host budget AND the input
+        supports lazy per-round reads.  The runner and from_reader
+        share this single predicate."""
+        itemsize = np.dtype(np_dtype).itemsize
+        need = n_rows * pars.n_ind * 3 * (itemsize + 8)
+        return cls.seekable_binary(pars) and need > cls._host_budget_bytes()
+
     @classmethod
     def from_reader(cls, pars: Params, mesh: Mesh,
                     np_dtype) -> "SiteStream":
         """Each process reads only its own site range of the genotype
         file (io/readers.py site_range) — the multi-host path.  Shards
         beyond the host budget stream rounds from disk (lazy)."""
+        from ..core import distance as _dist
         from .mesh import sites_size
 
         s_loc, chunk = cls._plan(pars, mesh, np_dtype)
         s_pad = s_loc * sites_size(mesh)
         start, stop = host_site_range(s_pad, mesh)
         itemsize = np.dtype(np_dtype).itemsize
-        # eager loading peaks at the f64 read tensor PLUS the cast shard
-        shard_bytes = (stop - start) * pars.n_ind * 3 * (itemsize + 8)
-        seekable_bin = (pars.in_bin and pars.in_geno != "-"
-                        and not pars.in_geno.endswith(".gz"))
-        host_budget = cls._host_budget_bytes()
-        if seekable_bin and shard_bytes > host_budget:
-            # Lazy: bound the per-round host staging (the round buffer,
-            # its f64 read slab and the prefetched next round ~ 3x).
+        if cls.wants_lazy(pars, np_dtype, stop - start):
+            # Lazy rounds are bounded by BOTH budgets: the host staging
+            # (round buffer + f64 read slab + prefetched round ~ 3x) and
+            # the device working set with its prefetch reservation —
+            # _plan's resident early-return skips the latter, so it is
+            # re-applied here.
             n_local_dev = (stop - start) // s_loc
             g = pars.boot_block_size if pars.n_boot_rep else 1
             pref = g if pars.indep_geno else int(np.lcm(g, 256))
-            host_sites = (host_budget // 3) // max(
+            host_sites = (cls._host_budget_bytes() // 3) // max(
                 1, n_local_dev * pars.n_ind * 3 * itemsize)
-            host_sites = (host_sites // pref) * pref or (
-                host_sites // g) * g or g
-            chunk = min(chunk, host_sites)
+            dev_sites = (_dist._device_budget_bytes()
+                         * _dist.PREFETCH_KEEP_NUM
+                         // _dist.PREFETCH_KEEP_DEN) // max(
+                             1, pars.n_ind * 3 * itemsize)
+            sites = min(host_sites, dev_sites)
+            sites = (sites // pref) * pref or (sites // g) * g or g
+            chunk = min(chunk, sites)
             return cls(pars, mesh, np_dtype, None, s_pad, chunk, start, stop)
         read_start = min(start, pars.n_sites)
         read_stop = min(stop, pars.n_sites)

@@ -66,20 +66,22 @@ def load_inputs(pars: Params, geno: bool = True):
 
 
 def _lazy_stream_wanted(pars: Params, engine: str) -> bool:
-    """True when the full f64 genotype tensor would exceed the host-RAM
-    budget and the input supports per-round disk reads (binary,
-    seekable): the jax engine then streams rounds from disk via a lazy
-    SiteStream, so host RAM no longer bounds genome length (the
-    reference's only capacity bound, read_data.cpp:21)."""
+    """True when eagerly loading the genotype tensor would exceed the
+    host-RAM budget and the input supports per-round disk reads: the
+    jax engine then streams rounds from disk via a lazy SiteStream, so
+    host RAM no longer bounds genome length (the reference's only
+    capacity bound, read_data.cpp:21).  The eligibility predicate and
+    byte estimate live on SiteStream (wants_lazy) so the runner and
+    from_reader can never disagree."""
     if engine != "jax":
         return False
-    if not (pars.in_geno and pars.in_bin and pars.in_geno != "-"
-            and not pars.in_geno.endswith(".gz")):
-        return False
+    from .core.distance import default_dtype
     from .parallel.multihost import SiteStream
 
-    need = pars.n_sites * pars.n_ind * 3 * 8  # the f64 read tensor
-    return need > SiteStream._host_budget_bytes()
+    import jax.numpy as jnp
+
+    np_dtype = np.float64 if default_dtype() == jnp.float64 else np.float32
+    return SiteStream.wants_lazy(pars, np_dtype, pars.n_sites)
 
 
 def make_pair_report(pars: Params, labels):

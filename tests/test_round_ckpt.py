@@ -35,11 +35,12 @@ def test_single_device_round_resume(tmp_path, monkeypatch):
     P = _rand_probs(rng, S, N)
     pars = _pars(tmp_path, S, N, indep_geno=True, pairwise_del=True)
     # budget covers the working set (factor x the resident tensor) and
-    # the planner keeps 1/4 for the double-buffered prefetch, so
-    # 16-site chunks need 3 * 4/3 = 4x the raw chunk bytes
+    # the planner reserves the prefetch fraction, so 16-site chunks
+    # need WORKING_SET_FACTOR * DEN/NUM times the raw chunk bytes
     monkeypatch.setenv(
         "NGSDIST_DEVICE_BUDGET",
-        str(dist._WORKING_SET_FACTOR * 4 * 16 * N * 3 * 8 // 3),
+        str(dist._WORKING_SET_FACTOR * dist.PREFETCH_KEEP_DEN * 16 * N * 3 * 8
+            // dist.PREFETCH_KEEP_NUM),
     )
 
     expected = list(dist.iter_replicates(pars, P, [], S))
@@ -110,11 +111,12 @@ def test_extended_single_device_round_resume(tmp_path, monkeypatch):
     alleles = _pos_alleles(S, rng)
     pars = _pars(tmp_path, S, N, indep_geno=True, pairwise_del=True,
                  evol_model=6)
-    # 4/3: the planner keeps 1/4 of the per-chunk budget for the
-    # double-buffered prefetch (see test_single_device_round_resume)
+    # the planner reserves the prefetch fraction of the chunk budget
+    # (see test_single_device_round_resume)
     monkeypatch.setenv(
         "NGSDIST_DEVICE_BUDGET",
-        str(dist._WORKING_SET_FACTOR * 4 * 16 * N * 3 * 8 // 3),
+        str(dist._WORKING_SET_FACTOR * dist.PREFETCH_KEEP_DEN * 16 * N * 3 * 8
+            // dist.PREFETCH_KEEP_NUM),
     )
 
     expected = list(dist.iter_replicates(pars, P, [], S, alleles=alleles))

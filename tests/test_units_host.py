@@ -293,12 +293,47 @@ class TestReaders:
 
     def test_mid_file_header_warning(self, tmp_path, capfd):
         """A zero-numeric-field line past the first prints the header
-        warning but does not consume a site (read_data.cpp:64-72)."""
+        warning, echoes the line with the reference's literal "/n"
+        (read_data.cpp:68), and does not consume a site."""
         path = self._gz(tmp_path, "0\t1\nmarker\tallele\n1\t1\n")
         g = readers.read_geno(path, False, False, False, 2, 2)
         assert g[1, 0, 1] == 0.0
         err = capfd.readouterr().err
         assert "Header found" in err and "not on first line" in err
+        assert "marker\tallele/n" in err
+
+    def test_errno_not_polluted_by_unconsumed_lines(self, tmp_path):
+        """The slab workers parse ahead, but the errno reported with a
+        fatal must reflect only the lines the reference would have
+        parsed: a one-hot line AFTER the fatal short line (whose
+        log-sum-exp would set ERANGE) must not leak into err."""
+        path = self._gz(
+            tmp_path,
+            "0.2 0.3 0.5 0.1 0.1 0.8\n0.5\n1 0 0 1 0 0\n",
+        )
+        with pytest.raises(NgsDistError, match="Less fields") as ei:
+            readers.read_geno(path, False, True, False, 2, 3)
+        assert ei.value.err == 0
+        # ... and a trailing one-hot line past the last site (not-at-EOF
+        # error path) is equally never parsed by the reference
+        path = self._gz(
+            tmp_path, "0.2 0.3 0.5 0.1 0.1 0.8\n1 0 0 1 0 0\n"
+        )
+        with pytest.raises(NgsDistError, match="not at EOF") as ei:
+            readers.read_geno(path, False, True, False, 2, 1)
+        assert ei.value.err == 0
+
+    def test_binary_nan_outranks_premature_eof(self, tmp_path):
+        """The reference NaN-checks each triple as it reads, so a NaN
+        among completed triples errors before a later short read
+        (read_data.cpp:29-47) — native and python binary readers."""
+        vals = np.array([0.2, 0.3, 0.5, -0.1, 0.5, 0.6, 0.3, 0.3, 0.4])
+        p = tmp_path / "nan_eof.bin"
+        p.write_bytes(vals.tobytes())
+        for native in (True, False):
+            with pytest.raises(NgsDistError, match="NaN found"):
+                readers.read_geno(str(p), True, True, False, 2, 2,
+                                  native=native)
 
     def test_binary_roundtrip_normalizes(self, tmp_path):
         vals = [0.2, 0.3, 0.5, 0.1, 0.1, 0.8]
