@@ -163,3 +163,47 @@ def test_lazy_runner_end_to_end(tmp_path, monkeypatch):
     assert len(ref) == len(lazy) == 3
     for a, b in zip(ref, lazy):
         np.testing.assert_allclose(b, a, rtol=1e-12, atol=1e-15)
+
+
+def test_lazy_stream_extended_models(mesh8, tmp_path, monkeypatch):
+    """Lazy disk-streamed rounds through the EXTENDED sharded path
+    (TN93 needs per-pair base frequencies + 3 class masks per round):
+    must match the eager in-memory run."""
+    from ngsdist_tpu.core import bootstrap as bt
+    from ngsdist_tpu.core import distance as dist
+    from ngsdist_tpu.core.submodels import encode_alleles
+
+    rng = np.random.default_rng(52)
+    S, N = 64, 4
+    gp = rng.dirichlet(np.ones(3), size=(S, N))
+    path = tmp_path / "gp.bin"
+    gp.tofile(path)
+    bases = np.array(["A", "C", "G", "T"])
+    rows = []
+    for s in range(S):
+        a, b = rng.choice(4, size=2, replace=False)
+        rows.append(("chr1", str(s + 1), bases[a], bases[b]))
+    alleles = encode_alleles(rows)
+
+    pars = Params(in_geno=str(path), in_bin=True, in_probs=True,
+                  n_ind=N, n_sites=S, out="y", seed=3, indep_geno=True,
+                  pairwise_del=True, evol_model=6, n_boot_rep=1,
+                  boot_block_size=4, verbose=0)
+    n_trunc, maps = bt.site_maps(pars.seed, 1, S, 4)
+
+    monkeypatch.delenv("NGSDIST_HOST_BUDGET", raising=False)
+    monkeypatch.delenv("NGSDIST_DEVICE_BUDGET", raising=False)
+    P = np.asarray(
+        preprocess(readers.read_geno(str(path), True, True, False, N, S),
+                   False, 0.0, 0.0))
+    eager = list(dist.iter_replicates(pars, P, maps, n_trunc, mesh=mesh8,
+                                      alleles=alleles))
+
+    monkeypatch.setenv("NGSDIST_HOST_BUDGET", "1500")
+    stream = mh.SiteStream.from_reader(pars, mesh8, np.float64)
+    assert stream.lazy and stream.n_rounds > 1
+    lazy = list(dist.iter_replicates(pars, stream, maps, n_trunc, mesh=mesh8,
+                                     alleles=alleles))
+    assert len(eager) == len(lazy) == 2
+    for a, b in zip(eager, lazy):
+        np.testing.assert_allclose(b, a, rtol=1e-12, atol=1e-15)
