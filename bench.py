@@ -85,7 +85,7 @@ def main_em() -> None:
 
     def full(weights):
         raw, cnt = em_raw_cnt_pallas(P, score9, True, site_weights=weights)
-        return raw
+        return jnp.sum(raw)  # scalar barrier: don't pay the matrix fetch
 
     _ = np.asarray(full(None))  # compile rep-0 shape
     _ = np.asarray(full(w))     # compile the weighted (replicate) shape

@@ -319,6 +319,7 @@ def em_raw_cnt_pallas(
     sub_tile: int = DEFAULT_SUB_TILE,
     interpret: bool = False,
     vma=None,
+    blocks: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """EM-path sufficient statistics via the Pallas kernel.
 
@@ -332,6 +333,15 @@ def em_raw_cnt_pallas(
     bootstrap run reuses ONE compiled kernel shape — no gather, no
     per-replicate recompilation.  May be a traced array (per-device
     weights under shard_map).
+
+    blocks: optional (IB, JB) int32 [G] arrays replacing the full
+    upper-triangular block enumeration — a SUBSET of blocks to compute
+    (the pairs-axis TP path gives each device its own sublist).  The
+    lists are runtime scalar-prefetch values, so per-device contents
+    share one compiled kernel; only blocks named in the list are
+    written, everything else in the output is unread garbage.  Pad
+    unequal list lengths with the lower-triangle block (1, 0) — real
+    compute, never read, and distinct from every valid (upper) entry.
     """
     if site_tile % sub_tile:
         raise ValueError("site_tile must be a multiple of sub_tile")
@@ -348,7 +358,10 @@ def em_raw_cnt_pallas(
             ((0, S_pad - S), (0, 0)),
         )
     score9 = jnp.asarray(score9, dtype).reshape(1, 9)
-    IB, JB = _upper_blocks(N_pad // block)
+    if blocks is not None:
+        IB, JB = blocks
+    else:
+        IB, JB = _upper_blocks(N_pad // block)
     if interpret and vma is not None:
         raise ValueError(
             "interpret mode cannot run under shard_map (vma requires the "

@@ -274,20 +274,28 @@ def _indep_blocks_sharded(P_pad, mask, score, pairwise_del, block_size, mesh):
 
 def _em_local(Pl, ml, wl, score9, I, J, pairwise_del: bool, tile: int,
               block_size: int, want_blocks: bool, use_pallas: bool = False,
-              n_pairs_axis: int = 1):
+              n_pairs_axis: int = 1, IBl=None, JBl=None):
     """Per-shard masked-EM reduction over local site tiles (mirrors
     core/distance._em_scan, but runs device-local under shard_map so the
     EM while_loop's trip count is local to this shard).  With use_pallas
-    (full-data, unweighted, no blocks) the power-iteration EM kernel
-    runs per device instead of the scan."""
+    the power-iteration EM kernel runs per device instead of the scan;
+    on a 2-D mesh each pairs-coordinate computes only its own block
+    sublist (IBl/JBl) and extracts its own pair slice."""
     dtype = Pl.dtype
     if use_pallas and not want_blocks:
         from ..ops.pallas_em import em_raw_cnt_pallas
 
         # wl carries both the real-site mask and any bootstrap/class
         # weights; the kernel streams it as a [site_tile, 1] block.
+        if n_pairs_axis > 1:
+            vma = (AXIS, PAIRS)
+            blocks = (IBl.reshape(-1), JBl.reshape(-1))
+        else:
+            vma = (AXIS,)
+            blocks = None
         raw_m, cnt_m = em_raw_cnt_pallas(Pl, score9, pairwise_del,
-                                         site_weights=wl, vma=(AXIS,))
+                                         site_weights=wl, vma=vma,
+                                         blocks=blocks)
         raw = jax.lax.psum(raw_m[I, J], AXIS)
         cnt = jax.lax.psum(cnt_m[I, J], AXIS)
         return raw, cnt
@@ -344,8 +352,20 @@ def _em_local(Pl, ml, wl, score9, I, J, pairwise_del: bool, tile: int,
                      "mesh", "use_pallas"),
 )
 def _em_sharded(P_pad, mask, w, score9, I, J, pairwise_del, tile,
-                block_size, want_blocks, mesh, use_pallas=False):
+                block_size, want_blocks, mesh, use_pallas=False,
+                IBt=None, JBt=None):
     p = pairs_size(mesh)
+    if p > 1 and use_pallas and not want_blocks:
+        fn = lambda Pl, ml, wl, Il, Jl, IBl, JBl: _em_local(
+            Pl, ml, wl, score9, Il, Jl, pairwise_del, tile, block_size,
+            want_blocks, use_pallas, n_pairs_axis=p, IBl=IBl, JBl=JBl,
+        )
+        return shard_map(
+            fn, mesh=mesh,
+            in_specs=(P(AXIS, None, None), P(AXIS), P(AXIS), P(PAIRS),
+                      P(PAIRS), P(PAIRS, None), P(PAIRS, None)),
+            out_specs=(P(PAIRS), P(PAIRS)),
+        )(P_pad, mask, w, I, J, IBt, JBt)
     fn = lambda Pl, ml, wl, Il, Jl: _em_local(
         Pl, ml, wl, score9, Il, Jl, pairwise_del, tile, block_size,
         want_blocks, use_pallas, n_pairs_axis=p,
@@ -364,6 +384,29 @@ def _em_sharded(P_pad, mask, w, score9, I, J, pairwise_del, tile,
         in_specs=(P(AXIS, None, None), P(AXIS), P(AXIS), pair_spec, pair_spec),
         out_specs=out_specs,
     )(P_pad, mask, w, I, J)
+
+
+def _pair_block_tables(I: np.ndarray, J: np.ndarray, p: int,
+                       block: int) -> Tuple[np.ndarray, np.ndarray]:
+    """[p, G_max] per-pairs-device upper-tri block sublists for the EM
+    kernel: device d computes only the 128x128 blocks containing its
+    contiguous pair slice (~1/p of the upper triangle).  Rows pad with
+    the lower-triangle block (1, 0) — real compute, never read, and
+    distinct from every valid (upper) entry; padding only arises when
+    the grid has >= 2 block rows."""
+    per = len(I) // p
+    sets = []
+    for d in range(p):
+        ib = I[d * per:(d + 1) * per] // block
+        jb = J[d * per:(d + 1) * per] // block
+        sets.append(np.unique(np.stack([ib, jb], axis=1), axis=0))
+    G = max(len(s) for s in sets)
+    IBt = np.full((p, G), 1, np.int32)
+    JBt = np.zeros((p, G), np.int32)
+    for d, s in enumerate(sets):
+        IBt[d, :len(s)] = s[:, 0]
+        JBt[d, :len(s)] = s[:, 1]
+    return IBt, JBt
 
 
 # ------------------------------------------------------------------ #
@@ -716,13 +759,20 @@ def sharded_suffstats(
     from ..core.distance import _pallas_mode
 
     # The weighted kernel serves bootstrap replicates too; only the
-    # block-partials variant needs the scan formulation, and the kernel
-    # computes every pair per device so a pairs axis routes to the
-    # pair-sharded scan instead.
-    em_pallas = not want_blocks and p == 1 and _pallas_mode() == "on"
+    # block-partials variant needs the scan formulation.  On a 2-D mesh
+    # each pairs-coordinate runs the kernel over its own block sublist
+    # (scalar-prefetch lists are runtime values: one compiled kernel).
+    em_pallas = not want_blocks and _pallas_mode() == "on"
+    IBt = JBt = None
+    if em_pallas and p > 1:
+        from ..ops.pallas_em import DEFAULT_BLOCK
+
+        IBt, JBt = _pair_block_tables(
+            np.asarray(I), np.asarray(J), p, DEFAULT_BLOCK)
+        IBt, JBt = jnp.asarray(IBt), jnp.asarray(JBt)
     out = _em_sharded(Pp, mask, w, score9, I, J, pairwise_del, tile,
                       block_size if want_blocks else 1, want_blocks, mesh,
-                      use_pallas=em_pallas)
+                      use_pallas=em_pallas, IBt=IBt, JBt=JBt)
     if want_blocks:
         return out
     raw, cnt = out

@@ -177,3 +177,49 @@ def test_pallas_em_slowest_converging_lanes():
     np.testing.assert_allclose(
         np.asarray(cnt)[iu], np.asarray(cnt_ref), rtol=0, atol=1e-9
     )
+
+
+def test_pallas_em_block_sublists():
+    """The pairs-axis TP path gives each device a SUBLIST of upper-tri
+    blocks (runtime scalar-prefetch lists): the union of two disjoint
+    sublists — each padded with the never-read lower-triangle block
+    (1, 0) — must reproduce the full enumeration on the pairs each
+    sublist covers."""
+    from ngsdist_tpu.ops.pallas_em import _upper_blocks
+
+    rng = np.random.default_rng(3)
+    S, N, B = 16, 20, 8  # N_pad 24 -> nb=3 -> 6 upper blocks
+    P = _rand_probs(rng, S, N)
+    score9 = default_score_matrix().reshape(-1)
+
+    full_raw, full_cnt = em_raw_cnt_pallas(
+        jnp.asarray(P), score9, True, block=B, site_tile=8, interpret=True
+    )
+    IB, JB = _upper_blocks(3)
+    assert len(IB) == 6
+    halves = [(IB[:3], JB[:3]), (IB[3:], JB[3:])]
+    # pad the second half to the longer length with the (1, 0) block
+    import numpy as _np
+
+    h2 = (_np.append(halves[1][0], 1).astype(_np.int32),
+          _np.append(halves[1][1], 0).astype(_np.int32))
+    halves[1] = h2
+
+    for (ib, jb) in halves:
+        raw, cnt = em_raw_cnt_pallas(
+            jnp.asarray(P), score9, True, block=B, site_tile=8,
+            interpret=True, blocks=(jnp.asarray(ib), jnp.asarray(jb)),
+        )
+        # every pair whose block is in this sublist must match the full run
+        for g in range(len(ib)):
+            bi, bj = int(ib[g]), int(jb[g])
+            if bi > bj:
+                continue  # the padding block
+            for i in range(bi * B, min((bi + 1) * B, N)):
+                for j in range(max(i + 1, bj * B), min((bj + 1) * B, N)):
+                    np.testing.assert_allclose(
+                        float(raw[i, j]), float(full_raw[i, j]),
+                        rtol=1e-12, atol=1e-12)
+                    np.testing.assert_allclose(
+                        float(cnt[i, j]), float(full_cnt[i, j]),
+                        rtol=0, atol=1e-12)
