@@ -18,6 +18,11 @@ from ngsdist_tpu.config import Params
 
 
 def _write_inputs(tmp_path, rng, S, N, kind):
+    if kind == "bin":  # raw binary GP (the lazy-stream-capable format)
+        path = str(tmp_path / "in.bin")
+        gp = rng.dirichlet(np.ones(3) * rng.uniform(0.5, 8), size=(S, N))
+        gp.tofile(path)
+        return path, dict(in_probs=True, in_bin=True)
     path = str(tmp_path / f"in_{kind}.geno.gz")
     if kind == "gt":
         g = rng.integers(-1, 3, size=(S, N))
@@ -83,11 +88,11 @@ def test_random_config_sharded_streamed_agree(tmp_path, trial, monkeypatch):
     rng = np.random.default_rng(5000 + trial)
     S = int(rng.integers(30, 120))
     N = int(rng.integers(3, 8))
-    kind = rng.choice(["gt", "gp"])
+    kind = rng.choice(["gt", "gp", "bin"])
     path, extra = _write_inputs(tmp_path, rng, S, N, kind)
 
     kw = dict(extra)
-    if kind == "gp" and rng.random() < 0.4:
+    if kind in ("gp", "bin") and rng.random() < 0.4:
         kw["indep_geno"] = True
     kw["pairwise_del"] = bool(rng.random() < 0.5)
     kw["evol_model"] = int(rng.integers(0, 3))
@@ -104,6 +109,11 @@ def test_random_config_sharded_streamed_agree(tmp_path, trial, monkeypatch):
         monkeypatch.setenv("NGSDIST_DEVICE_BUDGET", str(8 * N * 3 * 8))
     else:
         monkeypatch.delenv("NGSDIST_DEVICE_BUDGET", raising=False)
+    if kind == "bin" and pairs == 1 and rng.random() < 0.5:
+        # lazy disk-streamed rounds (binary seekable inputs only)
+        monkeypatch.setenv("NGSDIST_HOST_BUDGET", "1500")
+    else:
+        monkeypatch.delenv("NGSDIST_HOST_BUDGET", raising=False)
 
     base = dict(in_geno=path, n_ind=N, n_sites=S, seed=int(rng.integers(1, 10000)),
                 verbose=0, **kw)
