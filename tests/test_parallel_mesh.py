@@ -253,3 +253,27 @@ def test_interpret_plus_vma_rejected():
     with pytest.raises(ValueError, match="interpret mode"):
         indep_raw_cnt_pallas(P, default_score_matrix(), True,
                              interpret=True, vma=("sites",))
+
+
+def test_pair_block_tables_cover_each_devices_pairs():
+    """Every device's contiguous pair slice must be covered by its block
+    sublist; padding entries are the never-read lower-tri block (1, 0)."""
+    from ngsdist_tpu.core.distance import _pair_indices
+    from ngsdist_tpu.parallel.mesh import _pair_block_tables
+
+    for N, p, B in [(300, 2, 128), (515, 4, 128), (40, 2, 128), (1030, 8, 128)]:
+        I, J = _pair_indices(N)
+        n_pairs = len(I)
+        n_pad = -(-n_pairs // p) * p
+        I = np.concatenate([I, np.zeros(n_pad - n_pairs, np.int32)])
+        J = np.concatenate([J, np.zeros(n_pad - n_pairs, np.int32)])
+        IBt, JBt = _pair_block_tables(I, J, p, B)
+        assert IBt.shape == JBt.shape and IBt.shape[0] == p
+        per = n_pad // p
+        for d in range(p):
+            have = set(zip(IBt[d].tolist(), JBt[d].tolist()))
+            for k in range(d * per, (d + 1) * per):
+                assert (int(I[k]) // B, int(J[k]) // B) in have, (N, p, d)
+            for (bi, bj) in have:
+                # entries are valid upper blocks or the (1, 0) padding
+                assert bi <= bj or (bi, bj) == (1, 0), (N, p, d, bi, bj)
