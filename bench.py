@@ -85,7 +85,11 @@ def main_em() -> None:
 
     def full(weights):
         raw, cnt = em_raw_cnt_pallas(P, score9, True, site_weights=weights)
-        return jnp.sum(raw)  # scalar barrier: don't pay the matrix fetch
+        # Scalar barrier (no matrix fetch inside the timed region —
+        # the ~0.15 s tunnel fetch is not kernel work); triu: the block
+        # enumeration never writes the lower triangle, whose buffer
+        # contents are undefined.
+        return jnp.sum(jnp.triu(raw, 1))
 
     _ = np.asarray(full(None))  # compile rep-0 shape
     _ = np.asarray(full(w))     # compile the weighted (replicate) shape

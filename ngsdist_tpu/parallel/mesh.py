@@ -386,6 +386,24 @@ def _em_sharded(P_pad, mask, w, score9, I, J, pairwise_del, tile,
     )(P_pad, mask, w, I, J)
 
 
+@functools.lru_cache(maxsize=8)
+def _pair_block_tables_cached(N: int, p: int, block: int):
+    """Device-resident [p, G_max] block tables for an N-individual
+    cohort: pure functions of (N, p, block), rebuilt per replicate and
+    per stream round without this cache (p sort-based unique passes
+    over ~n_pairs rows plus a transfer, each call)."""
+    from ..core.distance import _pair_indices
+
+    I, J = _pair_indices(N)
+    n_pairs = len(I)
+    n_pad = -(-n_pairs // p) * p
+    if n_pad > n_pairs:
+        I = np.concatenate([I, np.full(n_pad - n_pairs, I[-1], np.int32)])
+        J = np.concatenate([J, np.full(n_pad - n_pairs, J[-1], np.int32)])
+    IBt, JBt = _pair_block_tables(I, J, p, block)
+    return jnp.asarray(IBt), jnp.asarray(JBt)
+
+
 def _pair_block_tables(I: np.ndarray, J: np.ndarray, p: int,
                        block: int) -> Tuple[np.ndarray, np.ndarray]:
     """[p, G_max] per-pairs-device upper-tri block sublists for the EM
@@ -666,11 +684,13 @@ def sharded_suffstats(
     n_pairs = int(I.shape[0])
     n_pairs_pad = -(-n_pairs // p) * p
     if n_pairs_pad > n_pairs:
-        # dummy (0,0) pairs keep the per-device slice shape equal;
-        # their outputs are trimmed below
-        padz = jnp.zeros((n_pairs_pad - n_pairs,), jnp.int32)
-        I = jnp.concatenate([I, padz])
-        J = jnp.concatenate([J, padz])
+        # duplicate the LAST real pair to keep the per-device slice
+        # shape equal (outputs are trimmed below): its block is already
+        # in the last device's sublist, so padding adds no extra block
+        # to the kernel path (dummy (0,0) pairs used to drag block
+        # (0,0) into that device's table)
+        I = jnp.concatenate([I, jnp.full((n_pairs_pad - n_pairs,), I[-1])])
+        J = jnp.concatenate([J, jnp.full((n_pairs_pad - n_pairs,), J[-1])])
 
     prebuilt = isinstance(P_host, jax.Array)
 
@@ -767,9 +787,7 @@ def sharded_suffstats(
     if em_pallas and p > 1:
         from ..ops.pallas_em import DEFAULT_BLOCK
 
-        IBt, JBt = _pair_block_tables(
-            np.asarray(I), np.asarray(J), p, DEFAULT_BLOCK)
-        IBt, JBt = jnp.asarray(IBt), jnp.asarray(JBt)
+        IBt, JBt = _pair_block_tables_cached(N, p, DEFAULT_BLOCK)
     out = _em_sharded(Pp, mask, w, score9, I, J, pairwise_del, tile,
                       block_size if want_blocks else 1, want_blocks, mesh,
                       use_pallas=em_pallas, IBt=IBt, JBt=JBt)

@@ -257,17 +257,24 @@ def test_interpret_plus_vma_rejected():
 
 def test_pair_block_tables_cover_each_devices_pairs():
     """Every device's contiguous pair slice must be covered by its block
-    sublist; padding entries are the never-read lower-tri block (1, 0)."""
+    sublist; padding entries are the never-read lower-tri block (1, 0).
+    Pair-list padding duplicates the LAST real pair, so it adds no
+    extra block to the last device's table."""
     from ngsdist_tpu.core.distance import _pair_indices
-    from ngsdist_tpu.parallel.mesh import _pair_block_tables
+    from ngsdist_tpu.parallel.mesh import (_pair_block_tables,
+                                           _pair_block_tables_cached)
 
     for N, p, B in [(300, 2, 128), (515, 4, 128), (40, 2, 128), (1030, 8, 128)]:
         I, J = _pair_indices(N)
         n_pairs = len(I)
         n_pad = -(-n_pairs // p) * p
-        I = np.concatenate([I, np.zeros(n_pad - n_pairs, np.int32)])
-        J = np.concatenate([J, np.zeros(n_pad - n_pairs, np.int32)])
+        I = np.concatenate([I, np.full(n_pad - n_pairs, I[-1], np.int32)])
+        J = np.concatenate([J, np.full(n_pad - n_pairs, J[-1], np.int32)])
         IBt, JBt = _pair_block_tables(I, J, p, B)
+        # the cached builder (run constants only) must agree
+        IBc, JBc = _pair_block_tables_cached(N, p, B)
+        np.testing.assert_array_equal(np.asarray(IBc), IBt)
+        np.testing.assert_array_equal(np.asarray(JBc), JBt)
         assert IBt.shape == JBt.shape and IBt.shape[0] == p
         per = n_pad // p
         for d in range(p):
