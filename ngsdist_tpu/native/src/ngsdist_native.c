@@ -347,6 +347,74 @@ static void *nd_text_worker(void *arg) {
   return NULL;
 }
 
+/* Double-buffered slab feed: a producer thread owns the gz handle and
+ * fills slab set produced%2 (gzgets + line copies — the serial
+ * decompress stream) while the consumer parses and assigns the
+ * previous set, overlapping decompress with the strtod/libm work.
+ * Sets are published in sequence order under the mutex; the final
+ * (possibly empty) set carries the eof/read-error kind. */
+typedef struct {
+  nd_text_slot *slots;
+  int64_t n_lines;
+  int eof_kind; /* 1: EOF, 2: gz read error (recorded at fill time) */
+  int rc;       /* allocation failure during fill */
+} nd_text_set;
+
+typedef struct {
+  gzFile fh;
+  char *line;
+  int64_t slab;
+  nd_text_set *sets[2];
+  int64_t produced, consumed;
+  int stop, fin;
+  pthread_mutex_t mu;
+  pthread_cond_t cv;
+} nd_text_feed;
+
+static int nd_fill_set(nd_text_feed *fd, nd_text_set *st) {
+  st->n_lines = 0;
+  st->eof_kind = 0;
+  st->rc = 0;
+  while (st->n_lines < fd->slab) {
+    if (gzgets(fd->fh, fd->line, ND_LINE_MAX) == NULL) {
+      st->eof_kind = gzeof(fd->fh) ? 1 : 2;
+      break;
+    }
+    size_t len = strlen(fd->line);
+    free(st->slots[st->n_lines].buf);
+    st->slots[st->n_lines].buf = (char *)malloc(len + 1);
+    if (!st->slots[st->n_lines].buf) {
+      st->rc = 1;
+      break;
+    }
+    memcpy(st->slots[st->n_lines].buf, fd->line, len + 1);
+    st->n_lines++;
+  }
+  return st->eof_kind || st->rc;
+}
+
+static void *nd_text_producer(void *arg) {
+  nd_text_feed *fd = (nd_text_feed *)arg;
+  for (;;) {
+    pthread_mutex_lock(&fd->mu);
+    while (!fd->stop && fd->produced - fd->consumed >= 2)
+      pthread_cond_wait(&fd->cv, &fd->mu);
+    if (fd->stop) {
+      pthread_mutex_unlock(&fd->mu);
+      return NULL;
+    }
+    pthread_mutex_unlock(&fd->mu);
+    nd_text_set *st = fd->sets[fd->produced % 2];
+    int done = nd_fill_set(fd, st);
+    pthread_mutex_lock(&fd->mu);
+    fd->produced++;
+    if (done) fd->fin = 1;
+    pthread_cond_broadcast(&fd->cv);
+    pthread_mutex_unlock(&fd->mu);
+    if (done) return NULL;
+  }
+}
+
 /* Read a genotype / genotype-probability file into out[site][ind][geno]
  * (site-major, log-space, per-individual normalized) with the exact
  * format semantics of the reference reader (read_data.cpp:13-116):
@@ -503,47 +571,75 @@ ND_EXPORT int nd_read_geno(const char *path, int in_bin, int in_probs,
     if (nt < 1) nt = 1;
     if (nt > 16) nt = 16;
     int64_t K_out = n_ind * ND_NGENO;
-    int64_t slab = (32 << 20) / (K_out * (int64_t)sizeof(double) + 64);
+    int64_t slab = (16 << 20) / (K_out * (int64_t)sizeof(double) + 64);
     if (slab < 16) slab = 16;
     if (slab > 4096) slab = 4096;
     line = (char *)malloc(ND_LINE_MAX);
+    /* two slab sets: the producer thread fills one while the consumer
+     * parses/assigns the other (decompress overlaps strtod/libm) */
     nd_text_slot *slots =
-        (nd_text_slot *)calloc((size_t)slab, sizeof(nd_text_slot));
-    double *stage = (double *)malloc((size_t)(slab * K_out) * sizeof(double));
+        (nd_text_slot *)calloc((size_t)(2 * slab), sizeof(nd_text_slot));
+    double *stage =
+        (double *)malloc((size_t)(2 * slab * K_out) * sizeof(double));
     double *rings =
         (double *)malloc((size_t)(nt * n_ind * n_geno) * sizeof(double));
+    nd_text_set set0, set1;
+    nd_text_feed feed;
+    pthread_t prod;
+    int prod_started = 0;
     if (!line || !slots || !stage || !rings) {
       nd_seterr(errbuf, errbuf_cap, "cannot allocate read buffers!");
       rc = 1;
     } else {
-      for (int64_t k = 0; k < slab; k++) slots[k].stage = stage + k * K_out;
+      for (int64_t k = 0; k < 2 * slab; k++)
+        slots[k].stage = stage + k * K_out;
+      set0 = (nd_text_set){slots, 0, 0, 0};
+      set1 = (nd_text_set){slots + slab, 0, 0, 0};
+      memset(&feed, 0, sizeof(feed));
+      feed.fh = fh;
+      feed.line = line;
+      feed.slab = slab;
+      feed.sets[0] = &set0;
+      feed.sets[1] = &set1;
+      pthread_mutex_init(&feed.mu, NULL);
+      pthread_cond_init(&feed.cv, NULL);
+      if (pthread_create(&prod, NULL, nd_text_producer, &feed)) {
+        nd_seterr(errbuf, errbuf_cap, "cannot allocate read buffers!");
+        rc = 1;
+      } else {
+        prod_started = 1;
+      }
     }
     int64_t s = 0;
     int eof_kind = 0; /* 1: EOF, 2: gz read error */
     while (rc == 0 && s < n_sites && eof_kind == 0) {
-      int64_t n_lines = 0;
-      while (n_lines < slab) {
-        if (gzgets(fh, line, ND_LINE_MAX) == NULL) {
-          eof_kind = gzeof(fh) ? 1 : 2;
-          break;
-        }
-        size_t len = strlen(line);
-        free(slots[n_lines].buf);
-        slots[n_lines].buf = (char *)malloc(len + 1);
-        if (!slots[n_lines].buf) {
-          nd_seterr(errbuf, errbuf_cap, "cannot allocate read buffers!");
-          rc = 1;
-          break;
-        }
-        memcpy(slots[n_lines].buf, line, len + 1);
-        n_lines++;
-      }
-      if (rc != 0 || n_lines == 0)
+      pthread_mutex_lock(&feed.mu);
+      while (feed.consumed == feed.produced && !feed.fin)
+        pthread_cond_wait(&feed.cv, &feed.mu);
+      if (feed.consumed == feed.produced) { /* fin: no more sets */
+        pthread_mutex_unlock(&feed.mu);
         break;
+      }
+      pthread_mutex_unlock(&feed.mu);
+      nd_text_set *cur = feed.sets[feed.consumed % 2];
+      int64_t n_lines = cur->n_lines;
+      nd_text_slot *cslots = cur->slots;
+      eof_kind = cur->eof_kind; /* checked after this set is processed */
+      if (cur->rc) {
+        nd_seterr(errbuf, errbuf_cap, "cannot allocate read buffers!");
+        rc = 1;
+      }
+      if (rc != 0 || n_lines == 0) {
+        pthread_mutex_lock(&feed.mu);
+        feed.consumed++;
+        pthread_cond_broadcast(&feed.cv);
+        pthread_mutex_unlock(&feed.mu);
+        break;
+      }
       long nw = nt;
       if (nw > n_lines) nw = (long)n_lines;
       if (nw <= 1 || n_lines < 64) {
-        nd_text_job j = {slots, 0, n_lines, n_ind, in_probs, in_logscale,
+        nd_text_job j = {cslots, 0, n_lines, n_ind, in_probs, in_logscale,
                          rings};
         nd_text_worker(&j);
       } else {
@@ -553,8 +649,8 @@ ND_EXPORT int nd_read_geno(const char *path, int in_bin, int in_probs,
         for (long w = 0; w < nw; w++) {
           int64_t lo = w * per, hi = (w + 1) * per;
           if (hi > n_lines) hi = n_lines;
-          jobs[w] = (nd_text_job){slots, lo,       hi,
-                                  n_ind, in_probs, in_logscale,
+          jobs[w] = (nd_text_job){cslots, lo,       hi,
+                                  n_ind,  in_probs, in_logscale,
                                   rings + w * n_ind * n_geno};
           pthread_create(&tids[w], NULL, nd_text_worker, &jobs[w]);
         }
@@ -562,7 +658,7 @@ ND_EXPORT int nd_read_geno(const char *path, int in_bin, int in_probs,
       }
       int64_t k = 0;
       for (; k < n_lines && rc == 0 && s < n_sites; k++) {
-        nd_text_slot *sl = &slots[k];
+        nd_text_slot *sl = &cslots[k];
         if (sl->n_fields == -1) { /* empty line: site stays missing */
           s++;
           continue;
@@ -618,6 +714,31 @@ ND_EXPORT int nd_read_geno(const char *path, int in_bin, int in_probs,
                   "GENO file not at EOF. Check GENO file and number of "
                   "sites!");
       }
+      pthread_mutex_lock(&feed.mu);
+      feed.consumed++;
+      pthread_cond_broadcast(&feed.cv);
+      pthread_mutex_unlock(&feed.mu);
+    }
+    if (prod_started) {
+      pthread_mutex_lock(&feed.mu);
+      feed.stop = 1;
+      pthread_cond_broadcast(&feed.cv);
+      pthread_mutex_unlock(&feed.mu);
+      pthread_join(prod, NULL);
+      /* lines the producer read past the consumer's stop point are
+       * content the 1-byte probe can no longer see */
+      if (rc == 0 && s == n_sites) {
+        for (int64_t q = feed.consumed; q < feed.produced; q++)
+          if (feed.sets[q % 2]->n_lines > 0) {
+            rc = 1;
+            nd_seterr(errbuf, errbuf_cap,
+                      "GENO file not at EOF. Check GENO file and number of "
+                      "sites!");
+            break;
+          }
+      }
+      pthread_mutex_destroy(&feed.mu);
+      pthread_cond_destroy(&feed.cv);
     }
     if (rc == 0 && s < n_sites) {
       rc = 1;
@@ -628,7 +749,7 @@ ND_EXPORT int nd_read_geno(const char *path, int in_bin, int in_probs,
                                 "and number of sites!");
     }
     if (slots) {
-      for (int64_t k = 0; k < slab; k++) free(slots[k].buf);
+      for (int64_t k = 0; k < 2 * slab; k++) free(slots[k].buf);
       free(slots);
     }
     free(stage);
