@@ -237,3 +237,66 @@ def test_sharded_streaming_round_resume(tmp_path, monkeypatch):
     resumed = list(dist.iter_replicates(pars, P, maps, n_trunc, mesh=mesh,
                                         round_ckpt=True, start_rep=1))
     np.testing.assert_array_equal(resumed[0], expected[1])
+
+
+def test_lazy_stream_round_resume(tmp_path, monkeypatch):
+    """LAZY disk-streamed rounds + round checkpoints: kill mid-replicate,
+    resume — the skipped rounds are neither recomputed NOR re-read from
+    disk, and the output is byte-identical."""
+    from ngsdist_tpu.parallel import mesh as pm
+    from ngsdist_tpu.parallel import multihost as mh
+
+    mesh = pm.make_mesh(n_devices=4)
+    rng = np.random.default_rng(45)
+    S, N = 88, 4
+    gp = rng.dirichlet(np.ones(3), size=(S, N))
+    path = tmp_path / "gp.bin"
+    gp.tofile(path)
+    pars = _pars(tmp_path, S, N, indep_geno=True, pairwise_del=True)
+    pars = Params(in_geno=str(path), in_bin=True, in_probs=True, n_ind=N,
+                  n_sites=S, out=str(tmp_path / "o.dist"), seed=3, verbose=0,
+                  indep_geno=True, pairwise_del=True)
+    monkeypatch.setenv("NGSDIST_DEVICE_BUDGET", str(8 * N * 3 * 8))
+    monkeypatch.setenv("NGSDIST_HOST_BUDGET", "1200")
+
+    def make_stream():
+        st = mh.SiteStream.from_reader(pars, mesh, np.float64)
+        assert st.lazy and st.n_rounds > 2
+        return st
+
+    expected = list(dist.iter_replicates(pars, make_stream(), [], S,
+                                         mesh=mesh))
+    ckpt.clear(pars.out)
+
+    calls = {"n": 0, "armed": True}
+    orig = pm.sharded_suffstats
+
+    def spy(*a, **k):
+        calls["n"] += 1
+        if calls["armed"] and calls["n"] == 3:
+            raise KeyboardInterrupt
+        return orig(*a, **k)
+
+    monkeypatch.setattr(pm, "sharded_suffstats", spy)
+    with pytest.raises(KeyboardInterrupt):
+        list(dist.iter_replicates(pars, make_stream(), [], S, mesh=mesh,
+                                  round_ckpt=True))
+    got = ckpt.load_rounds(pars.out, pars, 0)
+    assert got is not None and got[0] == 2
+
+    # resume must not re-read the completed rounds from disk
+    calls["armed"] = False
+    calls["n"] = 0
+    stream = make_stream()
+    reads = {"n": 0}
+    orig_rd = type(stream).round_data
+
+    def counting_round_data(self, r):
+        reads["n"] += 1
+        return orig_rd(self, r)
+
+    monkeypatch.setattr(type(stream), "round_data", counting_round_data)
+    resumed = list(dist.iter_replicates(pars, stream, [], S, mesh=mesh,
+                                        round_ckpt=True))
+    assert reads["n"] == stream.n_rounds - 2, "completed rounds re-read"
+    np.testing.assert_array_equal(resumed[0], expected[0])
