@@ -704,6 +704,89 @@ def _iter_replicates_sharded(
                     ckpt_mod.save_rounds(pars.out, pars, rep, r + 1, arrs)
             return acc_raw, acc_cnt
 
+        # Indep bootstrap over streamed rounds: ONE data pass yields
+        # per-block partial sums, concatenated per device across rounds
+        # — device shards and round chunks are block-aligned, so the
+        # concatenated order IS the true global block order, and tail
+        # sites [n_trunc, S) land in rows >= n_blocks that the
+        # resummation multiplicities zero out.  Every replicate is then
+        # a cheap resum instead of a full weighted data pass (R+1
+        # passes -> 1 + tail).  Durability is replicate-level on this
+        # path (no per-round sidecars: a kill recomputes the single
+        # pass; the replicates after it are nearly free).
+        bs = pars.boot_block_size
+        n_blocks_s = n_trunc // bs if n_reps else 0
+        itemsize_s = 8 if dtype == jnp.float64 else 4
+        partial_bytes_s = (n_blocks_s * N * N * itemsize_s
+                           * (2 if pars.pairwise_del else 1))
+        if (pars.indep_geno and n_reps > 0 and pm.pairs_size(mesh) == 1
+                and 0 < partial_bytes_s <= PARTIALS_BUDGET_BYTES):
+            rb = stream.round_sites // bs
+            B_rs, C_rs = [], []
+            rounds = list(range(stream.n_rounds))
+            pending = stream.round_data(rounds[0]) if rounds else None
+            for k, r in enumerate(rounds):
+                Pr = pending
+                _, _, B_r, C_r = pm.sharded_suffstats(
+                    Pr, score, mesh, indep=True,
+                    pairwise_del=pars.pairwise_del,
+                    n_blocks=rb, block_size=bs, dtype=dtype,
+                    n_sites=int(Pr.shape[0]),
+                )
+                if k + 1 < len(rounds):
+                    pending = stream.round_data(rounds[k + 1])
+                B_rs.append(B_r)
+                if C_r is not None:
+                    C_rs.append(C_r)
+            B = pm.concat_block_rounds(B_rs, mesh)
+            C = pm.concat_block_rounds(C_rs, mesh) if C_rs else None
+
+            # rep 0 = sum of the real blocks + the truncation tail.
+            ones = np.zeros((1, int(B.shape[0])), np.float64)
+            ones[0, :n_blocks_s] = 1.0
+            raw0 = np.asarray(
+                pm.resum_blocks(jnp.asarray(ones, B.dtype), B, mesh),
+                np.float64)[0]
+            cnt0 = None
+            if C is not None:
+                cnt0 = np.asarray(
+                    pm.resum_blocks(jnp.asarray(ones, C.dtype), C, mesh),
+                    np.float64)[0]
+            if S > n_trunc:
+                tail_w = np.zeros((S,), np.float64)
+                tail_w[n_trunc:] = 1.0
+                # the tail (< one block) spans at most two (device,
+                # round) cells, whose round indices are those of its
+                # endpoints in the device-major layout
+                tr = sorted({(t % stream.s_loc) // stream.chunk
+                             for t in (n_trunc, S - 1)})
+                for r in tr:
+                    Pr = stream.round_data(r)
+                    wr = stream.round_cols(r, tail_w)
+                    raw_t, cnt_t, _, _ = pm.sharded_suffstats(
+                        Pr, score, mesh, indep=True,
+                        pairwise_del=pars.pairwise_del, site_weights=wr,
+                        dtype=dtype, n_sites=int(Pr.shape[0]),
+                    )
+                    raw0 = raw0 + np.asarray(raw_t, np.float64)
+                    if cnt0 is not None:
+                        cnt0 = cnt0 + np.asarray(cnt_t, np.float64)
+            if start_rep == 0:
+                raw_m, cnt_m = to_matrix(raw0, cnt0)
+                denom = cnt_m if pars.pairwise_del else float(S)
+                yield _finalize(raw_m, denom, pars, on_stats)
+            table = bt.block_index_table(pars.seed, n_reps, n_blocks_s)
+            raw_r, cnt_r = pm.bootstrap_replicates(table, B, C, n_blocks_s,
+                                                   mesh)
+            for r in range(n_reps):
+                if r + 1 < start_rep:
+                    continue
+                raw_m, cnt_m = to_matrix(
+                    raw_r[r], None if cnt_r is None else cnt_r[r])
+                denom = cnt_m if pars.pairwise_del else float(n_trunc)
+                yield _finalize(raw_m, denom, pars, on_stats)
+            return
+
         for rep in range(start_rep, n_reps + 1):
             if rep == 0:
                 w_full = np.ones((S,), np.float64)

@@ -800,6 +800,20 @@ def sharded_suffstats(
     return raw, cnt, None, None
 
 
+def concat_block_rounds(parts, mesh: Mesh):
+    """Concatenate per-round block partials PER DEVICE along the block
+    axis.  A global concatenate would interleave rounds across devices;
+    concatenating each device's rounds keeps its rows in local-site
+    order, so with contiguous site shards and block-aligned chunks the
+    global order equals the TRUE block order (1-D meshes only)."""
+    if len(parts) == 1:
+        return parts[0]
+    spec = P(AXIS, *([None] * (parts[0].ndim - 1)))
+    fn = lambda *ls: jnp.concatenate(ls, axis=0)
+    return shard_map(fn, mesh=mesh, in_specs=(spec,) * len(parts),
+                     out_specs=spec)(*parts)
+
+
 def bootstrap_replicates(
     table: np.ndarray,
     B,

@@ -284,3 +284,48 @@ def test_pair_block_tables_cover_each_devices_pairs():
             for (bi, bj) in have:
                 # entries are valid upper blocks or the (1, 0) padding
                 assert bi <= bj or (bi, bj) == (1, 0), (N, p, d, bi, bj)
+
+
+def test_streamed_indep_bootstrap_single_pass(tmp_path, monkeypatch):
+    """Streamed indep bootstrap: ONE data pass builds per-round block
+    partials; every replicate is a resummation (no per-replicate data
+    passes), and results match the resident engine."""
+    from ngsdist_tpu.config import Params
+    from ngsdist_tpu.core import bootstrap as bt
+    from ngsdist_tpu.core import distance as dist
+    from ngsdist_tpu.parallel import mesh as pm
+
+    mesh = pm.make_mesh(n_devices=4)
+    rng = np.random.default_rng(60)
+    S, N, bs, R = 94, 5, 4, 3
+    P = rng.dirichlet(np.ones(3), size=(S, N))
+    P[rng.random((S, N)) < 0.15] = 1 / 3
+    pars = Params(in_geno="x", n_ind=N, n_sites=S, in_probs=True, out="y",
+                  seed=11, verbose=0, indep_geno=True, pairwise_del=True,
+                  n_boot_rep=R, boot_block_size=bs)
+    n_trunc, maps = bt.site_maps(pars.seed, R, S, bs)
+
+    monkeypatch.delenv("NGSDIST_DEVICE_BUDGET", raising=False)
+    resident = list(dist.iter_replicates(pars, P, maps, n_trunc, mesh=mesh))
+
+    monkeypatch.setenv("NGSDIST_DEVICE_BUDGET", str(8 * N * 3 * 8))
+    calls = {"n": 0}
+    orig = pm.sharded_suffstats
+
+    def spy(*a, **k):
+        calls["n"] += 1
+        return orig(*a, **k)
+
+    monkeypatch.setattr(pm, "sharded_suffstats", spy)
+    streamed = list(dist.iter_replicates(pars, P, maps, n_trunc, mesh=mesh))
+    assert len(streamed) == len(resident) == R + 1
+    for a, b in zip(resident, streamed):
+        np.testing.assert_allclose(b, a, rtol=1e-12, atol=1e-15)
+
+    # one partials call per round plus at most two tail rounds — NOT
+    # (R+1) passes over all rounds
+    from ngsdist_tpu.parallel.multihost import SiteStream
+
+    st = SiteStream.from_array(P, pars, mesh, np.float64)
+    assert not st.resident
+    assert calls["n"] <= st.n_rounds + 2, (calls["n"], st.n_rounds)
