@@ -31,10 +31,11 @@ pdel = sys.argv[5] == "1"
 evol = int(sys.argv[6]) if len(sys.argv) > 6 else 1
 pos = sys.argv[7] if len(sys.argv) > 7 and sys.argv[7] != "-" else None
 resume = len(sys.argv) > 8 and sys.argv[8] == "1"
+indep = len(sys.argv) > 9 and sys.argv[9] == "1"
 pars = Params(in_geno=os.path.join(workdir, "gp.bin"), in_bin=True,
               in_probs=True, n_ind=6, n_sites=57, seed=9,
               n_boot_rep=3, boot_block_size=5, pairwise_del=pdel,
-              evol_model=evol, in_pos=pos,
+              evol_model=evol, in_pos=pos, indep_geno=indep,
               out=os.path.join(workdir, "mh.dist"), verbose=0)
 mats = run_distributed(pars, coordinator="127.0.0.1:" + port,
                        num_processes=nproc, process_id=pid, resume=resume)
@@ -63,8 +64,9 @@ def _load(path):
 
 
 @pytest.mark.slow
-@pytest.mark.parametrize("pairwise_del,streamed", [(True, False), (False, False),
-                                                   (True, True), (True, "lazy")])
+@pytest.mark.parametrize("pairwise_del,streamed",
+                         [(True, False), (False, False), (True, True),
+                          (True, "lazy"), (True, "indep_stream")])
 def test_run_distributed_two_processes(tmp_path, pairwise_del, streamed):
     """pairwise_del=False is the regression case for the prebuilt-array
     padding bug: padded sites must not count toward the EM statistics.
@@ -85,10 +87,12 @@ def test_run_distributed_two_processes(tmp_path, pairwise_del, streamed):
         env["NGSDIST_DEVICE_BUDGET"] = str(5 * 6 * 3 * 8)  # ~5 sites/round
     if streamed == "lazy":  # rounds read from disk, no host shard at all
         env["NGSDIST_HOST_BUDGET"] = "1000"
+    indep = streamed == "indep_stream"  # single-pass block-partials path
     procs = [
         subprocess.Popen(
             [sys.executable, worker, str(pid), "2", port, str(tmp_path),
-             "1" if pairwise_del else "0"],
+             "1" if pairwise_del else "0", "1", "-", "0",
+             "1" if indep else "0"],
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env, text=True,
         )
         for pid in range(2)
@@ -104,6 +108,7 @@ def test_run_distributed_two_processes(tmp_path, pairwise_del, streamed):
     pars = Params(in_geno=str(tmp_path / "gp.bin"), in_bin=True,
                   in_probs=True, n_ind=6, n_sites=57, seed=9,
                   n_boot_rep=3, boot_block_size=5, pairwise_del=pairwise_del,
+                  indep_geno=indep,
                   out=str(tmp_path / "single.dist"), verbose=0)
     runner.run(pars, engine="jax")
 
