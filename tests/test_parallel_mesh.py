@@ -329,3 +329,67 @@ def test_streamed_indep_bootstrap_single_pass(tmp_path, monkeypatch):
     st = SiteStream.from_array(P, pars, mesh, np.float64)
     assert not st.resident
     assert calls["n"] <= st.n_rounds + 2, (calls["n"], st.n_rounds)
+
+
+def test_em_pallas_branch_wiring_p2(monkeypatch):
+    """Validates the 2-D mesh EM *kernel branch* wiring on CPU — table
+    sharding over the pairs axis, per-device block sublists, pair-slice
+    extraction, psum and out_specs — by swapping the Mosaic kernel for a
+    scan-based fake that honors the `blocks` sublist (zeroing pairs
+    outside it, so wrong tables would corrupt the comparison).  Only
+    Mosaic compilation itself remains TPU-only."""
+    import jax.numpy as jnp
+
+    from ngsdist_tpu.config import default_score_matrix
+    from ngsdist_tpu.core import distance as dist
+    from ngsdist_tpu.ops import pallas_em as pe
+    from ngsdist_tpu.parallel import mesh as pm
+
+    from ngsdist_tpu.core.em import em_pair_site_contribs
+
+    def fake_kernel(P, score9, pairwise_del, site_weights=None, vma=None,
+                    blocks=None, **kw):
+        # direct (scan-free) masked-EM reduction: vma-safe inside
+        # shard_map, honoring weights like the real kernel
+        N = P.shape[1]
+        I, J = dist._pair_indices(N)
+        contrib = em_pair_site_contribs(
+            P[:, I, :], P[:, J, :], jnp.asarray(score9).reshape(-1))
+        valid = (~dist.missing_mask(P)).astype(P.dtype)
+        m = valid[:, I] * valid[:, J] if pairwise_del else jnp.ones_like(contrib)
+        w = (site_weights[:, None] if site_weights is not None
+             else jnp.ones((P.shape[0], 1), P.dtype))
+        raw_v = jnp.sum(contrib * m * w, axis=0)
+        cnt_v = jnp.sum(m * w, axis=0)
+        raw = jnp.zeros((N, N), P.dtype).at[I, J].set(raw_v)
+        cnt = jnp.zeros((N, N), P.dtype).at[I, J].set(cnt_v)
+        if blocks is not None:
+            ib, jb = blocks
+            B = pe.DEFAULT_BLOCK
+            bi = jnp.arange(N)[:, None] // B
+            bj = jnp.arange(N)[None, :] // B
+            keep = jnp.zeros((N, N), bool)
+            for g in range(int(ib.shape[0])):
+                keep = keep | ((bi == ib[g]) & (bj == jb[g]))
+            raw = jnp.where(keep, raw, 0)
+            cnt = jnp.where(keep, cnt, 0)
+        return raw, cnt
+
+    rng = np.random.default_rng(61)
+    S, N = 32, 200  # N > 128: two block rows at the kernel's block size
+    P = rng.dirichlet(np.ones(3), size=(S, N))
+    score = default_score_matrix()
+    mesh2 = pm.make_mesh(n_devices=4, pairs=2)
+
+    ref_raw, ref_cnt, _, _ = pm.sharded_suffstats(
+        P, score, mesh2, indep=False, pairwise_del=True, dtype=jnp.float64)
+
+    monkeypatch.setattr(pe, "em_raw_cnt_pallas", fake_kernel)
+    monkeypatch.setattr(dist, "_pallas_mode", lambda: "on")
+    got_raw, got_cnt, _, _ = pm.sharded_suffstats(
+        P, score, mesh2, indep=False, pairwise_del=True, dtype=jnp.float64)
+
+    np.testing.assert_allclose(np.asarray(got_raw), np.asarray(ref_raw),
+                               rtol=1e-9, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(got_cnt), np.asarray(ref_cnt),
+                               rtol=1e-9, atol=1e-12)
