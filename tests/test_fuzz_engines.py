@@ -94,6 +94,11 @@ def test_random_config_sharded_streamed_agree(tmp_path, trial, monkeypatch):
     kw = dict(extra)
     if kind in ("gp", "bin") and rng.random() < 0.4:
         kw["indep_geno"] = True
+    if kind in ("gp", "bin") and rng.random() < 0.3:
+        kw["call_geno"] = True  # forces indep; thresholds sometimes set
+        if rng.random() < 0.5:
+            kw["N_thresh"] = float(rng.uniform(0, 0.4))
+            kw["call_thresh"] = float(rng.uniform(0.5, 0.95))
     kw["pairwise_del"] = bool(rng.random() < 0.5)
     kw["evol_model"] = int(rng.integers(0, 3))
     if rng.random() < 0.6:
