@@ -202,7 +202,11 @@ def echo_args(pars: Params) -> None:
     """Argument echo at verbose>=1 (parse_args.cpp:167-194)."""
     if pars.verbose < 1:
         return
-    model_name = EVOL_MODEL_NAMES[pars.evol_model] if 0 <= pars.evol_model <= 6 else "?"
+    # an out-of-range model indexes past the reference's name array and
+    # glibc printf renders the NULL it happens to read as "(null)"
+    # (parse_args.cpp:168 with evol_model[] at parse_args.cpp:41-48)
+    model_name = (EVOL_MODEL_NAMES[pars.evol_model]
+                  if 0 <= pars.evol_model <= 6 else "(null)")
     b = lambda x: "true" if x else "false"  # noqa: E731
     # C printf %s with a NULL pointer prints "(null)" (parse_args.cpp:168)
     s = lambda x: "(null)" if x is None else x  # noqa: E731

@@ -133,6 +133,19 @@ class Params:
             raise NgsDistError("parse_cmd_args", "output prefix (--out) missing!")
         if self.n_threads < 1:
             raise NgsDistError("parse_cmd_args", "number of threads cannot be less than 1!")
+        # Beyond-reference guards (checked AFTER the reference's own
+        # validation order): the reference loops effectively forever on
+        # a negative replicate count (uint64 wraparound of the rep loop
+        # bound, ngsDist.cpp:217) and hits n_sites % 0 on a zero block
+        # size (ngsDist.cpp:236) — clean fatals instead.
+        if self.n_boot_rep < 0:
+            raise NgsDistError(
+                "parse_cmd_args", "number of bootstrap replicates cannot be negative!"
+            )
+        if self.boot_block_size < 1:
+            raise NgsDistError(
+                "parse_cmd_args", "bootstrap block size cannot be less than 1!"
+            )
 
     def finalize(self) -> None:
         """Post-parse adjustments in the reference's order (ngsDist.cpp:44-94).

@@ -426,7 +426,17 @@ def run_distributed(pars: Params, coordinator: Optional[str] = None,
 
     compile_cache.enable()
     pars.validate()
-    pars.finalize()
+    try:
+        pars.finalize()
+    except Exception:
+        # banners accumulated before a finalize-time fatal still print
+        # (reference order: stage banners stream as it goes)
+        if jax.process_index() == 0:
+            import sys
+
+            for msg in pars.messages:
+                print(msg, file=sys.stderr)
+        raise
     # Models 3-6 run the sharded extended path (the reference aborts on
     # them, ngsDist.cpp:387-398; the jax engine implements them) — every
     # process reads the small POS file whole for the allele codes.

@@ -252,9 +252,14 @@ def run(
         compile_cache.enable()
 
     pars.validate()
-    pars.finalize()
-    for msg in pars.messages:
-        print(msg, file=sys.stderr)
+    try:
+        pars.finalize()
+    finally:
+        # the reference prints its stage banners as it goes, so the
+        # ones accumulated before a finalize-time fatal (bad file size,
+        # missing input) must still reach stderr in order
+        for msg in pars.messages:
+            print(msg, file=sys.stderr)
 
     engine = resolve_engine(engine)
     lazy = _lazy_stream_wanted(pars, engine)

@@ -128,6 +128,20 @@ class TestConfig:
         pars, _ = cli.parse_args(["-geno", "f.gz", "-n_ind", "5"])
         assert pars.in_geno == "f.gz" and pars.n_ind == 5
 
+    def test_degenerate_bootstrap_args_are_clean_fatals(self):
+        """--n_boot_rep -1 loops effectively forever in the reference
+        (uint64 wraparound of the replicate bound) and
+        --boot_block_size 0 hits n_sites % 0: both are clean exit-255
+        fatals here (documented beyond-reference guards)."""
+        from ngsdist_tpu.config import NgsDistError, Params
+
+        with pytest.raises(NgsDistError, match="cannot be negative"):
+            Params(in_geno="x", n_ind=2, n_sites=5, out="y",
+                   n_boot_rep=-1).validate()
+        with pytest.raises(NgsDistError, match="block size"):
+            Params(in_geno="x", n_ind=2, n_sites=5, out="y",
+                   boot_block_size=0, n_boot_rep=1).validate()
+
     def test_validation_order(self):
         with pytest.raises(NgsDistError, match="--geno"):
             Params().validate()
