@@ -399,3 +399,30 @@ class TestPreprocess:
         g = np.log(np.array([[[0.7, 0.2, 0.1]]]))
         out = preprocess(g, call_geno=True, N_thresh=0.0, call_thresh=0.0)
         assert np.allclose(out, [[[1.0, 0.0, 0.0]]])
+
+
+def test_two_column_pos_verbose4_dump_is_graceful(tmp_path, capfd):
+    """The reference SEGFAULTS dumping a 2-column POS file at
+    verbose>=4 (prints 4 columns unconditionally, ngsDist.cpp:146-148);
+    here the row echoes padded with empty fields (documented
+    divergence, docs/PARITY.md)."""
+    import gzip
+
+    from ngsdist_tpu import runner
+    from ngsdist_tpu.config import Params
+
+    rng = np.random.default_rng(0)
+    gp = rng.dirichlet(np.ones(3), size=(6, 3))
+    geno = tmp_path / "gp.geno.gz"
+    with gzip.open(geno, "wt") as fh:
+        for s in range(6):
+            fh.write("\t".join(f"{x:.6f}" for x in gp[s].reshape(-1)) + "\n")
+    pos = tmp_path / "pos.txt"
+    pos.write_text("".join(f"chr1\t{i+1}\n" for i in range(6)))
+    pars = Params(in_geno=str(geno), in_probs=True, n_ind=3, n_sites=6,
+                  in_pos=str(pos), verbose=4, seed=1,
+                  out=str(tmp_path / "o.dist"))
+    pars.validate(); pars.finalize()
+    mats = runner.run(pars, engine="exact")
+    assert len(mats) == 1
+    assert "chr1\t1\t\t" in capfd.readouterr().err
