@@ -88,14 +88,16 @@ def _atof(s: str) -> float:
     return float(m.group(0)) if m else 0.0
 
 
-def _resolve(name: str):
+def _resolve(name: str, long_only: bool = False):
     """getopt_long_only resolution: exact match, then unambiguous prefix,
-    then single-char short-option fallback.
+    then (single-dash tokens only) single-char short-option fallback.
 
     REFERENCE options strictly outrank the framework's extra options at
     every stage — a script written for ngsDist must resolve identically
     here (e.g. `--pair` is pairwise_del, `-x 4` is n_threads, `--e 2`
-    is evol_model), no matter what extensions exist."""
+    is evol_model), no matter what extensions exist.  A `--`-prefixed
+    token never falls back to a short option (glibc getopt_long_only),
+    so `--n` is ambiguous even though `-n` is the n_ind short."""
     if name in _BY_NAME:
         return _BY_NAME[name], False
     if name in _EXT_BY_NAME:
@@ -103,12 +105,16 @@ def _resolve(name: str):
     matches = [o for o in _OPTIONS if o[0].startswith(name)]
     if len(matches) == 1:
         return matches[0], False
-    if len(name) == 1 and name in _BY_SHORT:
+    if not long_only and len(name) == 1 and name in _BY_SHORT:
         return _BY_SHORT[name], False
-    if not matches:
-        ext_matches = [o for o in _EXT_OPTIONS if o[0].startswith(name)]
-        if len(ext_matches) == 1:
-            return (ext_matches[0][0], ext_matches[0][1], None), True
+    if len(matches) > 1:
+        # getopt_long_only: an ambiguous prefix is its own fatal, with
+        # the candidate list, and NO error() block (parse_args.cpp's
+        # default: exit(-1) after getopt already printed)
+        return ("?ambiguous", matches), False
+    ext_matches = [o for o in _EXT_OPTIONS if o[0].startswith(name)]
+    if len(ext_matches) == 1:
+        return (ext_matches[0][0], ext_matches[0][1], None), True
     return None, False
 
 
@@ -119,16 +125,25 @@ def parse_args(argv: List[str]):
     i = 0
     while i < len(argv):
         tok = argv[i]
+        if tok == "--":
+            break  # getopt end-of-options marker; the rest are ignored
         if not tok.startswith("-") or tok == "-":
-            print(f"ngsdist_tpu: unexpected argument '{tok}'", file=sys.stderr)
-            raise SystemExit(255)
+            # getopt permutes non-option arguments to the end and the
+            # reference never examines them — silently ignored
+            i += 1
+            continue
         name = tok.lstrip("-")
         val: Optional[str] = None
         if "=" in name:
             name, val = name.split("=", 1)
-        opt, is_ext = _resolve(name)
+        opt, is_ext = _resolve(name, long_only=tok.startswith("--"))
         if opt is None:
             print(f"ngsdist_tpu: unrecognized option '{tok}'", file=sys.stderr)
+            raise SystemExit(255)
+        if opt[0] == "?ambiguous":
+            cands = " ".join(f"'--{o[0]}'" for o in opt[1])
+            print(f"ngsdist_tpu: option '{tok}' is ambiguous; "
+                  f"possibilities: {cands}", file=sys.stderr)
             raise SystemExit(255)
         lname, takes_arg = opt[0], opt[1]
         if takes_arg and val is None:

@@ -422,10 +422,10 @@ def run_distributed(pars: Params, coordinator: Optional[str] = None,
 
     bring_up(coordinator, num_processes, process_id)
     signals.arm()
+    pars.validate()
     from ..utils import compile_cache
 
     compile_cache.enable()
-    pars.validate()
     try:
         pars.finalize()
     except Exception:

@@ -246,12 +246,15 @@ def run(
     from .utils import signals
     from .utils.profiling import Throughput, trace
 
+    pars.validate()
+    # The compile cache probe touches the jax backend — only AFTER
+    # validation, so a bad invocation errors without any device work
+    # (reference order: parse/validation fatals precede everything).
     if resolve_engine(engine) == "jax":
         from .utils import compile_cache
 
         compile_cache.enable()
 
-    pars.validate()
     try:
         pars.finalize()
     finally:

@@ -128,6 +128,30 @@ class TestConfig:
         pars, _ = cli.parse_args(["-geno", "f.gz", "-n_ind", "5"])
         assert pars.in_geno == "f.gz" and pars.n_ind == 5
 
+    def test_ambiguous_prefix_is_fatal_for_double_dash(self):
+        """getopt_long_only: '--n' is ambiguous among the reference's
+        n_* options (single getopt line, exit 255, no ERROR block);
+        '-n' (single dash) falls back to the n_ind short option."""
+        with pytest.raises(SystemExit) as ei:
+            cli.parse_args(["--n", "3", "--geno", "x"])
+        assert ei.value.code == 255
+        pars, _ = cli.parse_args(["-n", "3", "--geno", "x"])
+        assert pars.n_ind == 3
+
+    def test_positionals_ignored_and_double_dash_ends_options(self):
+        """getopt permutes non-option arguments to the end and the
+        reference never examines them; '--' ends option parsing."""
+        pars, _ = cli.parse_args(["--geno", "x", "stray", "--n_ind", "5"])
+        assert pars.in_geno == "x" and pars.n_ind == 5
+        pars, _ = cli.parse_args(["--n_ind", "5", "--", "--n_sites", "9"])
+        assert pars.n_ind == 5 and pars.n_sites == 0
+
+    def test_required_argument_consumes_next_token(self):
+        """getopt required_argument takes the next argv verbatim, even
+        when it looks like an option (C atol then yields 0)."""
+        pars, _ = cli.parse_args(["--n_ind", "--out", "f"])
+        assert pars.n_ind == 0 and pars.out is None  # f was positional
+
     def test_degenerate_bootstrap_args_are_clean_fatals(self):
         """--n_boot_rep -1 loops effectively forever in the reference
         (uint64 wraparound of the replicate bound) and
