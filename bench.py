@@ -30,6 +30,13 @@ Additional modes (each prints its own JSON line):
 
 Env knobs: NGSDIST_BENCH_N_IND, NGSDIST_BENCH_N_SITES,
 NGSDIST_BENCH_CHUNK override the shape (e.g. for a quick smoke run).
+NGSDIST_BENCH_PLATFORM pins the jax backend post-import (the axon
+sitecustomize force-sets JAX_PLATFORMS, so the env var alone cannot);
+a CPU smoke run needs NGSDIST_BENCH_PLATFORM=cpu plus
+NGSDIST_PALLAS=interpret (or NGSDIST_BENCH_ENGINE=einsum).
+NGSDIST_BENCH_PROBE_TIMEOUT bounds the startup backend-liveness probe
+(seconds, default 180, 0 = skip): a dead device tunnel fails fast with
+a diagnostic instead of hanging the bench.
 """
 
 from __future__ import annotations
@@ -43,6 +50,11 @@ import numpy as np
 
 REPO = os.path.dirname(os.path.abspath(__file__))
 BASELINE_FILE = os.path.join(REPO, "BENCH_baseline.json")
+
+# The engine's kernel dispatcher reads NGSDIST_PALLAS itself; the bench
+# calls the kernels directly, so honor the interpret setting here too
+# (CPU smoke runs: Mosaic only lowers on TPU).
+_PALLAS_INTERPRET = os.environ.get("NGSDIST_PALLAS", "") == "interpret"
 
 
 def _baseline(key: str) -> float:
@@ -84,7 +96,8 @@ def main_em() -> None:
     )
 
     def full(weights):
-        raw, cnt = em_raw_cnt_pallas(P, score9, True, site_weights=weights)
+        raw, cnt = em_raw_cnt_pallas(P, score9, True, site_weights=weights,
+                                     interpret=_PALLAS_INTERPRET)
         # Scalar barrier (no matrix fetch inside the timed region —
         # the ~0.15 s tunnel fetch is not kernel work); triu: the block
         # enumeration never writes the lower triangle, whose buffer
@@ -182,7 +195,8 @@ def main() -> None:
         replicate streams amortize the relayout, so it stays outside
         the timed loop)."""
         return indep_raw_cnt_pallas(P3, score9, True,
-                                    plane_major=(chunk, N))
+                                    plane_major=(chunk, N),
+                                    interpret=_PALLAS_INTERPRET)
 
     @jax.jit
     def chunk_step_einsum(P, score):
@@ -278,7 +292,66 @@ def main() -> None:
     )
 
 
+def _apply_platform() -> None:
+    """Honor NGSDIST_BENCH_PLATFORM (e.g. "cpu" for a smoke run).
+
+    The axon sitecustomize force-sets JAX_PLATFORMS at import, so an
+    env override alone cannot reach a non-default backend — apply it
+    post-import via jax.config, the same mechanism as the CLI's
+    --platform flag.
+    """
+    plat = os.environ.get("NGSDIST_BENCH_PLATFORM")
+    if plat:
+        import jax
+
+        jax.config.update("jax_platforms", plat)
+
+
+def _probe_backend() -> None:
+    """Fail fast if the device backend is unreachable.
+
+    Backend bring-up through the axon tunnel blocks inside native code
+    when the tunnel is down, so an in-process alarm cannot interrupt it
+    — probe jax.devices() in a subprocess under a wall-clock bound and
+    abort with a diagnostic instead of hanging the bench indefinitely.
+    NGSDIST_BENCH_PROBE_TIMEOUT (seconds) overrides the bound; 0 skips
+    the probe.
+    """
+    import subprocess
+
+    timeout = float(os.environ.get("NGSDIST_BENCH_PROBE_TIMEOUT", "180"))
+    if timeout <= 0:
+        return
+    code = (
+        "import os, jax\n"
+        "plat = os.environ.get('NGSDIST_BENCH_PLATFORM')\n"
+        "if plat: jax.config.update('jax_platforms', plat)\n"
+        "print(jax.devices()[0].platform)\n"
+    )
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c", code],
+            capture_output=True, text=True, timeout=timeout,
+        )
+    except subprocess.TimeoutExpired:
+        print(
+            f"# bench: device backend unreachable (jax.devices() did not "
+            f"return within {timeout:.0f}s) — is the TPU tunnel up?",
+            file=sys.stderr,
+        )
+        sys.exit(2)
+    if proc.returncode != 0:
+        print(
+            "# bench: device backend failed to initialize:\n"
+            + proc.stderr.strip(),
+            file=sys.stderr,
+        )
+        sys.exit(2)
+
+
 if __name__ == "__main__":
+    _probe_backend()
+    _apply_platform()
     if "--em" in sys.argv:
         main_em()
     elif "--e2e" in sys.argv:
