@@ -482,7 +482,7 @@ def iter_replicates(
         if round_ckpt:
             from ..utils import checkpoint as ckpt_mod
 
-            got = ckpt_mod.load_rounds(pars.out, pars, rep)
+            got = ckpt_mod.load_rounds(pars.out, pars, rep, engine="jax")
             if got is not None:
                 skip, arrs = got
                 acc_raw = arrs["raw"]
@@ -515,7 +515,7 @@ def iter_replicates(
                 arrs = {"raw": acc_raw}
                 if acc_cnt is not None:
                     arrs["cnt"] = acc_cnt
-                ckpt_mod.save_rounds(pars.out, pars, rep, idx, arrs)
+                ckpt_mod.save_rounds(pars.out, pars, rep, idx, arrs, engine="jax")
         return acc_raw, acc_cnt
 
     # Replicate 0: full dataset (skipped entirely on resume).
@@ -579,7 +579,7 @@ def _round_ckpt_resume(pars: Params, rep: int, shapes, round_ckpt: bool):
 
     got = None
     if jax.process_index() == 0:
-        got = ckpt_mod.load_rounds(pars.out, pars, rep)
+        got = ckpt_mod.load_rounds(pars.out, pars, rep, engine="jax")
     if jax.process_count() > 1:
         from jax.experimental import multihost_utils as mhu
 
@@ -701,7 +701,7 @@ def _iter_replicates_sharded(
                     arrs = {"raw": acc_raw}
                     if acc_cnt is not None:
                         arrs["cnt"] = acc_cnt
-                    ckpt_mod.save_rounds(pars.out, pars, rep, r + 1, arrs)
+                    ckpt_mod.save_rounds(pars.out, pars, rep, r + 1, arrs, engine="jax")
             return acc_raw, acc_cnt
 
         # Indep bootstrap over streamed rounds: ONE data pass yields
@@ -1011,7 +1011,7 @@ def _iter_replicates_extended(
         if round_ckpt:
             from ..utils import checkpoint as ckpt_mod
 
-            got = ckpt_mod.load_rounds(pars.out, pars, rep)
+            got = ckpt_mod.load_rounds(pars.out, pars, rep, engine="jax")
             if got is not None:
                 skip, arrs = got
                 for cl in CLS:
@@ -1043,7 +1043,7 @@ def _iter_replicates_extended(
                     arrs[f"raw_{cl}"] = accs[cl][0]
                     if accs[cl][1] is not None:
                         arrs[f"cnt_{cl}"] = accs[cl][1]
-                ckpt_mod.save_rounds(pars.out, pars, rep, idx, arrs)
+                ckpt_mod.save_rounds(pars.out, pars, rep, idx, arrs, engine="jax")
         return {cl: (accs[cl][0], accs[cl][1]) for cl in CLS}
 
     def pair_pi(w_ok: np.ndarray):
@@ -1214,7 +1214,7 @@ def _extended_mesh(
                         out[f"cnt_{cl}"] = accs[cl][1]
                 if pi_acc is not None:
                     out["pi"] = pi_acc
-                ckpt_mod.save_rounds(pars.out, pars, rep, r + 1, out)
+                ckpt_mod.save_rounds(pars.out, pars, rep, r + 1, out, engine="jax")
         pi = (pm.normalize_pair_pi(pi_acc, pars.pairwise_del)
               if need_pi else None)
         return {cl: (accs[cl][0], accs[cl][1]) for cl in CLS}, pi

@@ -544,10 +544,15 @@ ND_EXPORT int nd_read_geno(const char *path, int in_bin, int in_probs,
       got += r;
     }
     if (rc != 0) {
-      /* the reference normalizes + NaN-checks each site as it reads,
+      /* the reference normalizes + NaN-checks each COMPLETE TRIPLE as
+       * it reads (per individual, read_data.cpp:29-45 — NOT per site),
        * so (a) errno at a premature-EOF error reflects the completed
-       * triples' underflows and (b) a NaN among them outranks the EOF
-       * error — normalize what was read to reproduce both */
+       * triples' underflows and (b) a NaN among them — including
+       * complete triples inside a partially-read final site — outranks
+       * the EOF error.  Floor division excludes only a partial triple,
+       * which the reference's short gzread likewise never normalizes.
+       * (A/B-verified: NaN planted in a complete triple of the
+       * incomplete site makes the reference print "NaN found!".) */
       if (nd_normalize_rows(out, got / (ND_NGENO * (int64_t)sizeof(double)),
                             in_logscale, err_out)) {
         nd_seterr(errbuf, errbuf_cap,

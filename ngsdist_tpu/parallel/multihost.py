@@ -480,7 +480,7 @@ def run_distributed(pars: Params, coordinator: Optional[str] = None,
     n_done = 0
     if resume:
         if is_writer:
-            got = ckpt.load(pars.out, pars)
+            got = ckpt.load(pars.out, pars, engine="jax")
             n_done = got or 0
         if jax.process_count() > 1:
             from jax.experimental import multihost_utils
@@ -503,7 +503,8 @@ def run_distributed(pars: Params, coordinator: Optional[str] = None,
         out_fh = open(pars.out, "a" if n_done else "w")
     if pars.evol_model >= 3:
         rep_stream = _iter_replicates_extended(
-            pars, stream, maps, n_trunc, alleles, mesh=mesh, start_rep=n_done
+            pars, stream, maps, n_trunc, alleles, mesh=mesh, start_rep=n_done,
+            round_ckpt=True,
         )
     else:
         rep_stream = _iter_replicates_sharded(pars, stream, maps, n_trunc, mesh,
@@ -517,7 +518,7 @@ def run_distributed(pars: Params, coordinator: Optional[str] = None,
                 writers.write_dist_matrix(out_fh, labels, m)
                 out_fh.flush()
                 matrices.append(m)
-                ckpt.save(pars.out, pars, rep + 1)
+                ckpt.save(pars.out, pars, rep + 1, engine="jax")
             if signals.stop_requested():
                 interrupted = True
                 if is_writer:

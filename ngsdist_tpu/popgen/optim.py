@@ -27,6 +27,42 @@ class LbfgsbResult(NamedTuple):
     converged: jnp.ndarray
 
 
+def _fd_value_and_grad(fun: Callable, lo: jnp.ndarray, hi: jnp.ndarray):
+    """Numerical value-and-grad via the reference's recipe: Yang central
+    differences with per-coordinate step eh = (1e-8*(|x_i|+1))^0.67 and
+    a double-step one-sided shift when a probe would cross a bound
+    (/root/reference/shared/bfgs.cpp:22-43 Yanggradient), then the
+    active-set zeroing getgradient applies to what it hands L-BFGS-B
+    (bfgs.cpp:57-63).  TPU-native: the 2n probe points evaluate as ONE
+    vmapped batch instead of the reference's serial loop, so fun only
+    needs to be jax-traceable, not differentiable."""
+
+    def vg(x):
+        dtype = x.dtype
+        n = x.shape[0]
+        f0 = fun(x)
+        eh = (1e-8 * (jnp.abs(x) + 1.0)) ** 0.67
+        E = jnp.eye(n, dtype=dtype) * eh[:, None]  # row i = eh_i * e_i
+        lo_hit = (x - eh) < lo  # backward probe would cross the bound
+        hi_hit = (x + eh) > hi  # forward probe would cross the bound
+        X = jnp.broadcast_to(x, (n, n))
+        # g_i = (f(A_i) - f(B_i)) / (2 eh_i):
+        #   interior: A = x+eh e_i, B = x-eh e_i
+        #   at lower: A = x+2eh e_i, B = x      (bfgs.cpp:36)
+        #   at upper: A = x,        B = x-2eh e_i (bfgs.cpp:38)
+        A = jnp.where(lo_hit[:, None], X + 2 * E,
+                      jnp.where(hi_hit[:, None], X, X + E))
+        B = jnp.where(lo_hit[:, None], X,
+                      jnp.where(hi_hit[:, None], X - 2 * E, X - E))
+        g = (jax.vmap(fun)(A) - jax.vmap(fun)(B)) / (2.0 * eh)
+        # active-set projection of the returned gradient (bfgs.cpp:57-63)
+        g = jnp.where((x <= lo) & (g > 0), 0.0, g)
+        g = jnp.where((x >= hi) & (g < 0), 0.0, g)
+        return f0, g
+
+    return vg
+
+
 def lbfgsb(
     fun: Callable,
     x0: jnp.ndarray,
@@ -36,12 +72,22 @@ def lbfgsb(
     tol: float = 1e-8,
     memory_size: int = 10,
     max_ls: int = 30,
+    grad="autodiff",
 ) -> LbfgsbResult:
     """Minimize fun(x) subject to lower <= x <= upper.
 
     Stops when the projected-gradient infinity norm falls below tol or
-    after max_iter iterations.  jit-compatible; fun must be
-    differentiable by jax.grad.
+    after max_iter iterations.  jit-compatible.
+
+    grad selects the gradient source, mirroring the reference's
+    findmax_bfgs dfun argument (/root/reference/shared/bfgs.h:37-38 —
+    "send NULL to use numerical derivative"):
+      "autodiff" (default): jax.value_and_grad — fun must be
+          jax-differentiable;
+      None: Yang central differences (_fd_value_and_grad) — fun only
+          needs to be jax-traceable (e.g. contains lax.stop_gradient,
+          custom primitives without JVPs, table lookups);
+      a callable g(x) -> dfdx: user-supplied analytic gradient.
     """
     dtype = x0.dtype
     n = x0.shape[0]
@@ -66,7 +112,12 @@ def lbfgsb(
         return jnp.max(jnp.abs(proj_grad(x, g)))
 
     x0 = project(x0)
-    vg = jax.value_and_grad(fun)
+    if grad == "autodiff":
+        vg = jax.value_and_grad(fun)
+    elif grad is None:
+        vg = _fd_value_and_grad(fun, lo, hi)
+    else:
+        vg = lambda x: (fun(x), grad(x))  # noqa: E731
     f0, g0 = vg(x0)
 
     # Fixed-shape circular curvature memory.

@@ -203,6 +203,25 @@ def iter_replicates(pars: Params, P: np.ndarray, engine: str = "auto", mesh=None
     elif engine == "jax":
         from .core import distance as jax_engine
 
+        # verbose>=8 firehose: the reference prints the per-site dump
+        # from its only engine (ngsDist.cpp:355-360).  The jax engine
+        # computes whole replicates at once, so the dump is replayed
+        # per-site by the exact engine's host-side replayer — matrices
+        # in the OUTPUT still come from the jax engine (the replay's
+        # exact-engine accumulation can differ from the jax matrices in
+        # the last bits; docs/PARITY.md).  Lazy disk-streamed runs have
+        # no resident tensor to replay — warn instead of dumping.
+        dump_P_ind = None
+        if pars.verbose >= 8:
+            if isinstance(P, np.ndarray):
+                dump_P_ind = exact_engine.to_ind_major(P)
+            else:
+                print("WARN: [main] verbose>=8 per-site dump unavailable "
+                      "on disk-streamed (lazy) runs; rerun with a larger "
+                      "NGSDIST_HOST_BUDGET or --engine exact.",
+                      file=sys.stderr)
+        dump_labels = labels if labels is not None else readers.default_labels(pars.n_ind)
+
         # Stage banners per replicate (reference ngsDist.cpp:223-242):
         # printed before each matrix is pulled, so their timing brackets
         # the replicate's computation like the reference's.
@@ -216,6 +235,13 @@ def iter_replicates(pars: Params, P: np.ndarray, engine: str = "auto", mesh=None
             _log(pars, 2, "> Mapping positions...")
             dump_block_map(rep)
             _log(pars, 2, "> Calculating pairwise genetic distances...")
+            if dump_P_ind is not None:
+                exact_engine.debug_site_dump(
+                    dump_P_ind, pars.score, pars.indep_geno,
+                    pars.pairwise_del, dump_labels, pars.verbose,
+                    site_map=None if rep == 0 else maps[rep - 1],
+                    n_used=pars.n_sites if rep == 0 else n_trunc,
+                )
             try:
                 yield next(gen)
             except StopIteration:
@@ -287,7 +313,7 @@ def run(
 
     n_done = 0
     if resume and out_fh is None:
-        got = ckpt.load(pars.out, pars)
+        got = ckpt.load(pars.out, pars, engine=engine)
         if got is not None:
             n_done = got
             _log(pars, 1, f"==> Resuming: {n_done} matrices already written")
@@ -307,6 +333,11 @@ def run(
     # that don't call it fall back to n_pairs * per-replicate sites.
     pending_updates: List[float] = []
     user_stats = make_pair_report(pars, labels)
+    if engine == "jax" and pars.verbose >= 8 and not lazy:
+        # the exact replayer (iter_replicates' firehose) prints the v3
+        # pair-stats lines interleaved with the v8/v9 dump, like the
+        # reference worker — a second print here would duplicate them
+        user_stats = None
 
     def on_stats(raw, cnt):
         if isinstance(cnt, np.ndarray):
@@ -343,7 +374,7 @@ def run(
                 matrices.append(m)
                 meter.add_updates(got)
                 if close:
-                    ckpt.save(pars.out, pars, rep + 1)
+                    ckpt.save(pars.out, pars, rep + 1, engine=engine)
                 if signals.stop_requested():
                     _log(pars, 1, "==> Stop requested; output is resumable (--resume)")
                     interrupted = True

@@ -30,13 +30,34 @@ _FIELDS = [
 ]
 
 
-def run_fingerprint(pars: Params) -> str:
+def _numeric_env(engine: Optional[str]) -> Optional[list]:
+    """The numeric environment a matrix was computed under: resolved
+    engine, plus (jax engine only) backend platform and the x64 flag.
+
+    Bytes in the output depend on all three — exact vs jax differ in
+    reduction order, TPU f32 vs CPU x64 differ in precision — so a
+    resume must refuse to append matrices from a different environment
+    to the same file (the hole VERDICT r2 weak-item 4 flagged: interrupt
+    a jax-f32 TPU run, `--resume --engine exact` silently mixed
+    precisions)."""
+    if engine is None:
+        return None
+    if engine != "jax":
+        return [engine]
+    import jax  # jax engine resolved => backend init is inevitable anyway
+
+    return ["jax", jax.default_backend(), bool(jax.config.jax_enable_x64)]
+
+
+def run_fingerprint(pars: Params, engine: Optional[str] = None) -> str:
     """Hash of every parameter that affects the output stream, plus the
     input file's size and mtime — resuming after the genotype file
     changed must not silently append matrices computed from different
-    data to the old output."""
+    data to the old output.  engine: the RESOLVED engine name ("exact"
+    or "jax"); folds the numeric environment into the hash."""
     d = asdict(pars)
     fields = {k: d[k] for k in _FIELDS}
+    fields["_numeric_env"] = _numeric_env(engine)
     try:
         st = os.stat(pars.in_geno)
         fields["_geno_stat"] = [st.st_size, st.st_mtime_ns]
@@ -50,14 +71,16 @@ def state_path(out: str) -> str:
     return out + ".ckpt.json"
 
 
-def save(out: str, pars: Params, n_done: int) -> None:
+def save(out: str, pars: Params, n_done: int,
+         engine: Optional[str] = None) -> None:
     tmp = state_path(out) + ".tmp"
     with open(tmp, "w") as fh:
-        json.dump({"fingerprint": run_fingerprint(pars), "n_done": n_done}, fh)
+        json.dump({"fingerprint": run_fingerprint(pars, engine),
+                   "n_done": n_done}, fh)
     os.replace(tmp, state_path(out))
 
 
-def load(out: str, pars: Params) -> Optional[int]:
+def load(out: str, pars: Params, engine: Optional[str] = None) -> Optional[int]:
     """Number of matrices already written by a matching interrupted run,
     or None when there is nothing (or something incompatible) to resume."""
     path = state_path(out)
@@ -68,7 +91,7 @@ def load(out: str, pars: Params) -> Optional[int]:
             st = json.load(fh)
     except (OSError, ValueError):
         return None
-    if st.get("fingerprint") != run_fingerprint(pars):
+    if st.get("fingerprint") != run_fingerprint(pars, engine):
         return None
     n_done = int(st.get("n_done", 0))
     return n_done if 0 < n_done <= pars.n_boot_rep + 1 else None
@@ -103,47 +126,60 @@ def rounds_path(out: str) -> str:
     return out + ".rounds.npz"
 
 
+_META_KEY = "__ngsdist_meta__"
+
+
 def save_rounds(out: str, pars: Params, rep: int, next_round: int,
-                arrays: dict) -> None:
+                arrays: dict, engine: Optional[str] = None) -> None:
+    """Crash-atomic: metadata (fingerprint/rep/next_round) travels INSIDE
+    the npz so the commit is one os.replace — a kill can only leave the
+    previous complete checkpoint or the new complete one, never a meta
+    file one round ahead of its arrays (advisor r2, medium)."""
     import numpy as np
 
+    meta = {"fingerprint": run_fingerprint(pars, engine), "rep": rep,
+            "next_round": next_round}
     base = rounds_path(out)
     tmp = base + ".tmp.npz"
     with open(tmp, "wb") as fh:
-        np.savez(fh, **arrays)
-    meta = {"fingerprint": run_fingerprint(pars), "rep": rep,
-            "next_round": next_round}
-    with open(base + ".meta.tmp", "w") as fh:
-        json.dump(meta, fh)
-    os.replace(base + ".meta.tmp", base + ".meta")
+        np.savez(fh, **arrays,
+                 **{_META_KEY: np.frombuffer(
+                     json.dumps(meta).encode(), dtype=np.uint8)})
+        fh.flush()
+        os.fsync(fh.fileno())
     os.replace(tmp, base)
 
 
-def load_rounds(out: str, pars: Params, rep: int):
+def load_rounds(out: str, pars: Params, rep: int,
+                engine: Optional[str] = None):
     """(next_round, arrays) for a matching interrupted replicate, else
     None."""
     import numpy as np
 
     path = rounds_path(out)
-    if not (os.path.exists(path) and os.path.exists(path + ".meta")):
+    if not os.path.exists(path):
         return None
-    try:
-        with open(path + ".meta") as fh:
-            meta = json.load(fh)
-    except (OSError, ValueError):
-        return None
-    if (meta.get("fingerprint") != run_fingerprint(pars)
-            or meta.get("rep") != rep):
-        return None
+    import zipfile
+
     try:
         with np.load(path) as z:
-            arrays = {k: z[k] for k in z.files}
-    except (OSError, ValueError):
+            if _META_KEY not in z.files:
+                return None  # unknown / legacy format: recompute
+            meta = json.loads(bytes(z[_META_KEY]).decode())
+            arrays = {k: z[k] for k in z.files if k != _META_KEY}
+    except (OSError, ValueError, KeyError, EOFError, zipfile.BadZipFile):
+        # a torn partial file (kill mid-write) must read as "no
+        # checkpoint", not crash the resume
+        return None
+    if (meta.get("fingerprint") != run_fingerprint(pars, engine)
+            or meta.get("rep") != rep):
         return None
     return int(meta["next_round"]), arrays
 
 
 def clear_rounds(out: str) -> None:
+    # ".meta" is the pre-r3 two-file layout; still removed so stale
+    # sidecars from older runs can't linger next to the output.
     for suffix in ("", ".meta"):
         try:
             os.remove(rounds_path(out) + suffix)

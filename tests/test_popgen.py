@@ -414,6 +414,59 @@ class TestLbfgsbOracle:
             np.testing.assert_allclose(np.asarray(res.x), ref.x, atol=2e-4,
                                        err_msg=f"problem {k}")
 
+    def test_numerical_gradient_matches_scipy(self):
+        """grad=None engages the reference's numerical-derivative path
+        (findmax_bfgs with dfun=NULL -> Yanggradient central
+        differences, /root/reference/shared/bfgs.cpp:22-43): the full
+        oracle suite must still agree with scipy, which runs its OWN
+        finite differences (jac=None)."""
+        import numpy as np
+        from scipy.optimize import minimize
+
+        from ngsdist_tpu.popgen.optim import lbfgsb
+
+        for k, (f, x0, lo, hi) in enumerate(self._problems()):
+            def fj(x):
+                # stop_gradient severs autodiff: this objective is only
+                # traceable, the exact case the FD fallback exists for
+                return jax.lax.stop_gradient(f(jnp.asarray(x)))
+
+            res = lbfgsb(fj, jnp.asarray(x0, jnp.float64),
+                         lower=jnp.asarray(lo), upper=jnp.asarray(hi),
+                         max_iter=500, tol=1e-7, grad=None)
+            ref = minimize(
+                lambda x: np.float64(fj(jnp.asarray(x))), x0,
+                method="L-BFGS-B", bounds=list(zip(lo, hi)),
+                options={"maxiter": 500, "ftol": 1e-15, "gtol": 1e-10},
+            )
+            # FD noise floor: compare achieved objective, looser than
+            # the analytic-gradient suite
+            assert float(res.fun) <= ref.fun + 1e-5 + 1e-6 * abs(ref.fun), (
+                f"problem {k}: ours {float(res.fun)} vs scipy {ref.fun}"
+            )
+
+    def test_numerical_gradient_one_sided_at_bounds(self):
+        """At a coordinate sitting ON a bound the FD probe must not
+        cross it (Yanggradient's double-step shift, bfgs.cpp:35-38):
+        an objective UNDEFINED outside the box still optimizes."""
+        import numpy as np
+
+        from ngsdist_tpu.popgen.optim import lbfgsb
+
+        def f(x):
+            # NaN outside [0, 1]^2 — any probe crossing a bound poisons
+            # the gradient
+            safe = jnp.all((x >= 0.0) & (x <= 1.0))
+            v = jnp.sum(jnp.sqrt(jnp.clip(x, 0.0)) * jnp.array([-1.0, -2.0]))
+            return jnp.where(safe, v, jnp.nan)
+
+        res = lbfgsb(f, jnp.array([0.0, 1.0], jnp.float64),
+                     lower=jnp.zeros(2), upper=jnp.ones(2),
+                     max_iter=200, tol=1e-8, grad=None)
+        # -sqrt(x0) - 2 sqrt(x1) is minimized at the upper corner (1, 1)
+        np.testing.assert_allclose(np.asarray(res.x), [1.0, 1.0], atol=1e-6)
+        assert np.isfinite(float(res.fun))
+
     def test_vmapped_batch(self):
         """Batched use: one compiled solver over many problem instances
         (impossible with the reference's thread-per-problem Fortran)."""

@@ -6,6 +6,8 @@ each round, so an interruption mid-replicate loses at most one round
 and the resumed run is byte-identical (the statistics are exact partial
 sums of a deterministic computation)."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -63,7 +65,7 @@ def test_single_device_round_resume(tmp_path, monkeypatch):
     assert len(calls) == 3  # 2 completed rounds + the failing third
 
     # rounds sidecar holds the partial accumulator
-    got = ckpt.load_rounds(pars.out, pars, 0)
+    got = ckpt.load_rounds(pars.out, pars, 0, engine="jax")
     assert got is not None and got[0] == 2
 
     spy.resumed = True
@@ -88,6 +90,25 @@ def test_round_ckpt_ignored_on_mismatch(tmp_path, monkeypatch):
                      {"raw": np.full((N, N), 1e9)})
     out = list(dist.iter_replicates(pars, P, [], S, round_ckpt=True))
     np.testing.assert_array_equal(out[0], clean[0])
+
+
+def test_round_ckpt_single_file_atomic(tmp_path):
+    """The rounds checkpoint commits in ONE os.replace (meta inside the
+    npz): a torn/partial file — the only state a kill can leave besides
+    a complete checkpoint — is rejected as a whole instead of meta
+    running one round ahead of its arrays (advisor r2, medium)."""
+    pars = _pars(tmp_path, 64, 4, indep_geno=True)
+    ckpt.save_rounds(pars.out, pars, 0, 3, {"raw": np.ones((4, 4))},
+                     engine="jax")
+    path = ckpt.rounds_path(pars.out)
+    assert not os.path.exists(path + ".meta")  # no second file to tear
+    got = ckpt.load_rounds(pars.out, pars, 0, engine="jax")
+    assert got is not None and got[0] == 3
+
+    # simulate a kill mid-write: truncate the committed file
+    blob = open(path, "rb").read()
+    open(path, "wb").write(blob[: len(blob) // 2])
+    assert ckpt.load_rounds(pars.out, pars, 0, engine="jax") is None
 
 
 def _pos_alleles(S, rng):
@@ -138,7 +159,7 @@ def test_extended_single_device_round_resume(tmp_path, monkeypatch):
     with pytest.raises(KeyboardInterrupt):
         list(dist.iter_replicates(pars, P, [], S, alleles=alleles,
                                   round_ckpt=True))
-    got = ckpt.load_rounds(pars.out, pars, 0)
+    got = ckpt.load_rounds(pars.out, pars, 0, engine="jax")
     assert got is not None and got[0] == 2
     assert "raw_ag" in got[1] and "cnt_tv" in got[1] and "pi" not in got[1]
 
@@ -184,7 +205,7 @@ def test_extended_mesh_round_resume(tmp_path, monkeypatch):
     with pytest.raises(KeyboardInterrupt):
         list(dist.iter_replicates(pars, P, maps, n_trunc, alleles=alleles,
                                   mesh=mesh, round_ckpt=True, start_rep=1))
-    got = ckpt.load_rounds(pars.out, pars, 1)
+    got = ckpt.load_rounds(pars.out, pars, 1, engine="jax")
     assert got is not None and got[0] == 2
     assert "pi" in got[1]
 
@@ -229,7 +250,7 @@ def test_sharded_streaming_round_resume(tmp_path, monkeypatch):
                                round_ckpt=True, start_rep=1)
     with pytest.raises(KeyboardInterrupt):
         list(gen)
-    got = ckpt.load_rounds(pars.out, pars, 1)
+    got = ckpt.load_rounds(pars.out, pars, 1, engine="jax")
     assert got is not None and got[0] == 2
 
     calls["armed"] = False
@@ -281,7 +302,7 @@ def test_lazy_stream_round_resume(tmp_path, monkeypatch):
     with pytest.raises(KeyboardInterrupt):
         list(dist.iter_replicates(pars, make_stream(), [], S, mesh=mesh,
                                   round_ckpt=True))
-    got = ckpt.load_rounds(pars.out, pars, 0)
+    got = ckpt.load_rounds(pars.out, pars, 0, engine="jax")
     assert got is not None and got[0] == 2
 
     # resume must not re-read the completed rounds from disk

@@ -216,7 +216,9 @@ def test_run_distributed_resume(tmp_path):
                   n_boot_rep=3, boot_block_size=5,
                   out=str(tmp_path / "mh.dist"), verbose=0)
     pars.validate(); pars.finalize()
-    ckpt.save(str(tmp_path / "mh.dist"), pars, 2)
+    # fingerprint embeds the numeric environment; the workers run the
+    # jax engine on cpu/x64 — same as this conftest-pinned process
+    ckpt.save(str(tmp_path / "mh.dist"), pars, 2, engine="jax")
 
     outs = launch(resume=True)
     assert open(tmp_path / "mh.dist").read() == full

@@ -373,6 +373,32 @@ class TestReaders:
                 readers.read_geno(str(p), True, True, False, 2, 2,
                                   native=native)
 
+    def test_binary_eof_triple_granularity(self, tmp_path):
+        """The reference's read/normalize/NaN-check unit is the
+        individual TRIPLE, not the site (read_data.cpp:29-45): a NaN in
+        a COMPLETE triple of a partially-read final site still fatals
+        "NaN found!" (A/B-verified vs the reference binary), while a
+        clean short read — including a torn mid-triple read — fatals
+        premature EOF."""
+        # 1 complete site + 1 complete triple of site 1; the NaN sits in
+        # that complete triple of the INCOMPLETE site
+        vals = np.concatenate([np.full(3 * 3, 1 / 3), [np.nan, 0.5, 0.5]])
+        p = tmp_path / "g.bin"
+        p.write_bytes(vals.tobytes())
+        for native in (True, False):
+            with pytest.raises(NgsDistError, match="NaN found"):
+                readers.read_geno(str(p), True, True, False, 3, 2,
+                                  native=native)
+        # same shape, torn mid-triple with no NaN in complete triples:
+        # the partial triple is never normalized -> premature EOF
+        vals2 = np.concatenate([np.full(3 * 3, 1 / 3), [0.5, 0.5]])
+        p2 = tmp_path / "g2.bin"
+        p2.write_bytes(vals2.tobytes())
+        for native in (True, False):
+            with pytest.raises(NgsDistError, match="premature EOF"):
+                readers.read_geno(str(p2), True, True, False, 3, 2,
+                                  native=native)
+
     def test_binary_roundtrip_normalizes(self, tmp_path):
         vals = [0.2, 0.3, 0.5, 0.1, 0.1, 0.8]
         p = tmp_path / "b.bin"
