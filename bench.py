@@ -1,32 +1,34 @@
 #!/usr/bin/env python
-"""Headline benchmark: pair-site distance updates/sec on one chip.
+"""Headline benchmarks: pair-site distance updates/sec on one chip.
 
-Default mode measures the full-matrix computation at the BASELINE.json
-shape (1k individuals x 1M sites, independent-genotypes path with
-pairwise deletion) by streaming site chunks through the fused Pallas
-kernel and accumulating the [N, N] sufficient statistics on device.
-One JSON line:
+The DEFAULT invocation (what the driver runs) measures ALL headline
+metrics, each against its reference-CPU anchor in BENCH_baseline.json
+(produced by tests/refharness/measure_cpu_baseline.py):
 
-  {"metric": "pair_site_updates_per_sec", "value": ..., "unit":
-   "updates/s", "vs_baseline": ...}
+  indep  full-matrix sufficient statistics at the BASELINE.json shape
+         (1k individuals x 1M sites, independent-genotypes path with
+         pairwise deletion) streamed through the fused Pallas kernel
+         [reference hot loop /root/reference/ngsDist.cpp:325-404,
+         9 fused multiply-adds per pair-site update]
+  em     EM-path kernel (per-(pair,site) 9-cell EM to convergence,
+         ops/pallas_em.py) incl. a bootstrap-weighted replicate on the
+         SAME compiled kernel [reference emOptim2.cpp:77-135]
+  e2e    the real CLI pipeline: binary-GP file -> native reader ->
+         preprocess -> device kernels -> phylip writer (runner.run),
+         user-visible wall-time updates/sec
 
-vs_baseline compares against the reference ngsDist CPU engine scaled to
-64 threads (BENCH_baseline.json, produced by
-tests/refharness/measure_cpu_baseline.py; reference hot loop:
-/root/reference/ngsDist.cpp:325-404 at 9 fused multiply-adds per
-pair-site update).
+and prints ONE combined JSON line whose top-level metric is the indep
+headline, with the other modes under "metrics":
 
-Additional modes (each prints its own JSON line):
+  {"metric": "pair_site_updates_per_sec", "value": N, "unit":
+   "updates/s", "vs_baseline": N, "metrics": {"em": {...}, "e2e":
+   {...}}}
 
-  bench.py --em    EM-path kernel (per-(pair,site) 9-cell EM to
-                   convergence, ops/pallas_em.py) incl. a
-                   bootstrap-weighted replicate on the SAME compiled
-                   kernel; vs_baseline against the measured CPU EM rate
-                   (cpu64_em_updates_per_sec).
-  bench.py --e2e   the real CLI pipeline: binary-GP file -> native
-                   reader -> preprocess -> device kernels -> phylip
-                   writer (runner.run), reporting user-visible
-                   wall-time updates/sec.
+A mode that fails records {"error": ...} under "metrics" and does not
+sink the run; the headline falls back to the first mode that succeeded.
+
+Single-mode runs (bench.py --indep | --em | --e2e) print that mode's
+JSON line alone, as before.
 
 Env knobs: NGSDIST_BENCH_N_IND, NGSDIST_BENCH_N_SITES,
 NGSDIST_BENCH_CHUNK override the shape (e.g. for a quick smoke run).
@@ -34,9 +36,14 @@ NGSDIST_BENCH_PLATFORM pins the jax backend post-import (the axon
 sitecustomize force-sets JAX_PLATFORMS, so the env var alone cannot);
 a CPU smoke run needs NGSDIST_BENCH_PLATFORM=cpu plus
 NGSDIST_PALLAS=interpret (or NGSDIST_BENCH_ENGINE=einsum).
-NGSDIST_BENCH_PROBE_TIMEOUT bounds the startup backend-liveness probe
-(seconds, default 180, 0 = skip): a dead device tunnel fails fast with
-a diagnostic instead of hanging the bench.
+NGSDIST_BENCH_PROBE_TIMEOUT bounds the TOTAL startup backend-liveness
+probe window (seconds, default 600, 0 = skip): the probe RETRIES a
+dead device tunnel with backoff until the window expires — a flaky
+tunnel at capture time must not cost the round's perf evidence
+(BENCH_r02 lesson) — and reports the failing stage when it gives up.
+NGSDIST_BENCH_BUDGET (seconds, default 900) bounds the default
+invocation's total wall time: modes still pending when it trips are
+recorded as skipped rather than run.
 """
 
 from __future__ import annotations
@@ -64,17 +71,17 @@ def _baseline(key: str) -> float:
     return 0.0
 
 
-def _emit(metric: str, value: float, unit: str, baseline_key: str) -> None:
+def _record(metric: str, value: float, unit: str, baseline_key: str) -> dict:
     ref = _baseline(baseline_key)
-    print(json.dumps({
+    return {
         "metric": metric,
         "value": value,
         "unit": unit,
         "vs_baseline": value / ref if ref > 0 else 0.0,
-    }))
+    }
 
 
-def main_em() -> None:
+def main_em() -> dict:
     """EM-path kernel throughput, incl. a weighted bootstrap replicate
     reusing the same compiled kernel (VERDICT round-1 item 2)."""
     import jax
@@ -115,58 +122,79 @@ def main_em() -> None:
         times.append((time.perf_counter() - t0) / 2)
     elapsed = min(times)
     ups = (N * (N - 1) / 2) * S / elapsed
-    _emit("em_pair_site_updates_per_sec", ups, "updates/s",
-          "cpu64_em_updates_per_sec")
     print(f"# EM kernel {N} ind x {S} sites, full+weighted replicate on "
           f"{dev.platform}:{dev.device_kind}", file=sys.stderr)
+    return _record("em_pair_site_updates_per_sec", ups, "updates/s",
+                   "cpu64_em_updates_per_sec")
 
 
-def main_e2e() -> None:
+def main_e2e() -> dict:
     """End-to-end CLI pipeline wall-time: binary GP file -> reader ->
     preprocess -> device kernels -> phylip writer (runner.run).
 
-    Default shape is modest (256 x 64k): on this rig the pipeline is
-    bound by the virtual disk (~25 MB/s cold reads with writeback
-    stalls) and the remote-device tunnel upload, not by compute (the
-    kernel section is ~0.04 s at this shape) — override with
-    NGSDIST_BENCH_N_IND/N_SITES for the full 1k x 1M BASELINE shape.
+    Default shape 1024 x 64k: large enough that the O(N^2 S) distance
+    compute amortizes the O(N S) IO (at 256 ind the pipeline is pure
+    reader/upload).  The input lives on tmpfs — this rig's virtual
+    disk stalls at ~25 MB/s with writeback hiccups, which benchmarks
+    the sandbox's disk, not the framework.  The pipeline runs TWICE
+    and the headline is the WARM run: production bootstrap/cohort
+    runs hit the persistent XLA compile cache (utils/compile_cache,
+    enabled by runner.run), so first-ever-compile latency (~1 min
+    through the remote-TPU tunnel) is a one-time cost, reported
+    separately in the record and the stderr note.  Override the shape
+    with NGSDIST_BENCH_N_IND/N_SITES.
     """
+    import shutil
     import tempfile
 
     sys.path.insert(0, REPO)
     from ngsdist_tpu import runner
     from ngsdist_tpu.config import Params
 
-    N = int(os.environ.get("NGSDIST_BENCH_N_IND", 256))
+    N = int(os.environ.get("NGSDIST_BENCH_N_IND", 1024))
     S = int(os.environ.get("NGSDIST_BENCH_N_SITES", 1 << 16))
     rng = np.random.default_rng(7)
-    with tempfile.TemporaryDirectory() as td:
+    base = "/dev/shm" if os.access("/dev/shm", os.W_OK) else None
+    td = tempfile.mkdtemp(dir=base)
+    try:
         geno = os.path.join(td, "gp.bin")
         t0 = time.perf_counter()
         with open(geno, "wb") as fh:
-            chunk = 1 << 16
+            chunk = 1 << 14
             for s0 in range(0, S, chunk):
                 n = min(chunk, S - s0)
-                gp = rng.dirichlet(np.ones(3), size=(n, N))
-                gp.tofile(fh)
+                # Dirichlet(1,1,1) via normalized exponentials — same
+                # distribution as rng.dirichlet, ~40x faster
+                g = rng.exponential(size=(n, N, 3))
+                g /= g.sum(axis=-1, keepdims=True)
+                g.tofile(fh)
         gen_time = time.perf_counter() - t0
-        pars = Params(in_geno=geno, in_bin=True, in_probs=True,
-                      n_ind=N, n_sites=S, indep_geno=True, pairwise_del=True,
-                      evol_model=1, seed=1, verbose=0,
-                      out=os.path.join(td, "out.dist"))
-        pars.validate(); pars.finalize()
-        t0 = time.perf_counter()
-        runner.run(pars, engine="jax")
-        elapsed = time.perf_counter() - t0
-    ups = (N * (N - 1) / 2) * S / elapsed
-    _emit("e2e_pair_site_updates_per_sec", ups, "updates/s",
-          "cpu64_updates_per_sec")
+
+        times = []
+        for it in range(2):
+            pars = Params(in_geno=geno, in_bin=True, in_probs=True,
+                          n_ind=N, n_sites=S, indep_geno=True,
+                          pairwise_del=True, evol_model=1, seed=1, verbose=0,
+                          out=os.path.join(td, f"out{it}.dist"))
+            pars.validate(); pars.finalize()
+            t0 = time.perf_counter()
+            runner.run(pars, engine="jax")
+            times.append(time.perf_counter() - t0)
+    finally:
+        shutil.rmtree(td, ignore_errors=True)
+    cold, warm = times
+    ups = (N * (N - 1) / 2) * S / warm
     print(f"# e2e {N} ind x {S} sites: input gen {gen_time:.1f}s, "
-          f"pipeline {elapsed:.1f}s (reader+preprocess+kernel+writer)",
-          file=sys.stderr)
+          f"pipeline cold {cold:.1f}s / warm {warm:.1f}s "
+          f"(reader+preprocess+kernel+writer)", file=sys.stderr)
+    rec = _record("e2e_pair_site_updates_per_sec", ups, "updates/s",
+                  "cpu64_updates_per_sec")
+    rec["cold_s"] = round(cold, 3)
+    rec["warm_s"] = round(warm, 3)
+    return rec
 
 
-def main() -> None:
+def main_indep() -> dict:
     import jax
     import jax.numpy as jnp
 
@@ -271,25 +299,52 @@ def main() -> None:
     updates = float(n_pairs) * float(S_total)
     rate = updates / elapsed
 
-    vs = 0.0
-    if os.path.exists(BASELINE_FILE):
-        with open(BASELINE_FILE) as fh:
-            base = json.load(fh)
-        ref = float(base.get("cpu64_updates_per_sec", 0.0))
-        if ref > 0:
-            vs = rate / ref
-
-    print(json.dumps({
-        "metric": "pair_site_updates_per_sec",
-        "value": rate,
-        "unit": "updates/s",
-        "vs_baseline": vs,
-    }))
     print(
         f"# {N} ind x {S_total} sites ({n_chunks} chunks of {chunk}) in "
         f"{elapsed:.3f}s on {dev.platform}:{dev.device_kind}",
         file=sys.stderr,
     )
+    return _record("pair_site_updates_per_sec", rate, "updates/s",
+                   "cpu64_updates_per_sec")
+
+
+_MODES = [("indep", main_indep), ("em", main_em), ("e2e", main_e2e)]
+
+
+def main_all() -> int:
+    """Default invocation: every headline metric, one combined JSON line.
+
+    The top-level metric/value/vs_baseline stay the indep headline (the
+    contract's north star, BASELINE.json) so consumers of the old
+    single-metric format keep working; the other modes land under
+    "metrics".  A failing mode is recorded and skipped, not fatal —
+    BENCH artifacts should carry whatever the chip gave us."""
+    budget = float(os.environ.get("NGSDIST_BENCH_BUDGET", "900"))
+    t_start = time.perf_counter()
+    results: dict = {}
+    for name, fn in _MODES:
+        spent = time.perf_counter() - t_start
+        if spent > budget:
+            results[name] = {"skipped": f"time budget ({budget:.0f}s) spent"}
+            print(f"# bench: skipping {name} — {spent:.0f}s of "
+                  f"{budget:.0f}s budget spent", file=sys.stderr)
+            continue
+        try:
+            results[name] = fn()
+        except Exception as ex:  # isolate: one dead mode != no artifact
+            results[name] = {"error": f"{type(ex).__name__}: {ex}"}
+            print(f"# bench: {name} mode failed: {ex}", file=sys.stderr)
+    head = next((results[n] for n, _ in _MODES
+                 if "value" in results.get(n, {})), None)
+    if head is None:
+        print("# bench: every mode failed", file=sys.stderr)
+        print(json.dumps({"metrics": results}))
+        return 1
+    out = dict(head)
+    out["metrics"] = {n: r for n, r in results.items()
+                      if r.get("metric") != head["metric"]}
+    print(json.dumps(out))
+    return 0
 
 
 def _apply_platform() -> None:
@@ -308,19 +363,21 @@ def _apply_platform() -> None:
 
 
 def _probe_backend() -> None:
-    """Fail fast if the device backend is unreachable.
+    """Fail ONLY after retrying a dead backend for the full probe window.
 
     Backend bring-up through the axon tunnel blocks inside native code
     when the tunnel is down, so an in-process alarm cannot interrupt it
-    — probe jax.devices() in a subprocess under a wall-clock bound and
-    abort with a diagnostic instead of hanging the bench indefinitely.
-    NGSDIST_BENCH_PROBE_TIMEOUT (seconds) overrides the bound; 0 skips
-    the probe.
+    — probe jax.devices() in a subprocess under a wall-clock bound.
+    The tunnel is known to flake and recover on minute timescales
+    (BENCH_r02 lost the round's perf artifact to a single-window
+    probe), so retry with backoff until NGSDIST_BENCH_PROBE_TIMEOUT
+    (seconds, default 600, 0 = skip) expires, and report the failing
+    stage (timeout vs init error) of the LAST attempt when giving up.
     """
     import subprocess
 
-    timeout = float(os.environ.get("NGSDIST_BENCH_PROBE_TIMEOUT", "180"))
-    if timeout <= 0:
+    total = float(os.environ.get("NGSDIST_BENCH_PROBE_TIMEOUT", "600"))
+    if total <= 0:
         return
     code = (
         "import os, jax\n"
@@ -328,33 +385,55 @@ def _probe_backend() -> None:
         "if plat: jax.config.update('jax_platforms', plat)\n"
         "print(jax.devices()[0].platform)\n"
     )
-    try:
-        proc = subprocess.run(
-            [sys.executable, "-c", code],
-            capture_output=True, text=True, timeout=timeout,
-        )
-    except subprocess.TimeoutExpired:
-        print(
-            f"# bench: device backend unreachable (jax.devices() did not "
-            f"return within {timeout:.0f}s) — is the TPU tunnel up?",
-            file=sys.stderr,
-        )
-        sys.exit(2)
-    if proc.returncode != 0:
-        print(
-            "# bench: device backend failed to initialize:\n"
-            + proc.stderr.strip(),
-            file=sys.stderr,
-        )
-        sys.exit(2)
+    deadline = time.monotonic() + total
+    attempt = 0
+    last = "no attempt ran"
+    while True:
+        attempt += 1
+        remaining = deadline - time.monotonic()
+        if remaining <= 0:
+            break
+        # Per-attempt window: long enough for a cold backend bring-up
+        # (~10-40 s when healthy), short enough to retry a hung tunnel
+        # several times inside the total budget.
+        per = min(max(60.0, remaining / 4), remaining)
+        try:
+            proc = subprocess.run(
+                [sys.executable, "-c", code],
+                capture_output=True, text=True, timeout=per,
+            )
+        except subprocess.TimeoutExpired:
+            last = (f"attempt {attempt}: jax.devices() hung for "
+                    f"{per:.0f}s (tunnel down?)")
+            print(f"# bench probe: {last}; retrying "
+                  f"({deadline - time.monotonic():.0f}s left)",
+                  file=sys.stderr)
+            continue
+        if proc.returncode == 0:
+            if attempt > 1:
+                print(f"# bench probe: backend came up on attempt {attempt}",
+                      file=sys.stderr)
+            return
+        last = (f"attempt {attempt}: backend init failed rc="
+                f"{proc.returncode}: {proc.stderr.strip()[-500:]}")
+        print(f"# bench probe: {last}; retrying in 10s", file=sys.stderr)
+        time.sleep(min(10.0, max(0.0, deadline - time.monotonic())))
+    print(
+        f"# bench: device backend unreachable for {total:.0f}s "
+        f"({attempt} attempts). Last failure: {last}",
+        file=sys.stderr,
+    )
+    sys.exit(2)
 
 
 if __name__ == "__main__":
     _probe_backend()
     _apply_platform()
     if "--em" in sys.argv:
-        main_em()
+        print(json.dumps(main_em()))
     elif "--e2e" in sys.argv:
-        main_e2e()
+        print(json.dumps(main_e2e()))
+    elif "--indep" in sys.argv:
+        print(json.dumps(main_indep()))
     else:
-        main()
+        sys.exit(main_all())
