@@ -125,6 +125,71 @@ def _postprob_py(tri: np.ndarray) -> np.ndarray:
     return tri - norm
 
 
+def _iter_text_sites(fh, in_probs: bool, in_logscale: bool, n_ind: int,
+                     start: int, stop: int):
+    """Yield (s, row|None) for sites start..stop-1 of a text genome
+    stream: row is the [n_ind, 3] log-space normalized triple block,
+    None for an empty line (site consumed as missing).  Reference
+    control flow exactly (read_data.cpp:48-104): header skips with
+    their stderr prints, empty lines, field-count fatals, premature
+    EOF.  Shared by the eager reader and the lazy spill writer so the
+    two can never diverge."""
+    n_geno = N_GENO if in_probs else 1
+    s = 0
+    while s < stop:
+        raw = fh.readline(LINE_MAX)
+        if not raw:
+            raise NgsDistError(
+                "read_geno",
+                "GENO file at premature EOF. Check GENO file and number of sites!",
+            )
+        line = _chomp(raw.decode("utf-8", errors="replace"))
+        if line == "":
+            if s >= start:
+                yield s, None  # empty line consumes the site as missing
+            s += 1
+            continue
+        vals = _split_numeric(line)
+        n_fields = len(vals)
+        if n_fields == 0 or (s == 0 and n_fields < n_ind * n_geno):
+            print("> Header found! Skipping line...", file=sys.stderr)
+            if s != 0:
+                print(
+                    "\n=======\nWARNING: [read_geno]  header found but "
+                    "not on first line. Is this an error?\n=======\n",
+                    file=sys.stderr,
+                )
+            continue
+        if n_fields < n_ind * n_geno:
+            raise NgsDistError(
+                "read_geno", "wrong GENO file format. Less fields than expected!"
+            )
+        if s < start:  # before this host's shard: advance only
+            s += 1
+            continue
+        tail = np.asarray(vals[n_fields - n_ind * n_geno:], dtype=np.float64)
+        if in_probs:
+            row = tail.reshape(n_ind, N_GENO).copy()
+            if not in_logscale:
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    row = np.log(row)
+                row[np.isneginf(row)] = -BIGNEG
+        else:
+            g = tail.astype(np.int64)
+            if (g > 2).any():
+                raise NgsDistError(
+                    "read_geno",
+                    "wrong GENO file format. Genotypes must be coded as {-1,0,1,2} !",
+                )
+            row = np.full((n_ind, N_GENO), -BIGNEG, dtype=np.float64)
+            miss = g < 0
+            row[miss] = np.log(1.0 / N_GENO)
+            idx = np.where(~miss)[0]
+            row[idx, g[idx]] = 0.0
+        yield s, _postprob_py(row)
+        s += 1
+
+
 def _read_geno_py(
     path: str, in_bin: bool, in_probs: bool, in_logscale: bool,
     n_ind: int, n_sites: int,
@@ -179,57 +244,10 @@ def _read_geno_py(
                 )
             geno[:] = rows.reshape(n_rows, n_ind, N_GENO)
         else:
-            s = 0
-            while s < stop:
-                raw = fh.readline(LINE_MAX)
-                if not raw:
-                    raise NgsDistError(
-                        "read_geno",
-                        "GENO file at premature EOF. Check GENO file and number of sites!",
-                    )
-                line = _chomp(raw.decode("utf-8", errors="replace"))
-                if line == "":
-                    s += 1  # empty line consumes the site; stays missing
-                    continue
-                vals = _split_numeric(line)
-                n_fields = len(vals)
-                if n_fields == 0 or (s == 0 and n_fields < n_ind * n_geno):
-                    print("> Header found! Skipping line...", file=sys.stderr)
-                    if s != 0:
-                        print(
-                            "\n=======\nWARNING: [read_geno]  header found but "
-                            "not on first line. Is this an error?\n=======\n",
-                            file=sys.stderr,
-                        )
-                    continue
-                if n_fields < n_ind * n_geno:
-                    raise NgsDistError(
-                        "read_geno", "wrong GENO file format. Less fields than expected!"
-                    )
-                if s < start:  # before this host's shard: advance only
-                    s += 1
-                    continue
-                tail = np.asarray(vals[n_fields - n_ind * n_geno:], dtype=np.float64)
-                if in_probs:
-                    row = tail.reshape(n_ind, N_GENO).copy()
-                    if not in_logscale:
-                        with np.errstate(divide="ignore", invalid="ignore"):
-                            row = np.log(row)
-                        row[np.isneginf(row)] = -BIGNEG
-                else:
-                    g = tail.astype(np.int64)
-                    if (g > 2).any():
-                        raise NgsDistError(
-                            "read_geno",
-                            "wrong GENO file format. Genotypes must be coded as {-1,0,1,2} !",
-                        )
-                    row = np.full((n_ind, N_GENO), -BIGNEG, dtype=np.float64)
-                    miss = g < 0
-                    row[miss] = np.log(1.0 / N_GENO)
-                    idx = np.where(~miss)[0]
-                    row[idx, g[idx]] = 0.0
-                geno[s - start] = _postprob_py(row)
-                s += 1
+            for s, row in _iter_text_sites(fh, in_probs, in_logscale,
+                                           n_ind, start, stop):
+                if row is not None:
+                    geno[s - start] = row
         # Strict EOF check (read_data.cpp:106-109); applies whenever the
         # read runs through the final site.
         if stop == n_sites:
@@ -242,6 +260,71 @@ def _read_geno_py(
         if fh is not sys.stdin.buffer:
             fh.close()
     return geno
+
+
+def spill_text_geno(
+    path: str, in_probs: bool, in_logscale: bool, n_ind: int, n_sites: int,
+    cache_path: str, site_range: Optional[Tuple[int, int]] = None,
+    native: bool = True,
+) -> None:
+    """Stream-parse a TEXT genome (plain/gz/stdin) ONCE, writing the
+    log-normalized rows of `site_range` (default: all sites) to
+    cache_path as raw f64 [rows, n_ind, 3] — the lazy disk-round cache
+    for inputs larger than host RAM.  The cache rows are bit-identical
+    to what the eager reader would have produced (shared parse), so
+    per-round cache reads must NOT re-normalize.  The reference has no
+    counterpart: its only storage is the full in-RAM tensor
+    (read_data.cpp:21)."""
+    start, stop = site_range if site_range is not None else (0, n_sites)
+    if native:
+        import ctypes
+
+        lib = _native.get_lib()
+        errbuf = bytes(256)
+        err = ctypes.c_int(0)
+        rc = lib.nd_spill_text_geno(
+            path.encode(), int(in_probs), int(in_logscale), n_ind, n_sites,
+            start, stop, cache_path.encode(), errbuf, len(errbuf),
+            ctypes.byref(err),
+        )
+        if rc != 0:
+            raise NgsDistError("read_geno", errbuf.split(b"\0")[0].decode(),
+                               err=err.value)
+        return
+    miss = np.full((n_ind, N_GENO), -BIGNEG, dtype=np.float64)
+    fh = _open_text(path, "read_geno")
+    try:
+        with open(cache_path, "wb") as out:
+            for _, row in _iter_text_sites(fh, in_probs, in_logscale,
+                                           n_ind, start, stop):
+                (miss if row is None else row).tofile(out)
+        # Strict EOF check parity with the eager reader
+        # (read_data.cpp:106-109); applies only to a to-the-end spill.
+        if stop == n_sites and fh.read(1):
+            raise NgsDistError(
+                "read_geno",
+                "GENO file not at EOF. Check GENO file and number of sites!",
+            )
+    finally:
+        if fh is not sys.stdin.buffer:
+            fh.close()
+
+
+def read_spill_rows(cache_path: str, n_ind: int, lo: int, hi: int,
+                    base: int = 0) -> np.ndarray:
+    """Rows [lo, hi) (absolute site indices; the cache holds sites from
+    `base`) of a spill cache written by spill_text_geno — already
+    log-normalized, NO re-normalization (renormalizing would shift the
+    values by the float residue of logsumexp(normalized) != 0 and break
+    byte parity with the eager path)."""
+    row_bytes = n_ind * N_GENO * 8
+    with open(cache_path, "rb") as fh:
+        fh.seek((lo - base) * row_bytes)
+        buf = fh.read((hi - lo) * row_bytes)
+    if len(buf) != (hi - lo) * row_bytes:
+        raise NgsDistError("read_geno", "spill cache truncated!")
+    return np.frombuffer(buf, dtype=np.float64).reshape(hi - lo, n_ind,
+                                                        N_GENO).copy()
 
 
 def read_file_lines(path: str, offset: int = 0) -> List[str]:

@@ -491,10 +491,21 @@ static int nd_normalize_rows(double *out, int64_t n_triples, int in_logscale,
  * messages carry strerror(errno) — ERANGE whenever an earlier triple's
  * log-sum-exp underflowed, e.g. any one-hot genotype; thread-local
  * errno from the parse workers is aggregated here). */
-ND_EXPORT int nd_read_geno(const char *path, int in_bin, int in_probs,
-                           int in_logscale, int64_t n_ind, int64_t n_sites,
-                           double *out, char *errbuf, int64_t errbuf_cap,
-                           int *err_out) {
+/* Core reader.  out != NULL: parse sites [site_start, site_stop) into
+ * out[(site_stop-site_start)][n_ind][ND_NGENO] (the classic eager read
+ * is the full range).  spill != NULL (text only, out == NULL): stream
+ * the parsed log-normalized rows of the range to the already-open spill
+ * FILE instead — bounded memory regardless of genome length, for the
+ * lazy disk-round cache of gz/text inputs the reference can only hold
+ * in RAM (read_data.cpp:21).  Reference control flow (site numbering,
+ * header skips, error precedence) is identical in all modes; the
+ * EOF/trailing-content checks only apply when the range runs to
+ * n_sites. */
+static int nd_read_geno_impl(const char *path, int in_bin, int in_probs,
+                             int in_logscale, int64_t n_ind, int64_t n_sites,
+                             int64_t site_start, int64_t site_stop,
+                             double *out, FILE *spill, char *errbuf,
+                             int64_t errbuf_cap, int *err_out) {
   int64_t n_geno = in_probs ? ND_NGENO : 1;
   *err_out = 0;
   gzFile fh;
@@ -511,7 +522,9 @@ ND_EXPORT int nd_read_geno(const char *path, int in_bin, int in_probs,
   /* Threaded init: doubles as the parallel first-touch of the fresh
    * output tensor (see nd_fill_array) — the serial loop here was the
    * single slowest line of a large binary load on faulting-bound VMs. */
-  nd_fill_array(out, n_sites * n_ind * ND_NGENO, -ND_BIGNEG);
+  if (out)
+    nd_fill_array(out, (site_stop - site_start) * n_ind * ND_NGENO,
+                  -ND_BIGNEG);
 
   char *line = NULL;
   int rc = 0;
@@ -615,9 +628,21 @@ ND_EXPORT int nd_read_geno(const char *path, int in_bin, int in_probs,
         prod_started = 1;
       }
     }
+    /* spilled missing row: empty lines consume their site as missing
+     * (same -ND_BIGNEG row the eager prefill leaves in place) */
+    double *missrow = NULL;
+    if (spill) {
+      missrow = (double *)malloc((size_t)K_out * sizeof(double));
+      if (!missrow) {
+        nd_seterr(errbuf, errbuf_cap, "cannot allocate read buffers!");
+        rc = 1;
+      } else {
+        for (int64_t q = 0; q < K_out; q++) missrow[q] = -ND_BIGNEG;
+      }
+    }
     int64_t s = 0;
     int eof_kind = 0; /* 1: EOF, 2: gz read error */
-    while (rc == 0 && s < n_sites && eof_kind == 0) {
+    while (rc == 0 && s < site_stop && eof_kind == 0) {
       pthread_mutex_lock(&feed.mu);
       while (feed.consumed == feed.produced && !feed.fin)
         pthread_cond_wait(&feed.cv, &feed.mu);
@@ -662,9 +687,16 @@ ND_EXPORT int nd_read_geno(const char *path, int in_bin, int in_probs,
         for (long w = 0; w < nw; w++) pthread_join(tids[w], NULL);
       }
       int64_t k = 0;
-      for (; k < n_lines && rc == 0 && s < n_sites; k++) {
+      for (; k < n_lines && rc == 0 && s < site_stop; k++) {
         nd_text_slot *sl = &cslots[k];
         if (sl->n_fields == -1) { /* empty line: site stays missing */
+          if (spill && s >= site_start &&
+              fwrite(missrow, sizeof(double), (size_t)K_out, spill) !=
+                  (size_t)K_out) {
+            rc = 1;
+            nd_seterr(errbuf, errbuf_cap, "cannot write spill cache!");
+            break;
+          }
           s++;
           continue;
         }
@@ -707,10 +739,22 @@ ND_EXPORT int nd_read_geno(const char *path, int in_bin, int in_probs,
                     "{-1,0,1,2} !");
           break;
         }
-        memcpy(out + s * K_out, sl->stage, (size_t)K_out * sizeof(double));
+        if (s >= site_start) {
+          if (spill) {
+            if (fwrite(sl->stage, sizeof(double), (size_t)K_out, spill) !=
+                (size_t)K_out) {
+              rc = 1;
+              nd_seterr(errbuf, errbuf_cap, "cannot write spill cache!");
+              break;
+            }
+          } else {
+            memcpy(out + (s - site_start) * K_out, sl->stage,
+                   (size_t)K_out * sizeof(double));
+          }
+        }
         s++;
       }
-      if (rc == 0 && s == n_sites && k < n_lines) {
+      if (rc == 0 && site_stop == n_sites && s == n_sites && k < n_lines) {
         /* lines past the last site were already consumed from the gz
          * stream: the reference's strict 1-byte probe below would miss
          * them, so the "not at EOF" error is raised here. */
@@ -732,7 +776,7 @@ ND_EXPORT int nd_read_geno(const char *path, int in_bin, int in_probs,
       pthread_join(prod, NULL);
       /* lines the producer read past the consumer's stop point are
        * content the 1-byte probe can no longer see */
-      if (rc == 0 && s == n_sites) {
+      if (rc == 0 && site_stop == n_sites && s == n_sites) {
         for (int64_t q = feed.consumed; q < feed.produced; q++)
           if (feed.sets[q % 2]->n_lines > 0) {
             rc = 1;
@@ -745,7 +789,7 @@ ND_EXPORT int nd_read_geno(const char *path, int in_bin, int in_probs,
       pthread_mutex_destroy(&feed.mu);
       pthread_cond_destroy(&feed.cv);
     }
-    if (rc == 0 && s < n_sites) {
+    if (rc == 0 && s < site_stop) {
       rc = 1;
       nd_seterr(errbuf, errbuf_cap,
                 eof_kind == 2 ? "cannot read GZip GENO file. Check GENO file "
@@ -759,9 +803,10 @@ ND_EXPORT int nd_read_geno(const char *path, int in_bin, int in_probs,
     }
     free(stage);
     free(rings);
+    free(missrow);
   }
 
-  if (rc == 0) {
+  if (rc == 0 && site_stop == n_sites) {
     /* Strict EOF check: one extra readable byte is an error
      * (read_data.cpp:106-109). */
     char probe;
@@ -774,6 +819,45 @@ ND_EXPORT int nd_read_geno(const char *path, int in_bin, int in_probs,
 
   free(line);
   gzclose(fh);
+  return rc;
+}
+
+ND_EXPORT int nd_read_geno(const char *path, int in_bin, int in_probs,
+                           int in_logscale, int64_t n_ind, int64_t n_sites,
+                           double *out, char *errbuf, int64_t errbuf_cap,
+                           int *err_out) {
+  return nd_read_geno_impl(path, in_bin, in_probs, in_logscale, n_ind,
+                           n_sites, 0, n_sites, out, NULL, errbuf, errbuf_cap,
+                           err_out);
+}
+
+/* Stream-parse a TEXT genome once, writing the log-normalized rows of
+ * sites [site_start, site_stop) to cache_path as raw f64
+ * [rows][n_ind][ND_NGENO] — the lazy disk-round cache for gz/text
+ * inputs larger than host RAM.  Bounded memory: only one slab of lines
+ * is ever resident.  Parse arithmetic, stderr prints and fatal
+ * precedence are the eager reader's (shared impl above). */
+ND_EXPORT int nd_spill_text_geno(const char *path, int in_probs,
+                                 int in_logscale, int64_t n_ind,
+                                 int64_t n_sites, int64_t site_start,
+                                 int64_t site_stop, const char *cache_path,
+                                 char *errbuf, int64_t errbuf_cap,
+                                 int *err_out) {
+  FILE *spf = fopen(cache_path, "wb");
+  if (spf == NULL) {
+    *err_out = errno;
+    nd_seterr(errbuf, errbuf_cap, "cannot open spill cache!");
+    return 1;
+  }
+  int rc = nd_read_geno_impl(path, 0 /* text */, in_probs, in_logscale,
+                             n_ind, n_sites, site_start, site_stop, NULL,
+                             spf, errbuf, errbuf_cap, err_out);
+  int wrc = fflush(spf);
+  if (fclose(spf) != 0) wrc = -1;
+  if (wrc != 0 && rc == 0) {
+    rc = 1;
+    nd_seterr(errbuf, errbuf_cap, "cannot write spill cache!");
+  }
   return rc;
 }
 

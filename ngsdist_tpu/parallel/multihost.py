@@ -137,7 +137,11 @@ class SiteStream:
 
     def __init__(self, pars: Params, mesh: Mesh, np_dtype,
                  local_rows: Optional[np.ndarray], s_pad: int, chunk: int,
-                 start: int, stop: int):
+                 start: int, stop: int,
+                 spill_path: Optional[str] = None, spill_norm: bool = False,
+                 spill_base: int = 0, spill_owned: bool = False):
+        import weakref
+
         from .mesh import sites_size
 
         self.pars = pars
@@ -156,6 +160,32 @@ class SiteStream:
         # lazy shards always iterate rounds (there is no host tensor to
         # assemble a resident global array from)
         self.resident = (not self.lazy) and self.chunk >= self.s_loc
+        # Spill cache for non-seekable inputs (gz/text/stdin): rounds
+        # read from the cache instead of the original file.  norm=True
+        # caches hold already-log-normalized parsed rows (text spill);
+        # norm=False caches are a verbatim decompressed copy of a
+        # binary input (rounds re-normalize exactly like direct
+        # seekable-binary lazy reads).  base: first site in the cache.
+        self.spill_path = spill_path
+        self.spill_norm = spill_norm
+        self.spill_base = spill_base
+        self._spill_fin = None
+        if spill_path is not None and spill_owned:
+            self._spill_fin = weakref.finalize(
+                self, SiteStream._rm_spill, spill_path)
+
+    @staticmethod
+    def _rm_spill(path: str) -> None:
+        try:
+            os.unlink(path)
+        except OSError:
+            pass
+
+    def close(self) -> None:
+        """Delete an owned spill cache (idempotent; also runs at GC)."""
+        if self._spill_fin is not None:
+            self._spill_fin()
+            self._spill_fin = None
 
     # -------------------------- planning ----------------------------- #
 
@@ -237,15 +267,28 @@ class SiteStream:
         return bool(pars.in_geno and pars.in_bin and pars.in_geno != "-"
                     and not pars.in_geno.endswith(".gz"))
 
+    @staticmethod
+    def spill_eligible(pars: Params) -> bool:
+        """True when the input is NOT directly seekable but can be
+        streamed ONCE into a per-process disk cache that is: gz/plain
+        text, gzipped binary, or stdin.  With the cache, lazy rounds
+        work for every input style, so neither host RAM nor HBM bounds
+        genome length on ANY input (the reference's only bound is host
+        RAM for all of them, read_data.cpp:21)."""
+        return bool(pars.in_geno)
+
     @classmethod
     def wants_lazy(cls, pars: Params, np_dtype, n_rows: int) -> bool:
         """True when eagerly loading n_rows sites (the f64 read tensor
         plus the cast shard) would exceed the host budget AND the input
-        supports lazy per-round reads.  The runner and from_reader
-        share this single predicate."""
+        supports lazy per-round reads — directly (seekable binary) or
+        via a one-pass spill cache (everything else).  The runner and
+        from_reader share this single predicate."""
         itemsize = np.dtype(np_dtype).itemsize
         need = n_rows * pars.n_ind * 3 * (itemsize + 8)
-        return cls.seekable_binary(pars) and need > cls._host_budget_bytes()
+        if need <= cls._host_budget_bytes():
+            return False
+        return cls.seekable_binary(pars) or cls.spill_eligible(pars)
 
     @classmethod
     def from_reader(cls, pars: Params, mesh: Mesh,
@@ -278,7 +321,11 @@ class SiteStream:
             sites = min(host_sites, dev_sites)
             sites = (sites // pref) * pref or (sites // g) * g or g
             chunk = min(chunk, sites)
-            return cls(pars, mesh, np_dtype, None, s_pad, chunk, start, stop)
+            spill = {}
+            if not cls.seekable_binary(pars):
+                spill = cls._build_spill(pars, start, stop)
+            return cls(pars, mesh, np_dtype, None, s_pad, chunk, start, stop,
+                       **spill)
         read_start = min(start, pars.n_sites)
         read_stop = min(stop, pars.n_sites)
         if read_stop > read_start:
@@ -293,6 +340,101 @@ class SiteStream:
             pre = np.zeros((0, pars.n_ind, 3), np_dtype)
         local = parallel_cast_pad(pre, np_dtype, stop - start)
         return cls(pars, mesh, np_dtype, local, s_pad, chunk, start, stop)
+
+    # ------------------------- spill cache --------------------------- #
+
+    @classmethod
+    def _build_spill(cls, pars: Params, start: int, stop: int) -> dict:
+        """One-pass spill of a non-seekable input (gz/text/stdin) into
+        a per-process disk cache so lazy rounds can seek it.  TEXT
+        inputs parse once through the native slab-parallel reader
+        (readers.spill_text_geno) into already-normalized rows;
+        GZIPPED/STDIN BINARY inputs are copied verbatim (decompressed)
+        and rounds normalize per read exactly like direct seekable-
+        binary lazy runs.  Cache location: NGSDIST_SPILL_DIR (default
+        system temp — point it at a big disk for genomes beyond it)."""
+        import tempfile
+
+        base = os.environ.get("NGSDIST_SPILL_DIR") or None
+        fd, cache = tempfile.mkstemp(prefix="ngsdist_spill_", suffix=".bin",
+                                     dir=base)
+        os.close(fd)
+        try:
+            if pars.in_bin:
+                cls._copy_binary(pars, cache)
+                return dict(spill_path=cache, spill_norm=False,
+                            spill_base=0, spill_owned=True)
+            lo = min(start, pars.n_sites)
+            hi = min(stop, pars.n_sites)
+            readers.spill_text_geno(
+                pars.in_geno, pars.in_probs, pars.in_logscale, pars.n_ind,
+                pars.n_sites, cache, site_range=(lo, hi),
+            )
+            return dict(spill_path=cache, spill_norm=True, spill_base=lo,
+                        spill_owned=True)
+        except BaseException:
+            cls._rm_spill(cache)
+            raise
+
+    @staticmethod
+    def _copy_binary(pars: Params, cache: str) -> None:
+        """Decompress-copy a gz/stdin binary GP stream to `cache`, with
+        the reference's read-time size fatals (premature EOF / not at
+        EOF, read_data.cpp:29-47,106-109).  NaN checks stay at round-
+        read time, like direct seekable-binary lazy runs."""
+        import gzip
+        import sys as _sys
+
+        from ..config import NgsDistError
+
+        want = pars.n_sites * pars.n_ind * 3 * 8
+        src = (_sys.stdin.buffer if pars.in_geno == "-" else
+               gzip.open(pars.in_geno, "rb")
+               if pars.in_geno.endswith(".gz") else
+               open(pars.in_geno, "rb"))
+        total = 0
+        try:
+            with open(cache, "wb") as out:
+                while True:
+                    buf = src.read(16 << 20)
+                    if not buf:
+                        break
+                    total += len(buf)
+                    if total > want:
+                        raise NgsDistError(
+                            "read_geno",
+                            "GENO file not at EOF. Check GENO file and "
+                            "number of sites!",
+                        )
+                    out.write(buf)
+        finally:
+            if src is not _sys.stdin.buffer:
+                src.close()
+        if total < want:
+            raise NgsDistError(
+                "read_geno",
+                "GENO file at premature EOF. Check GENO file and number "
+                "of sites!",
+            )
+
+    def _read_rows(self, g_lo: int, g_hi: int) -> np.ndarray:
+        """Log-space rows [g_lo, g_hi) for a lazy round: from the
+        original seekable binary, the verbatim binary cache (both
+        normalize per read), or the text spill cache (already
+        normalized — re-normalizing would break byte parity)."""
+        p = self.pars
+        if self.spill_path is None:
+            return readers.read_geno(
+                p.in_geno, p.in_bin, p.in_probs, p.in_logscale,
+                p.n_ind, p.n_sites, site_range=(g_lo, g_hi),
+            )
+        if self.spill_norm:
+            return readers.read_spill_rows(
+                self.spill_path, p.n_ind, g_lo, g_hi, base=self.spill_base)
+        return readers.read_geno(
+            self.spill_path, True, p.in_probs, p.in_logscale,
+            p.n_ind, p.n_sites, site_range=(g_lo, g_hi),
+        )
 
     # ------------------------- resident path ------------------------- #
 
@@ -338,12 +480,7 @@ class SiteStream:
                 g_lo = min((d0 + d) * self.s_loc + lo, self.S)
                 g_hi = min((d0 + d) * self.s_loc + hi, self.S)
                 if g_hi > g_lo:
-                    geno_log = readers.read_geno(
-                        self.pars.in_geno, self.pars.in_bin,
-                        self.pars.in_probs, self.pars.in_logscale,
-                        self.pars.n_ind, self.pars.n_sites,
-                        site_range=(g_lo, g_hi),
-                    )
+                    geno_log = self._read_rows(g_lo, g_hi)
                     out[d, : g_hi - g_lo] = preprocess(
                         geno_log, self.pars.call_geno, self.pars.N_thresh,
                         self.pars.call_thresh,
@@ -530,6 +667,7 @@ def run_distributed(pars: Params, coordinator: Optional[str] = None,
     finally:
         if out_fh is not None:
             out_fh.close()
+        stream.close()  # delete an owned spill cache (gz/text lazy runs)
     if is_writer and not interrupted:
         ckpt.clear(pars.out)
     return matrices

@@ -382,6 +382,8 @@ def run(
     finally:
         if close:
             out_fh.close()
+        if lazy:
+            P.close()  # delete an owned spill cache (gz/text lazy runs)
     if close and not interrupted:
         ckpt.clear(pars.out)
     if report_throughput:

@@ -57,6 +57,13 @@ def _configure(lib: ctypes.CDLL) -> None:
         ctypes.POINTER(ctypes.c_int),
     ]
     lib.nd_read_geno.restype = ctypes.c_int
+    lib.nd_spill_text_geno.argtypes = [
+        ctypes.c_char_p, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int),
+    ]
+    lib.nd_spill_text_geno.restype = ctypes.c_int
     lib.nd_pair_dists.argtypes = [
         _c_dp, ctypes.c_int64, ctypes.c_int64, _c_i64p, ctypes.c_int64,
         _c_dp, ctypes.c_int, ctypes.c_int, ctypes.c_int64, ctypes.c_int,

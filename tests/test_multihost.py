@@ -207,3 +207,179 @@ def test_lazy_stream_extended_models(mesh8, tmp_path, monkeypatch):
     assert len(eager) == len(lazy) == 2
     for a, b in zip(eager, lazy):
         np.testing.assert_allclose(b, a, rtol=1e-12, atol=1e-15)
+
+
+# ------------------------- spill caches (gz/text lazy) ----------------- #
+
+
+def _write_text_gp(path, gp, gz=True):
+    """Plain TSV GP: 3 probs per individual per line."""
+    op = gzip.open if gz else open
+    with op(path, "wt") as fh:
+        for s in range(gp.shape[0]):
+            fh.write("\t".join(f"{x:.6f}" for x in gp[s].reshape(-1)) + "\n")
+
+
+def test_spill_text_geno_matches_eager_rows(tmp_path):
+    """The text spill cache must hold BIT-IDENTICAL rows to the eager
+    reader (same native parse), and read_spill_rows must return them
+    without re-normalizing."""
+    rng = np.random.default_rng(60)
+    S, N = 37, 5
+    gp = rng.dirichlet(np.ones(3), size=(S, N))
+    txt = tmp_path / "gp.tsv.gz"
+    _write_text_gp(txt, gp)
+
+    eager = readers.read_geno(str(txt), False, True, False, N, S)
+    cache = tmp_path / "spill.bin"
+    readers.spill_text_geno(str(txt), True, False, N, S, str(cache))
+    rows = readers.read_spill_rows(str(cache), N, 0, S)
+    np.testing.assert_array_equal(rows, eager)
+
+    # ranged spill: only [11, 29)
+    cache2 = tmp_path / "spill2.bin"
+    readers.spill_text_geno(str(txt), True, False, N, S, str(cache2),
+                            site_range=(11, 29))
+    rows2 = readers.read_spill_rows(str(cache2), N, 11, 29, base=11)
+    np.testing.assert_array_equal(rows2, eager[11:29])
+
+    # python fallback agrees with the native spill (to the documented
+    # 1-ulp numpy-vs-glibc log/exp difference, readers.py docstring)
+    cache3 = tmp_path / "spill3.bin"
+    readers.spill_text_geno(str(txt), True, False, N, S, str(cache3),
+                            native=False)
+    rows3 = readers.read_spill_rows(str(cache3), N, 0, S)
+    np.testing.assert_allclose(rows3, rows, rtol=1e-15, atol=0)
+
+
+def test_spill_text_geno_empty_line_missing(tmp_path):
+    """Empty lines consume their site as missing in the spill cache,
+    exactly like the eager prefill (-BIGNEG rows)."""
+    rng = np.random.default_rng(61)
+    S, N = 8, 3
+    gp = rng.dirichlet(np.ones(3), size=(S, N))
+    txt = tmp_path / "gp.tsv"
+    lines = ["\t".join(f"{x:.6f}" for x in gp[s].reshape(-1))
+             for s in range(S)]
+    lines[3] = ""  # site 3 -> missing
+    txt.write_text("\n".join(lines) + "\n")
+
+    eager = readers.read_geno(str(txt), False, True, False, N, S)
+    cache = tmp_path / "spill.bin"
+    readers.spill_text_geno(str(txt), True, False, N, S, str(cache))
+    rows = readers.read_spill_rows(str(cache), N, 0, S)
+    np.testing.assert_array_equal(rows, eager)
+    assert np.all(rows[3] == -readers.BIGNEG)
+
+
+def test_spill_gz_text_lazy_run_matches_eager(tmp_path, monkeypatch):
+    """runner.run on a .tsv.gz GP with a tiny NGSDIST_HOST_BUDGET goes
+    lazy via the text spill cache and reproduces the eager output —
+    host RAM no longer bounds genome length on gz-text inputs either
+    (VERDICT r2 #5; the reference dies at read time,
+    read_data.cpp:21)."""
+    from ngsdist_tpu import runner
+
+    rng = np.random.default_rng(62)
+    S, N = 60, 4
+    gp = rng.dirichlet(np.ones(3), size=(S, N))
+    txt = tmp_path / "gp.tsv.gz"
+    _write_text_gp(txt, gp)
+    spill_dir = tmp_path / "spill"
+    spill_dir.mkdir()
+    monkeypatch.setenv("NGSDIST_SPILL_DIR", str(spill_dir))
+
+    def run(out, budget):
+        if budget is None:
+            monkeypatch.delenv("NGSDIST_HOST_BUDGET", raising=False)
+        else:
+            monkeypatch.setenv("NGSDIST_HOST_BUDGET", budget)
+        pars = Params(in_geno=str(txt), in_bin=False, in_probs=True,
+                      n_ind=N, n_sites=S, out=str(tmp_path / out),
+                      seed=9, indep_geno=True, pairwise_del=True,
+                      n_boot_rep=2, boot_block_size=7, verbose=0)
+        pars.validate(); pars.finalize()
+        return runner.run(pars, engine="jax")
+
+    ref = run("eager.dist", None)
+    lazy = run("lazy.dist", "1000")
+    assert len(ref) == len(lazy) == 3
+    for a, b in zip(ref, lazy):
+        np.testing.assert_allclose(b, a, rtol=1e-12, atol=1e-15)
+    # byte-identical phylip output, and the spill cache was cleaned up
+    assert (tmp_path / "lazy.dist").read_bytes() == \
+        (tmp_path / "eager.dist").read_bytes()
+    assert list(spill_dir.iterdir()) == []
+
+
+def test_spill_stdin_binary_lazy_run_matches_eager(tmp_path, monkeypatch):
+    """STDIN is always BINARY in the reference contract (finalize) and
+    cannot seek: over the host budget it spills a verbatim copy;
+    rounds then normalize per read exactly like direct seekable-binary
+    lazy runs.  Even stdin streams no longer bound genome length by
+    host RAM."""
+    import io
+    import sys
+    import types
+
+    from ngsdist_tpu import runner
+
+    rng = np.random.default_rng(63)
+    S, N = 60, 4
+    gp = rng.dirichlet(np.ones(3), size=(S, N))
+    binp = tmp_path / "gp.bin"
+    binp.write_bytes(gp.tobytes())
+    spill_dir = tmp_path / "spill"
+    spill_dir.mkdir()
+    monkeypatch.setenv("NGSDIST_SPILL_DIR", str(spill_dir))
+
+    def run(out, budget, geno):
+        if budget is None:
+            monkeypatch.delenv("NGSDIST_HOST_BUDGET", raising=False)
+        else:
+            monkeypatch.setenv("NGSDIST_HOST_BUDGET", budget)
+        if geno == "-":
+            monkeypatch.setattr(
+                sys, "stdin",
+                types.SimpleNamespace(buffer=io.BytesIO(gp.tobytes())))
+        pars = Params(in_geno=geno, in_bin=True, in_probs=True,
+                      n_ind=N, n_sites=S, out=str(tmp_path / out),
+                      seed=5, indep_geno=True, pairwise_del=True,
+                      verbose=0)
+        pars.validate(); pars.finalize()
+        return runner.run(pars, engine="jax")
+
+    ref = run("eager.dist", None, str(binp))
+    lazy = run("lazy.dist", "1000", "-")
+    for a, b in zip(ref, lazy):
+        np.testing.assert_allclose(b, a, rtol=1e-12, atol=1e-15)
+    assert list(spill_dir.iterdir()) == []
+
+
+def test_spill_binary_copy_size_fatals(tmp_path, monkeypatch):
+    """The binary copy-spill reproduces the reference's read-time size
+    fatals: short stream -> premature EOF, long stream -> not at EOF."""
+    from ngsdist_tpu.config import NgsDistError
+
+    rng = np.random.default_rng(64)
+    S, N = 16, 3
+    gp = rng.dirichlet(np.ones(3), size=(S, N))
+    monkeypatch.setenv("NGSDIST_SPILL_DIR", str(tmp_path))
+
+    short = tmp_path / "short.bin.gz"
+    with gzip.open(short, "wb") as fh:
+        fh.write(gp.tobytes()[:-8])
+    pars = Params(in_geno=str(short), in_bin=True, in_probs=True,
+                  n_ind=N, n_sites=S, out="y", seed=1, verbose=0)
+    with pytest.raises(NgsDistError, match="premature EOF"):
+        mh.SiteStream._build_spill(pars, 0, S)
+
+    longf = tmp_path / "long.bin.gz"
+    with gzip.open(longf, "wb") as fh:
+        fh.write(gp.tobytes() + b"x")
+    pars = Params(in_geno=str(longf), in_bin=True, in_probs=True,
+                  n_ind=N, n_sites=S, out="y", seed=1, verbose=0)
+    with pytest.raises(NgsDistError, match="not at EOF"):
+        mh.SiteStream._build_spill(pars, 0, S)
+    # failed spills leave no cache behind
+    assert [p for p in tmp_path.iterdir() if p.name.startswith("ngsdist_spill")] == []
