@@ -13,6 +13,7 @@ Usage:  python -m ngsdist_tpu [options] --geno FILE --n_ind N --n_sites N --out 
 from __future__ import annotations
 
 import os
+import re
 import sys
 from typing import List, Optional
 
@@ -80,12 +81,37 @@ def _atol(s: str) -> int:
     return sign * int(s[i:j]) if j > i else 0
 
 
-def _atof(s: str) -> float:
-    """C atof: parse a leading double, 0 if none."""
-    import re
+_C_ATOF_RE = re.compile(
+    r"""\s*[+-]?(
+        0[xX]([0-9a-fA-F]+\.?[0-9a-fA-F]*|\.[0-9a-fA-F]+)([pP][+-]?\d+)? |
+        (\d+\.?\d*|\.\d+)([eE][+-]?\d+)? |
+        [iI][nN][fF]([iI][nN][iI][tT][yY])? |
+        [nN][aA][nN](\([0-9a-zA-Z_]*\))?
+    )""",
+    re.X,
+)
 
-    m = re.match(r"\s*[+-]?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?", s)
-    return float(m.group(0)) if m else 0.0
+
+def _atof(s: str) -> float:
+    """C atof: longest valid strtod prefix, 0 if none — including the
+    forms plain float() or a decimal-only regex miss: hex floats
+    (0x1.8p3), inf/infinity and nan/nan(chars), case-insensitive
+    (parse_args.cpp uses atof for N_thresh/call_thresh, so
+    `--N_thresh inf` must parse +inf here too)."""
+    m = _C_ATOF_RE.match(s)
+    if not m:
+        return 0.0
+    tok = m.group(0).strip()
+    body = tok.lstrip("+-")
+    neg = tok[: len(tok) - len(body)].count("-") % 2 == 1
+    low = body.lower()
+    if low.startswith("0x"):
+        v = float.fromhex(body)
+    elif low.startswith("nan"):
+        v = float("nan")
+    else:
+        v = float(body)
+    return -v if neg else v
 
 
 def _resolve(name: str, long_only: bool = False):

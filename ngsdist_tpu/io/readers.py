@@ -137,7 +137,10 @@ def _iter_text_sites(fh, in_probs: bool, in_logscale: bool, n_ind: int,
     n_geno = N_GENO if in_probs else 1
     s = 0
     while s < stop:
-        raw = fh.readline(LINE_MAX)
+        # gzgets(buf, BUFF_LEN) reads at most BUFF_LEN-1 chars
+        # (read_data.cpp:49): an over-long line is consumed in 499999-
+        # char chunks, each treated as its own "line" (site).
+        raw = fh.readline(LINE_MAX - 1)
         if not raw:
             raise NgsDistError(
                 "read_geno",
@@ -329,10 +332,31 @@ def read_spill_rows(cache_path: str, n_ind: int, lo: int, hi: int,
 
 def read_file_lines(path: str, offset: int = 0) -> List[str]:
     """Read text lines, skipping blank lines and '#' comments, then
-    dropping `offset` leading kept lines (read_file, gen_func.cpp:238-282)."""
+    dropping `offset` leading kept lines (read_file, gen_func.cpp:238-282).
+
+    Two gzgets-level reference quirks are reproduced exactly:
+    - lines are consumed in BUFF_LEN-1 = 499999-char chunks
+      (gzgets(buf, BUFF_LEN), gen_func.cpp:251) — each chunk of an
+      over-long line counts as its own line;
+    - read_file checks gzeof BEFORE processing the line it just read
+      (gen_func.cpp:253-255), so a final line with no terminating
+      newline is silently DROPPED (A/B-verified: such a labels file
+      makes the reference fail with "invalid LABELS file!")."""
     out: List[str] = []
     with _open_text(path) as fh:
-        for raw in fh:
+        while True:
+            raw = fh.readline(LINE_MAX - 1)
+            if not raw:
+                break
+            if not raw.endswith(b"\n"):
+                # mid-file chunk of an over-long line (kept, gzeof not
+                # yet set) vs final unterminated line (dropped)
+                try:
+                    at_eof = not fh.peek(1)
+                except (AttributeError, OSError):
+                    at_eof = not fh.read(1)  # non-peekable: consume probe
+                if at_eof:
+                    break
             line = _chomp(raw.decode("utf-8", errors="replace"))
             if line == "" or line.startswith("#"):
                 continue

@@ -107,6 +107,49 @@ class TestConfig:
         pars, _ = cli.parse_args(["--n_boot", "7", "--geno", "x"])
         assert pars.n_boot_rep == 7
 
+    def test_atof_c_semantics(self):
+        """cli._atof is full C atof: longest strtod prefix incl. hex
+        floats, inf/infinity and nan, 0.0 when nothing parses
+        (parse_args.cpp atof on N_thresh/call_thresh; `--N_thresh inf`
+        A/B-verified: echo 'N_thresh: inf' + the same call_geno
+        ordering fatal as the reference)."""
+        at = cli._atof
+        assert at("inf") == float("inf")
+        assert at("-Infinity") == float("-inf")
+        assert at("  +inf junk") == float("inf")
+        assert np.isnan(at("nan")) and np.isnan(at("NaN(chars)"))
+        assert at("0x1p-2") == 0.25
+        assert at("0x1.8p3") == 12.0
+        assert at("-0x10") == -16.0
+        assert at("0xG") == 0.0  # 0x with no hex digits -> "0"
+        assert at("1e") == 1.0   # dangling exponent -> "1"
+        assert at("3.5e2x") == 350.0
+        assert at("x12") == 0.0
+        assert at("") == 0.0
+
+    def test_atof_fuzz_vs_libc(self):
+        """Property fuzz: cli._atof must equal the C library's actual
+        atof on random strings drawn from the numeric alphabet
+        (decimal/hex/exponent/inf/nan fragments)."""
+        import ctypes
+        import ctypes.util
+
+        libc = ctypes.CDLL(ctypes.util.find_library("c") or "libc.so.6")
+        libc.atof.restype = ctypes.c_double
+        libc.atof.argtypes = [ctypes.c_char_p]
+
+        rng = np.random.default_rng(99)
+        alphabet = list("0123456789.xXpPeE+-infinityNA() \t")
+        for _ in range(2000):
+            n = int(rng.integers(0, 12))
+            s = "".join(rng.choice(alphabet) for _ in range(n))
+            want = libc.atof(s.encode())
+            got = cli._atof(s)
+            if np.isnan(want):
+                assert np.isnan(got), repr(s)
+            else:
+                assert got == want, (repr(s), got, want)
+
     def test_reference_options_outrank_extensions(self):
         """A script written for the reference CLI must resolve
         identically regardless of the framework's extra flags: --pair
@@ -417,6 +460,28 @@ class TestReaders:
         p = tmp_path / "l.txt"
         p.write_text("name\nA\nB\n")
         assert readers.read_labels(str(p), True, 2) == ["A", "B"]
+
+    def test_final_unterminated_line_dropped(self, tmp_path):
+        """read_file checks gzeof BEFORE processing the line it just
+        read (gen_func.cpp:253-255): a final line with no newline is
+        silently dropped — A/B-verified: the reference then fails with
+        'invalid LABELS file!' on such a labels file."""
+        p = tmp_path / "l.txt"
+        p.write_text("A\nB\nC")  # C unterminated -> dropped
+        assert readers.read_file_lines(str(p)) == ["A", "B"]
+        with pytest.raises(NgsDistError, match="invalid LABELS file!"):
+            readers.read_labels(str(p), False, 3)
+
+    def test_overlong_line_chunks_at_buff_len(self, tmp_path):
+        """gzgets(buf, BUFF_LEN) reads at most 499999 chars
+        (gen_func.cpp:251): an over-long line becomes multiple 'lines',
+        one per chunk — A/B-verified byte-identical phylip output on a
+        750000-char label line."""
+        p = tmp_path / "l.txt"
+        big = "A" * 750000
+        p.write_text(big + "\nB\n")
+        lines = readers.read_file_lines(str(p))
+        assert lines == [big[:499999], big[499999:], "B"]
 
     def test_pos(self, tmp_path):
         p = tmp_path / "p.txt"
