@@ -191,6 +191,13 @@ def main_e2e() -> dict:
                   "cpu64_updates_per_sec")
     rec["cold_s"] = round(cold, 3)
     rec["warm_s"] = round(warm, 3)
+    # Context for remote-device rigs: the host->device copy of the
+    # preprocessed tensor (S*N*12 bytes at f32) is the wall-time floor
+    # when the chip is reached through a tunnel (~4-12 MB/s measured on
+    # the axon rig -> ~100 s for 1024x64k, vs <1 s over local PCIe);
+    # the kernel section itself is ~5 ms at this shape.  See
+    # OPERATIONS.md "e2e benchmark" for the breakdown.
+    rec["upload_bytes"] = S * N * 12
     return rec
 
 

@@ -124,7 +124,8 @@ def _super_shape(N: int, block: int):
 
 
 def plan_layout(S: int, N: int, *, block: int = DEFAULT_BLOCK,
-                site_tile: int = DEFAULT_SITE_TILE):
+                site_tile: int = DEFAULT_SITE_TILE,
+                force_super: bool = False):
     """Choose the kernel variant and padded layout for an [S, N] problem.
 
     Returns (mode, block, site_tile, S_pad, N_pad) with mode "resident"
@@ -134,10 +135,14 @@ def plan_layout(S: int, N: int, *, block: int = DEFAULT_BLOCK,
     measured VMEM budget.  prepare_plane_major and indep_raw_cnt_pallas
     both call this, so a tensor prepared once always matches the
     dispatcher's plan.
+
+    force_super: panel-sublist callers (the 2-D pairs mesh) always need
+    the super variant — its panel-pair grid is what the runtime
+    sublists index.
     """
     N_pad = -(-N // block) * block
     nb = N_pad // block
-    if nb <= RESIDENT_MAX_NB:
+    if nb <= RESIDENT_MAX_NB and not force_super:
         mode = "resident"
         site_tile = min(site_tile, max(128, RESIDENT_SITE_ELEMS // N_pad))
     else:
@@ -395,13 +400,24 @@ def _indep_pallas_super(
     score9,
     w,                       # [S_pad, 1] per-site weights
     pairwise_del, weighted, G, block, site_tile, interpret, vma=None,
+    panels=None,             # optional runtime (IS, JS) panel sublist
 ):
     _, S_pad, N_pad = P3.shape
     sb = G * block
     ns = N_pad // sb
-    ISh, JSh = _upper_blocks(ns)     # host-side: panel-pair enumeration
-    IS, JS = jnp.asarray(ISh), jnp.asarray(JSh)
-    n_sp = ISh.shape[0]
+    if panels is None:
+        ISh, JSh = _upper_blocks(ns)  # host-side: panel-pair enumeration
+        IS, JS = jnp.asarray(ISh), jnp.asarray(JSh)
+        n_sp = ISh.shape[0]
+    else:
+        # Runtime panel-pair sublist (scalar-prefetch values, so every
+        # sublist shares ONE compiled kernel): a pairs-axis device
+        # computes only its balanced share of the upper-tri panels.
+        # Padding entries point at panel (1, 0) — real compute, strictly
+        # lower-triangular, discarded by the caller's triu.
+        ISh = JSh = None
+        IS, JS = panels
+        n_sp = IS.shape[0]
     n_st = S_pad // site_tile
     dtype = P3.dtype
 
@@ -456,11 +472,17 @@ def _indep_pallas_super(
 
     # Scatter the packed upper-tri panel tiles into [N_pad, N_pad]
     # (n_sp slice moves per chunk; sub-diagonal blocks of diagonal
-    # panels were never written and stay zero).
+    # panels were never written and stay zero).  With a runtime panel
+    # sublist the offsets are traced scalars (dynamic_update_slice
+    # accepts them); padding entries land in the strictly-lower panel
+    # (1, 0) and are dropped by the caller's triu.
     raw = jnp.zeros((N_pad, N_pad), dtype)
     cnt = jnp.zeros((N_pad, N_pad), dtype)
     for k in range(n_sp):
-        i0, j0 = int(ISh[k]) * sb, int(JSh[k]) * sb
+        if ISh is not None:
+            i0, j0 = int(ISh[k]) * sb, int(JSh[k]) * sb
+        else:
+            i0, j0 = IS[k] * sb, JS[k] * sb
         raw = jax.lax.dynamic_update_slice(raw, raw_u[k], (i0, j0))
         cnt = jax.lax.dynamic_update_slice(cnt, cnt_u[k], (i0, j0))
     return raw, cnt
@@ -477,6 +499,7 @@ def indep_raw_cnt_pallas(
     interpret: bool = False,
     vma=None,
     plane_major=None,
+    panels=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Independent-path sufficient statistics via the fused kernel.
 
@@ -494,6 +517,17 @@ def indep_raw_cnt_pallas(
     plane_major: pass (S, N) when P is already the [3, S_pad, N_pad]
     tensor from prepare_plane_major — skips the per-call pad+relayout
     so replicate streams pay it once per chunk.
+
+    panels: optional (IS, JS) int32 [L] arrays — a runtime SUBLIST of
+    upper-triangular superblock-panel pairs to compute instead of the
+    full enumeration (the 2-D pairs-mesh TP split: each pairs-
+    coordinate computes a balanced share; scalar-prefetch values, so
+    all sublists share one compiled kernel).  Forces the super variant.
+    Padding entries must point at panel (1, 0): real compute, strictly
+    lower-triangular, dropped by the caller's triu — so panels requires
+    N_pad > one superblock (ns >= 2).  Only the listed panels of the
+    returned matrices are valid; the caller is responsible for triu +
+    cross-device summation.
     """
     if interpret and vma is not None:
         raise ValueError(
@@ -508,8 +542,14 @@ def indep_raw_cnt_pallas(
         S, N, _ = P.shape
     dtype = P.dtype
     mode, block, site_tile, S_pad, N_pad = plan_layout(
-        S, N, block=block, site_tile=site_tile
+        S, N, block=block, site_tile=site_tile,
+        force_super=panels is not None,
     )
+    if panels is not None and _super_shape(N, block)[0] < 2:
+        raise ValueError(
+            "panels sublists need ns >= 2 superblocks (the (1, 0) padding "
+            f"panel must be strictly lower-triangular): N_pad={N_pad}"
+        )
     if plane_major is not None:
         if P.shape[1] != S_pad or P.shape[2] != N_pad:
             raise ValueError(
@@ -540,5 +580,8 @@ def indep_raw_cnt_pallas(
         raw, cnt = _indep_pallas_super(
             P3, score9, w, pairwise_del, weighted, G, block, site_tile,
             interpret, vma_t,
+            panels=(None if panels is None
+                    else (jnp.asarray(panels[0], jnp.int32),
+                          jnp.asarray(panels[1], jnp.int32))),
         )
     return raw[:N, :N], cnt[:N, :N]

@@ -138,17 +138,35 @@ def _divisor_at_most(n: int, cap: int) -> int:
 
 
 def _indep_local(Pl, ml, wl, score, pairwise_del: bool, use_pallas: bool = False,
-                 n_pairs_axis: int = 1):
+                 n_pairs_axis: int = 1, ISl=None, JSl=None):
     """Per-shard reduction.  Pl [Sl,N,3] local sites, ml [Sl] 1.0 for
     real sites, wl [Sl] site multiplicities.  With use_pallas (decided
     by the caller OUTSIDE jit so it participates in the cache key), the
     fused upper-triangular Pallas kernel runs per device.
 
-    n_pairs_axis > 1: this device computes only its slice of the output
-    ROWS (individual i-axis) — the contraction's left operand is a
-    rows-slice, the right stays full, and the result shards over the
-    'pairs' mesh axis (caller pre-pads N to a multiple of it)."""
+    n_pairs_axis > 1: this device computes only its share of the
+    output.  With the kernel (ISl/JSl given), the share is a balanced
+    superblock-panel sublist (runtime scalar-prefetch values; padding
+    entries land strictly lower-triangular and die in the triu) and
+    the psum'd result is replicated.  The einsum fallback computes a
+    contiguous row slice instead — left operand sliced, right full —
+    and shards the output rows over the 'pairs' axis (caller pre-pads
+    N to a multiple of it)."""
     dtype = Pl.dtype
+    if n_pairs_axis > 1 and use_pallas:
+        from ..ops.pallas_indep import indep_raw_cnt_pallas
+
+        raw_m, cnt_m = indep_raw_cnt_pallas(
+            Pl, score, pairwise_del, site_weights=wl, vma=(AXIS, PAIRS),
+            panels=(ISl.reshape(-1), JSl.reshape(-1)),
+        )
+        raw_m = jnp.triu(raw_m) + jnp.triu(raw_m, 1).T
+        raw = jax.lax.psum(raw_m, (AXIS, PAIRS))
+        cnt = None
+        if pairwise_del:
+            cnt_m = jnp.triu(cnt_m) + jnp.triu(cnt_m, 1).T
+            cnt = jax.lax.psum(cnt_m, (AXIS, PAIRS))
+        return raw, cnt
     if n_pairs_axis > 1:
         if pairwise_del:
             valid = (~missing_mask(Pl)).astype(dtype) * ml[:, None]
@@ -215,8 +233,22 @@ def _indep_local(Pl, ml, wl, score, pairwise_del: bool, use_pallas: bool = False
 
 @functools.partial(jax.jit, static_argnames=("pairwise_del", "mesh", "use_pallas"))
 def _indep_sharded(P_pad, mask, w, score, pairwise_del: bool, mesh: Mesh,
-                   use_pallas: bool = False):
+                   use_pallas: bool = False, ISt=None, JSt=None):
     p = pairs_size(mesh)
+    if p > 1 and use_pallas:
+        # Balanced panel-sublist kernel: each pairs-coordinate runs the
+        # super variant over its own runtime sublist; the psum over
+        # (sites, pairs) replicates the full matrices like p == 1.
+        fn = lambda Pl, ml, wl, ISl, JSl: _indep_local(
+            Pl, ml, wl, score, pairwise_del, use_pallas, n_pairs_axis=p,
+            ISl=ISl, JSl=JSl,
+        )
+        return shard_map(
+            fn, mesh=mesh,
+            in_specs=(P(AXIS, None, None), P(AXIS), P(AXIS),
+                      P(PAIRS, None), P(PAIRS, None)),
+            out_specs=(P(), P() if pairwise_del else None),
+        )(P_pad, mask, w, ISt, JSt)
     fn = lambda Pl, ml, wl: _indep_local(Pl, ml, wl, score, pairwise_del,
                                          use_pallas, n_pairs_axis=p)
     if p > 1:
@@ -384,6 +416,44 @@ def _em_sharded(P_pad, mask, w, score9, I, J, pairwise_del, tile,
         in_specs=(P(AXIS, None, None), P(AXIS), P(AXIS), pair_spec, pair_spec),
         out_specs=out_specs,
     )(P_pad, mask, w, I, J)
+
+
+@functools.lru_cache(maxsize=8)
+def _panel_tables_cached(N: int, p: int):
+    """[p, L] per-pairs-device superblock-panel sublists for the indep
+    kernel's 2-D TP split (ops/pallas_indep panels=): the upper-tri
+    panel pairs are partitioned greedily by MXU cost (diagonal panels
+    compute only their upper block pairs behind a scalar branch, so
+    they weigh G(G+1)/2 against an off-diagonal's G*G), largest first
+    onto the least-loaded device — balanced to within one panel pair,
+    unlike contiguous row bands (~3/4 of panels in the top band at
+    p=2, the round-2 rejection).  Rows pad with panel (1, 0): real
+    compute, strictly lower-triangular, dropped by the caller's triu.
+    Returns None when the split is degenerate (fewer panel pairs than
+    devices, or a single superblock — no valid padding panel)."""
+    from ..ops.pallas_indep import DEFAULT_BLOCK, _super_shape
+
+    ns, G, _ = _super_shape(N, DEFAULT_BLOCK)
+    if ns < 2:
+        return None
+    pairs = [(i, j) for i in range(ns) for j in range(i, ns)]
+    if len(pairs) < p:
+        return None
+    cost = {True: G * (G + 1) / 2, False: float(G * G)}
+    order = sorted(pairs, key=lambda ij: cost[ij[0] == ij[1]], reverse=True)
+    loads = [0.0] * p
+    sets: list = [[] for _ in range(p)]
+    for ij in order:
+        d = loads.index(min(loads))
+        sets[d].append(ij)
+        loads[d] += cost[ij[0] == ij[1]]
+    L = max(len(s) for s in sets)
+    IS = np.full((p, L), 1, np.int32)
+    JS = np.zeros((p, L), np.int32)
+    for d, s in enumerate(sets):
+        IS[d, : len(s)] = [ij[0] for ij in s]
+        JS[d, : len(s)] = [ij[1] for ij in s]
+    return jnp.asarray(IS), jnp.asarray(JS)
 
 
 @functools.lru_cache(maxsize=8)
@@ -768,10 +838,23 @@ def sharded_suffstats(
         # falls back to the XLA formulation.
         from ..core.distance import _pallas_mode
 
-        use_pallas = p == 1 and _pallas_mode() == "on"
+        use_pallas = _pallas_mode() == "on"
+        ISt = JSt = None
+        if use_pallas and p > 1:
+            # 2-D TP split of the kernel: balanced runtime panel
+            # sublists per pairs-coordinate.  Degenerate splits (single
+            # superblock / fewer panel pairs than devices) fall back to
+            # the einsum row slices.
+            tabs = _panel_tables_cached(N, p)
+            if tabs is None:
+                use_pallas = False
+            else:
+                ISt, JSt = tabs
         raw, cnt = _indep_sharded(Pp, mask, w, score_d, pairwise_del, mesh,
-                                  use_pallas=use_pallas)
-        if p > 1:  # output rows were padded to a multiple of the pairs axis
+                                  use_pallas=use_pallas, ISt=ISt, JSt=JSt)
+        if p > 1:  # einsum rows were padded to a multiple of the pairs
+            # axis (the kernel path returns [N, N] already; the slice
+            # is a no-op there)
             raw = raw[:N]
             cnt = None if cnt is None else cnt[:N]
         return raw, cnt, None, None

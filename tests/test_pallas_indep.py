@@ -218,3 +218,51 @@ def test_pipeline_pallas_dispatch_interpret(monkeypatch, indep):
     monkeypatch.setenv("NGSDIST_PALLAS", "interpret")
     got = list(dist.iter_replicates(pars, P, maps, n_trunc))[0]
     np.testing.assert_allclose(got, ref, rtol=0, atol=1e-9)
+
+
+def test_pallas_indep_panel_sublists_cover_triangle():
+    """Runtime panel sublists (the 2-D pairs-mesh TP split): summing the
+    triu of each sublist's output — including a padding entry at the
+    strictly-lower panel (1, 0) — must reproduce the full kernel run
+    bit-exactly (same super variant, same per-panel arithmetic)."""
+    from ngsdist_tpu.ops.pallas_indep import _super_shape
+
+    rng = np.random.default_rng(41)
+    S, N, block = 23, 89, 8            # nb=12 -> ns=3, G=4, N_pad=96
+    assert _super_shape(N, block) == (3, 4, 96)
+    P = _rand_probs(rng, S, N)
+    score = default_score_matrix()
+    w = rng.integers(0, 3, size=S).astype(np.float64)
+
+    full_raw, full_cnt = indep_raw_cnt_pallas(
+        jnp.asarray(P), score, True, site_weights=w,
+        block=block, site_tile=8, interpret=True,
+    )
+    full_raw, full_cnt = np.triu(full_raw), np.triu(full_cnt)
+
+    # 6 panel pairs split 3/3; the second sublist pads with (1, 0)
+    subs = [([0, 1, 2], [0, 1, 2]),           # diagonals
+            ([0, 0, 1, 1], [1, 2, 2, 0])]     # off-diagonals + padding
+    acc_r = np.zeros_like(full_raw)
+    acc_c = np.zeros_like(full_cnt)
+    for IS, JS in subs:
+        r, c = indep_raw_cnt_pallas(
+            jnp.asarray(P), score, True, site_weights=w,
+            block=block, site_tile=8, interpret=True,
+            panels=(np.asarray(IS, np.int32), np.asarray(JS, np.int32)),
+        )
+        acc_r += np.triu(r)
+        acc_c += np.triu(c)
+    np.testing.assert_array_equal(acc_r, full_raw)
+    np.testing.assert_array_equal(acc_c, full_cnt)
+
+
+def test_pallas_indep_panels_requires_two_superblocks():
+    rng = np.random.default_rng(42)
+    P = _rand_probs(rng, 8, 20)
+    with pytest.raises(ValueError, match="ns >= 2"):
+        indep_raw_cnt_pallas(
+            jnp.asarray(P), default_score_matrix(), True,
+            block=8, site_tile=8, interpret=True,
+            panels=(np.zeros(1, np.int32), np.zeros(1, np.int32)),
+        )

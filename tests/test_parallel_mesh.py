@@ -229,7 +229,8 @@ def test_sharded_pallas_gate_is_per_call(mesh8, monkeypatch):
     seen = []
     orig = m._indep_sharded
 
-    def spy(P_pad, mask, w, score, pairwise_del, mesh, use_pallas=False):
+    def spy(P_pad, mask, w, score, pairwise_del, mesh, use_pallas=False,
+            **kw):
         seen.append(use_pallas)
         return orig(P_pad, mask, w, score, pairwise_del, mesh,
                     use_pallas=False)  # CPU: always run the XLA path
@@ -393,3 +394,101 @@ def test_em_pallas_branch_wiring_p2(monkeypatch):
                                rtol=1e-9, atol=1e-12)
     np.testing.assert_allclose(np.asarray(got_cnt), np.asarray(ref_cnt),
                                rtol=1e-9, atol=1e-12)
+
+
+def test_2d_pairs_mesh_pallas_panel_wiring(monkeypatch):
+    """The p>1 kernel route (balanced runtime panel sublists, psum over
+    (sites, pairs), triu symmetrization, (1,0) padding drop) — Mosaic
+    cannot compile on CPU, so the kernel itself is faked with an
+    einsum that reproduces the kernel's OUTPUT CONTRACT (only the
+    listed panels valid, garbage elsewhere in the lower triangle); the
+    shard_map wiring around it must then reproduce the einsum row-
+    slice path on the same mesh."""
+    from ngsdist_tpu.core.distance import missing_mask
+    from ngsdist_tpu.ops import pallas_indep as pk
+
+    mesh2 = pm.make_mesh(n_devices=8, pairs=2)
+    rng = np.random.default_rng(77)
+    S, N = 53, 1200  # ns=3 -> 6 panel pairs, split 3/3 over p=2
+    P = _rand_probs(rng, S, N)
+    score = default_score_matrix()
+
+    tabs = pm._panel_tables_cached(N, 2)
+    assert tabs is not None
+    ns, G, N_pad = pk._super_shape(N, pk.DEFAULT_BLOCK)
+    assert ns == 3
+
+    def fake_kernel(Pl, score_in, pairwise_del, site_weights=None,
+                    vma=None, panels=None, **kw):
+        assert panels is not None and pairwise_del
+        dtype = Pl.dtype
+        v = (~missing_mask(Pl)).astype(dtype)
+        vi = v * site_weights[:, None]
+        Q = Pl * v[..., None]
+        Y = jnp.einsum("sjh,gh->sjg", Q, jnp.asarray(score_in, dtype),
+                       precision=jax.lax.Precision.HIGHEST)
+        A = Pl * vi[..., None]
+        raw = jnp.einsum("sig,sjg->ij", A, Y, preferred_element_type=dtype,
+                         precision=jax.lax.Precision.HIGHEST)
+        cnt = jnp.einsum("si,sj->ij", vi, v, preferred_element_type=dtype,
+                         precision=jax.lax.Precision.HIGHEST)
+        sb = G * pk.DEFAULT_BLOCK
+        mask = jnp.zeros((N_pad, N_pad), dtype)
+        one = jnp.full((sb, sb), jnp.nan, dtype)  # poison: must be cut
+        IS, JS = panels
+        for k in range(IS.shape[0]):
+            mask = jax.lax.dynamic_update_slice(
+                mask, one, (IS[k] * sb, JS[k] * sb))
+        # listed panels carry the data; everything else (incl. the
+        # (1,0) padding panel when listed twice) is poisoned with NaN
+        # where the mask is NaN *below* the diagonal — the caller's
+        # triu must drop all of it
+        sel = jnp.where(jnp.isnan(mask[:N, :N]), 1.0, 0.0)
+        tri_l = jnp.tril(jnp.ones((N, N), dtype), -1)
+        poison = jnp.where(sel * tri_l > 0, jnp.nan, 0.0)
+        return raw * sel + poison, cnt * sel + poison
+
+    monkeypatch.setattr(pk, "indep_raw_cnt_pallas", fake_kernel)
+    monkeypatch.setenv("NGSDIST_PALLAS", "1")
+    raw_k, cnt_k, _, _ = pm.sharded_suffstats(
+        P, score, mesh2, indep=True, pairwise_del=True)
+    monkeypatch.setenv("NGSDIST_PALLAS", "0")
+    raw_e, cnt_e, _, _ = pm.sharded_suffstats(
+        P, score, mesh2, indep=True, pairwise_del=True)
+    iu = np.triu_indices(N, k=1)
+    assert not np.isnan(np.asarray(raw_k)).any()
+    np.testing.assert_allclose(np.asarray(raw_k)[iu], np.asarray(raw_e)[iu],
+                               rtol=1e-12, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(cnt_k)[iu], np.asarray(cnt_e)[iu],
+                               rtol=1e-12, atol=1e-12)
+
+
+def test_panel_tables_balanced_and_padded():
+    """Balanced greedy split: every upper-tri panel pair appears exactly
+    once across devices; padding entries are the strictly-lower (1,0);
+    per-device MXU cost is balanced to within one panel pair."""
+    from ngsdist_tpu.ops import pallas_indep as pk
+
+    for N, p in ((1200, 2), (2048, 4), (4096, 8)):
+        tabs = pm._panel_tables_cached(N, p)
+        assert tabs is not None
+        IS, JS = np.asarray(tabs[0]), np.asarray(tabs[1])
+        ns, G, _ = pk._super_shape(N, pk.DEFAULT_BLOCK)
+        want = {(i, j) for i in range(ns) for j in range(i, ns)}
+        got = []
+        costs = []
+        cost = {True: G * (G + 1) / 2, False: float(G * G)}
+        for d in range(p):
+            c = 0.0
+            for i, j in zip(IS[d], JS[d]):
+                if (i, j) == (1, 0):
+                    continue  # padding
+                got.append((int(i), int(j)))
+                c += cost[i == j]
+            costs.append(c)
+        assert sorted(got) == sorted(want)          # exact cover
+        assert max(costs) - min(costs) <= cost[False]  # balanced
+
+    # degenerate splits are refused (fall back to einsum row slices)
+    assert pm._panel_tables_cached(300, 2) is None      # single superblock
+    assert pm._panel_tables_cached(1200, 16) is None    # p > panel pairs
