@@ -40,8 +40,11 @@ def main() -> None:
     sys.path.insert(0, REPO)
     import jax.numpy as jnp
 
+    from jax.sharding import NamedSharding, PartitionSpec as PS
+
     from ngsdist_tpu.config import default_score_matrix
     from ngsdist_tpu.parallel import make_mesh, sharded_suffstats
+    from ngsdist_tpu.parallel.mesh import AXIS
 
     N = int(os.environ.get("NGSDIST_BENCH_N_IND", 256))
     S = int(os.environ.get("NGSDIST_BENCH_N_SITES", 1 << 17))
@@ -51,33 +54,41 @@ def main() -> None:
     score = default_score_matrix()
     updates = (N * (N - 1) / 2) * S
 
-    n_dev = len(jax.devices())
-    sizes = [d for d in (1, 2, 4, 8, 16, 32) if d <= n_dev]
-    base_rate = None
-    for nd in sizes:
-        mesh = make_mesh(n_devices=nd)
-        raw, cnt, _, _ = sharded_suffstats(
-            P, score, mesh, indep=True, pairwise_del=True, dtype=jnp.float32
-        )
+    def measure(mesh):
+        """Time the engine with the tensor pre-placed on the mesh: the
+        metric is compute + collectives, not the host->device copy
+        (which a remote-tunnel rig measures at ~8 MB/s and a local
+        PCIe link at GB/s — neither is the engine)."""
+        sharding = NamedSharding(mesh, PS(AXIS, None, None))
+        Pd = jax.device_put(jnp.asarray(P), sharding)
+        args = dict(indep=True, pairwise_del=True, dtype=jnp.float32,
+                    n_sites=S)
+        raw, *_ = sharded_suffstats(Pd, score, mesh, **args)
         _ = np.asarray(raw)  # warm / compile
         times = []
         for _i in range(3):
             t0 = time.perf_counter()
-            raw, cnt, _, _ = sharded_suffstats(
-                P, score, mesh, indep=True, pairwise_del=True, dtype=jnp.float32
-            )
-            _ = np.asarray(raw)
-            times.append(time.perf_counter() - t0)
-        rate = updates / min(times)
+            for _r in range(4):
+                raw, *_ = sharded_suffstats(Pd, score, mesh, **args)
+            _ = np.asarray(raw)  # tunnel-safe completion barrier
+            times.append((time.perf_counter() - t0) / 4)
+        return updates / min(times)
+
+    n_dev = len(jax.devices())
+    sizes = [d for d in (1, 2, 4, 8, 16, 32) if d <= n_dev]
+    base_rate = None
+    for nd in sizes:
+        if S % nd:
+            continue
+        rate = measure(make_mesh(n_devices=nd))
         if base_rate is None:
             base_rate = rate
-        eff = rate / (base_rate * nd)
         print(json.dumps({
             "metric": "pair_site_updates_per_sec",
             "devices": nd,
             "value": rate,
             "unit": "updates/s",
-            "efficiency_vs_1dev": eff,
+            "efficiency_vs_1dev": rate / (base_rate * nd),
         }))
 
     # 2-D (sites, pairs) meshes: the optional TP axis for large cohorts
@@ -86,23 +97,9 @@ def main() -> None:
         if nd < 2:
             continue
         for p in (2, 4):
-            if nd % p or p > nd:
+            if nd % p or p > nd or S % (nd // p):
                 continue
-            mesh = make_mesh(n_devices=nd, pairs=p)
-            raw, cnt, _, _ = sharded_suffstats(
-                P, score, mesh, indep=True, pairwise_del=True, dtype=jnp.float32
-            )
-            _ = np.asarray(raw)
-            times = []
-            for _i in range(3):
-                t0 = time.perf_counter()
-                raw, cnt, _, _ = sharded_suffstats(
-                    P, score, mesh, indep=True, pairwise_del=True,
-                    dtype=jnp.float32
-                )
-                _ = np.asarray(raw)
-                times.append(time.perf_counter() - t0)
-            rate = updates / min(times)
+            rate = measure(make_mesh(n_devices=nd, pairs=p))
             print(json.dumps({
                 "metric": "pair_site_updates_per_sec",
                 "devices": nd,
