@@ -32,7 +32,9 @@ evol = int(sys.argv[6]) if len(sys.argv) > 6 else 1
 pos = sys.argv[7] if len(sys.argv) > 7 and sys.argv[7] != "-" else None
 resume = len(sys.argv) > 8 and sys.argv[8] == "1"
 indep = len(sys.argv) > 9 and sys.argv[9] == "1"
-pars = Params(in_geno=os.path.join(workdir, "gp.bin"), in_bin=True,
+geno = sys.argv[10] if len(sys.argv) > 10 else "gp.bin"
+pars = Params(in_geno=os.path.join(workdir, geno),
+              in_bin=not geno.endswith(".gz"),
               in_probs=True, n_ind=6, n_sites=57, seed=9,
               n_boot_rep=3, boot_block_size=5, pairwise_del=pdel,
               evol_model=evol, in_pos=pos, indep_geno=indep,
@@ -66,16 +68,29 @@ def _load(path):
 @pytest.mark.slow
 @pytest.mark.parametrize("pairwise_del,streamed",
                          [(True, False), (False, False), (True, True),
-                          (True, "lazy"), (True, "indep_stream")])
+                          (True, "lazy"), (True, "indep_stream"),
+                          (True, "spill")])
 def test_run_distributed_two_processes(tmp_path, pairwise_del, streamed):
     """pairwise_del=False is the regression case for the prebuilt-array
     padding bug: padded sites must not count toward the EM statistics.
     streamed=True forces NGSDIST_DEVICE_BUDGET tiny so run_distributed
-    iterates SiteStream rounds on every process."""
+    iterates SiteStream rounds on every process.  streamed='spill': a
+    gz-TEXT genome over the host budget — every process spills its own
+    site range to a disk cache and rounds read the cache."""
+    import gzip
+
     rng = np.random.default_rng(13)
     gp = rng.dirichlet(np.ones(3), size=(57, 6))
     gp[rng.random((57, 6)) < 0.15] = 1 / 3
-    gp.tofile(str(tmp_path / "gp.bin"))
+    geno = "gp.bin"
+    if streamed == "spill":
+        geno = "gp.tsv.gz"
+        with gzip.open(tmp_path / geno, "wt") as fh:
+            for s in range(57):
+                fh.write("\t".join(f"{x:.8f}" for x in gp[s].reshape(-1))
+                         + "\n")
+    else:
+        gp.tofile(str(tmp_path / "gp.bin"))
 
     worker = str(tmp_path / "worker.py")
     with open(worker, "w") as fh:
@@ -85,14 +100,18 @@ def test_run_distributed_two_processes(tmp_path, pairwise_del, streamed):
            if k not in ("XLA_FLAGS", "NGSDIST_DEVICE_BUDGET")}
     if streamed:
         env["NGSDIST_DEVICE_BUDGET"] = str(5 * 6 * 3 * 8)  # ~5 sites/round
-    if streamed == "lazy":  # rounds read from disk, no host shard at all
+    if streamed in ("lazy", "spill"):  # rounds from disk, no host shard
         env["NGSDIST_HOST_BUDGET"] = "1000"
+    if streamed == "spill":
+        spill_dir = tmp_path / "spill"
+        spill_dir.mkdir()
+        env["NGSDIST_SPILL_DIR"] = str(spill_dir)
     indep = streamed == "indep_stream"  # single-pass block-partials path
     procs = [
         subprocess.Popen(
             [sys.executable, worker, str(pid), "2", port, str(tmp_path),
              "1" if pairwise_del else "0", "1", "-", "0",
-             "1" if indep else "0"],
+             "1" if indep else "0", geno],
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env, text=True,
         )
         for pid in range(2)
@@ -100,12 +119,15 @@ def test_run_distributed_two_processes(tmp_path, pairwise_del, streamed):
     outs = [p.communicate(timeout=300)[0] for p in procs]
     for p, out in zip(procs, outs):
         assert p.returncode == 0, out
+    if streamed == "spill":  # every process deleted its cache
+        assert list((tmp_path / "spill").iterdir()) == []
 
     # single-process reference run (jax engine, same config)
     from ngsdist_tpu import runner
     from ngsdist_tpu.config import Params
 
-    pars = Params(in_geno=str(tmp_path / "gp.bin"), in_bin=True,
+    pars = Params(in_geno=str(tmp_path / geno),
+                  in_bin=not geno.endswith(".gz"),
                   in_probs=True, n_ind=6, n_sites=57, seed=9,
                   n_boot_rep=3, boot_block_size=5, pairwise_del=pairwise_del,
                   indep_geno=indep,
