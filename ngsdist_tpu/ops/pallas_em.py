@@ -44,23 +44,35 @@ EM_TOLE = 0.001
 EM_MAX_ITER = 50
 EPSILON = 1e-5  # miss_data tolerance (gen_func.hpp:16)
 
-# TPU tiling: the [B, B] output block's last dim must be a multiple of
-# 128, so B=128.  site_tile is the DMA granularity per grid step; its
-# sublane position in the [TS, B, 3] / [TS, 1] blocks must be
-# 8-divisible (Mosaic block constraint), so TS=8.  sub_tile is the
-# inner COMPUTE slab: since the rank-1 factorization removed the
-# [9, sub, B, B] while-carry the slab arrays are just [sub, B, B].
-# The convergence loop runs EM_CHUNK steps per while iteration so the
-# scalar any-lane-active reduction (a pipeline-serializing [sub, B, B]
-# -> scalar sum) is paid once per 7 steps, not per step; smaller slabs
-# then exit earlier (slab-max convergence over fewer lanes).  v5e sweep
-# at 1024/2048 ind: sub=1 1.48/1.62e9 > sub=2 1.41/1.53e9 > sub=4
-# 1.28e9 > shipped-round-1 per-step exit 8.7e8 > fixed 49 steps (no
-# exit) 7.2e8 upd/s; sub=8 overflows scoped VMEM under the 7-step
-# unroll.
-DEFAULT_BLOCK = 128
+# TPU tiling: the [B, B] output block's last dim must be a 128
+# multiple.  B=256 amortizes the per-individual [sub, B] recurrence
+# work and the while-loop's per-iteration overhead over 4x the pair
+# lanes of B=128: round-3 v5e sweep at 1024 ind, sub=1, chunk=7:
+# B=256 2.10e9 > B=128 1.50e9 upd/s; B=512 exceeds the 16 MB scoped
+# VMEM (26.95M).  Cohorts within one 128-block keep B=128
+# (choose_block) — less padding for tiny N.  site_tile is the DMA
+# granularity per grid step; its sublane position in the [TS, B, 3] /
+# [TS, 1] blocks must be 8-divisible (Mosaic block constraint), so
+# TS=8.  sub_tile is the inner COMPUTE slab: since the rank-1
+# factorization removed the [9, sub, B, B] while-carry the slab arrays
+# are just [sub, B, B].  The convergence loop runs EM_CHUNK steps per
+# while iteration (round-2 sweep: per-step exit 8.7e8 < chunk-7 1.48e9
+# > fixed 49 steps 7.2e8; the round-3 separable-max cond made the
+# check ~free but the per-iteration while overhead still favors
+# chunk=7 — chunk=1 measured 0.96e9); smaller slabs exit earlier
+# (slab-max convergence over fewer lanes): sub=1 1.50e9 > sub=2
+# 1.43e9 at B=128 (2.10 vs 2.0e9 at 256).
+DEFAULT_BLOCK = 256
 DEFAULT_SITE_TILE = 8
 DEFAULT_SUB_TILE = 1
+
+
+def choose_block(N: int) -> int:
+    """Individual-block size for an N-individual cohort: one 128-block
+    when the cohort fits it (minimal padding for small N), else the
+    throughput-optimal DEFAULT_BLOCK.  The mesh pair-block tables and
+    the kernel dispatcher must agree, so both call this."""
+    return 128 if N <= 128 else DEFAULT_BLOCK
 # 7 | EM_MAX_ITER - 1, so chunked exit checks preserve the exact
 # 49-step iteration cap of the reference (maxIter=50, ngsDist.cpp:349).
 EM_CHUNK = 7
@@ -110,35 +122,40 @@ def _em_slab(Pi, Pj, score_ref, pairwise_del: bool):
     # pair ratio are ≥ 1 > exp(−tole) exactly — the reference's
     # |l_k − l_{k−1}| < tole collapses to ratio < hi, one compare.
     # Masks are {0,1} floats (Mosaic-friendlier than i1 vectors).
+    #
+    # Early exit: ratios are nonnegative, so the slab's worst lane is
+    # SEPARABLE — max_{a,b} rI[a]·rJ[b] = (max_a rI)·(max_b rJ) — and
+    # the whole-slab continue test is an O(B) per-individual max, not a
+    # [sub, B, B] reduction (dead lanes are masked to 0 so they never
+    # poison the max with 0·3/0 NaNs).  That makes the exit check ~free
+    # and the while cond exact at EVERY chunk boundary.
     def step(PI, tIm, tIc, PJ, tJm, tJc, ksum, active):
         PI = [p * q for p, q in zip(PI, pi)]         # pi^{k+1}, [sub, B]
         PJ = [p * q for p, q in zip(PJ, pj)]
         tIn = PI[0] + PI[1] + PI[2]                  # t_{k+1}
         tJn = PJ[0] + PJ[1] + PJ[2]
-        rI = tIn * tIm / (tIc * tIc)                 # [sub, B]
-        rJ = tJn * tJm / (tJc * tJc)
+        rI = jnp.where(dead_i, 0.0, tIn * tIm / (tIc * tIc))  # [sub, B]
+        rJ = jnp.where(dead_j, 0.0, tJn * tJm / (tJc * tJc))
         ratio = rI[:, :, None] * rJ[:, None, :]      # [sub, B, B]
         active = active * (ratio >= hi).astype(dtype)
-        return PI, tIc, tIn, PJ, tJc, tJn, ksum + active, active
+        mprod = jnp.max(rI) * jnp.max(rJ)            # scalar, exact
+        return PI, tIc, tIn, PJ, tJc, tJn, ksum + active, active, mprod
 
-    # EM_CHUNK steps run per while iteration and the whole-slab
-    # early-exit reduction (n_active, a pipeline-serializing scalar
-    # dependency) is evaluated once per chunk: measured 1.41e9 upd/s
-    # vs 9.4e8 checking every step and 7.2e8 never checking (v5e,
-    # 1024 ind) — early exit pays, per-step exit checks don't.
+    # EM_CHUNK steps run per while iteration; the separable-max cond is
+    # cheap enough to evaluate at every chunk boundary (the round-2
+    # [sub, B, B] sum-reduction check cost ~35% when run per step).
     n_steps = EM_MAX_ITER - 1
     assert n_steps % EM_CHUNK == 0
 
     def cond(state):
-        return jnp.logical_and(state[0] < n_steps, state[-1] > 0.0)
+        return jnp.logical_and(state[0] < n_steps, state[-1] >= hi)
 
     def body(state):
-        k, PI, tIm, tIc, PJ, tJm, tJc, ksum, active, _na = state
+        k, PI, tIm, tIc, PJ, tJm, tJc, ksum, active, _mp = state
         for _ in range(EM_CHUNK):
-            PI, tIm, tIc, PJ, tJm, tJc, ksum, active = step(
+            PI, tIm, tIc, PJ, tJm, tJc, ksum, active, mp = step(
                 PI, tIm, tIc, PJ, tJm, tJc, ksum, active)
-        return (k + EM_CHUNK, PI, tIm, tIc, PJ, tJm, tJc, ksum, active,
-                jnp.sum(active))
+        return (k + EM_CHUNK, PI, tIm, tIc, PJ, tJm, tJc, ksum, active, mp)
 
     tI1 = pi[0] + pi[1] + pi[2]
     tJ1 = pj[0] + pj[1] + pj[2]
@@ -148,7 +165,7 @@ def _em_slab(Pi, Pj, score_ref, pairwise_del: bool):
         cond,
         body,
         (jnp.asarray(0, jnp.int32), list(pi), t0, tI1, list(pj), t0, tJ1,
-         jnp.zeros_like(active0), active0, jnp.sum(active0)),
+         jnp.zeros_like(active0), active0, jnp.asarray(np.inf, dtype)),
     )
     kstar = 1.0 + ksum                               # [sub, B, B]
 
@@ -314,7 +331,7 @@ def em_raw_cnt_pallas(
     pairwise_del: bool,
     site_weights: Optional[np.ndarray] = None,
     *,
-    block: int = DEFAULT_BLOCK,
+    block: Optional[int] = None,
     site_tile: int = DEFAULT_SITE_TILE,
     sub_tile: int = DEFAULT_SUB_TILE,
     interpret: bool = False,
@@ -346,6 +363,8 @@ def em_raw_cnt_pallas(
     if site_tile % sub_tile:
         raise ValueError("site_tile must be a multiple of sub_tile")
     S, N, _ = P.shape
+    if block is None:
+        block = choose_block(N)
     dtype = P.dtype
     S_pad = ((S + site_tile - 1) // site_tile) * site_tile
     N_pad = ((N + block - 1) // block) * block

@@ -868,9 +868,9 @@ def sharded_suffstats(
     em_pallas = not want_blocks and _pallas_mode() == "on"
     IBt = JBt = None
     if em_pallas and p > 1:
-        from ..ops.pallas_em import DEFAULT_BLOCK
+        from ..ops.pallas_em import choose_block
 
-        IBt, JBt = _pair_block_tables_cached(N, p, DEFAULT_BLOCK)
+        IBt, JBt = _pair_block_tables_cached(N, p, choose_block(N))
     out = _em_sharded(Pp, mask, w, score9, I, J, pairwise_del, tile,
                       block_size if want_blocks else 1, want_blocks, mesh,
                       use_pallas=em_pallas, IBt=IBt, JBt=JBt)
