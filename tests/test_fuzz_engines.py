@@ -114,9 +114,11 @@ def test_random_config_sharded_streamed_agree(tmp_path, trial, monkeypatch):
         monkeypatch.setenv("NGSDIST_DEVICE_BUDGET", str(8 * N * 3 * 8))
     else:
         monkeypatch.delenv("NGSDIST_DEVICE_BUDGET", raising=False)
-    if kind == "bin" and pairs == 1 and rng.random() < 0.5:
-        # lazy disk-streamed rounds (binary seekable inputs only)
+    if pairs == 1 and rng.random() < 0.5:
+        # lazy disk-streamed rounds: binary inputs seek in place, text
+        # (gt/gp gz) inputs spill a parsed cache first — both fuzz here
         monkeypatch.setenv("NGSDIST_HOST_BUDGET", "1500")
+        monkeypatch.setenv("NGSDIST_SPILL_DIR", str(tmp_path))
     else:
         monkeypatch.delenv("NGSDIST_HOST_BUDGET", raising=False)
 
