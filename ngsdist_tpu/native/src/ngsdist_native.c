@@ -22,6 +22,7 @@
  * in the reference's per-site pointer structures.
  */
 
+#include <fcntl.h>
 #include <stdio.h>
 #include <stdlib.h>
 #include <string.h>
@@ -29,6 +30,7 @@
 #include <errno.h>
 #include <math.h>
 #include <pthread.h>
+#include <sys/stat.h>
 #include <unistd.h>
 #include <zlib.h>
 
@@ -491,6 +493,29 @@ static int nd_normalize_rows(double *out, int64_t n_triples, int in_logscale,
  * messages carry strerror(errno) — ERANGE whenever an earlier triple's
  * log-sum-exp underflowed, e.g. any one-hot genotype; thread-local
  * errno from the parse workers is aggregated here). */
+/* Parallel-pread slice job for the raw-binary fast path. */
+typedef struct {
+  int fd;
+  char *dst;
+  int64_t off, len;
+  int err;
+} nd_pread_job;
+
+static void *nd_pread_worker(void *arg) {
+  nd_pread_job *j = (nd_pread_job *)arg;
+  int64_t done = 0;
+  while (done < j->len) {
+    ssize_t r = pread(j->fd, j->dst + done, (size_t)(j->len - done),
+                      j->off + done);
+    if (r <= 0) {
+      j->err = 1;
+      return NULL;
+    }
+    done += r;
+  }
+  return NULL;
+}
+
 /* Core reader.  out != NULL: parse sites [site_start, site_stop) into
  * out[(site_stop-site_start)][n_ind][ND_NGENO] (the classic eager read
  * is the full range).  spill != NULL (text only, out == NULL): stream
@@ -519,10 +544,30 @@ static int nd_read_geno_impl(const char *path, int in_bin, int in_probs,
   }
   gzbuffer(fh, 1 << 20);
 
+  /* Raw (non-gzip) binary files take a parallel-pread fast path: the
+   * reader threads' writes double as the parallel first-touch of the
+   * fresh output tensor (a serial gzread into an untouched buffer is
+   * page-fault-bound — ~10 MB/s/thread on faulting-bound VMs), and
+   * disk/page-cache reads parallelize with them. */
+  int raw_fd = -1;
+  if (in_bin && out != NULL && strcmp(path, "-") != 0) {
+    raw_fd = open(path, O_RDONLY);
+    if (raw_fd >= 0) {
+      unsigned char magic[2];
+      if (!(pread(raw_fd, magic, 2, 0) == 2 &&
+            !(magic[0] == 0x1f && magic[1] == 0x8b))) {
+        close(raw_fd);
+        raw_fd = -1; /* gzip (or unreadable): serial gz-decode path */
+      }
+    }
+  }
+
   /* Threaded init: doubles as the parallel first-touch of the fresh
    * output tensor (see nd_fill_array) — the serial loop here was the
-   * single slowest line of a large binary load on faulting-bound VMs. */
-  if (out)
+   * single slowest line of a large binary load on faulting-bound VMs.
+   * The pread fast path first-touches through its reader threads
+   * instead (bytes past a short file are never normalized or read). */
+  if (out && raw_fd < 0)
     nd_fill_array(out, (site_stop - site_start) * n_ind * ND_NGENO,
                   -ND_BIGNEG);
 
@@ -540,21 +585,68 @@ static int nd_read_geno_impl(const char *path, int in_bin, int in_probs,
     int64_t total = n_sites * n_ind * ND_NGENO * (int64_t)sizeof(double);
     char *dst = (char *)out;
     int64_t got = 0;
-    while (got < total) {
-      int64_t want = total - got;
-      if (want > (1 << 24)) want = 1 << 24;
-      int r = gzread(fh, dst + got, (unsigned)want);
-      if (r <= 0) {
+    if (raw_fd >= 0) {
+      /* Parallel pread: threads read disjoint slices; a short file
+       * reads exactly st_size bytes and falls into the same
+       * premature-EOF handling as a short gzread stream. */
+      struct stat stv;
+      int64_t have = 0;
+      if (fstat(raw_fd, &stv) == 0)
+        have = stv.st_size < total ? (int64_t)stv.st_size : total;
+      long nt = sysconf(_SC_NPROCESSORS_ONLN);
+      if (nt < 1) nt = 1;
+      if (nt > 16) nt = 16;
+      int64_t per = (have + nt - 1) / nt;
+      nd_pread_job jobs[16];
+      pthread_t tids[16];
+      long nw = 0;
+      for (long w = 0; w < nt && w * per < have; w++) {
+        int64_t lo = w * per;
+        int64_t hi = lo + per < have ? lo + per : have;
+        jobs[w] = (nd_pread_job){raw_fd, dst + lo, lo, hi - lo, 0};
+        if (pthread_create(&tids[w], NULL, nd_pread_worker, &jobs[w])) {
+          nd_pread_worker(&jobs[w]); /* degraded: run inline */
+          continue;
+        }
+        tids[nw] = tids[w];
+        nw++;
+      }
+      for (long w = 0; w < nw; w++) pthread_join(tids[w], NULL);
+      int read_err = 0;
+      for (long w = 0; w < nt && w * per < have; w++) read_err |= jobs[w].err;
+      got = have;
+      if (read_err) {
         rc = 1;
         nd_seterr(errbuf, errbuf_cap,
-                  gzeof(fh)
-                      ? "GENO file at premature EOF. Check GENO file and "
-                        "number of sites!"
-                      : "cannot read binary GENO file. Check GENO file and "
-                        "number of sites!");
-        break;
+                  "cannot read binary GENO file. Check GENO file and "
+                  "number of sites!");
+      } else if (have < total) {
+        rc = 1;
+        nd_seterr(errbuf, errbuf_cap,
+                  "GENO file at premature EOF. Check GENO file and "
+                  "number of sites!");
+      } else {
+        /* leave the gz handle where the serial loop would have: the
+         * strict 1-byte EOF probe below must see byte `total`. */
+        gzseek(fh, (z_off_t)total, SEEK_SET);
       }
-      got += r;
+    } else {
+      while (got < total) {
+        int64_t want = total - got;
+        if (want > (1 << 24)) want = 1 << 24;
+        int r = gzread(fh, dst + got, (unsigned)want);
+        if (r <= 0) {
+          rc = 1;
+          nd_seterr(errbuf, errbuf_cap,
+                    gzeof(fh)
+                        ? "GENO file at premature EOF. Check GENO file and "
+                          "number of sites!"
+                        : "cannot read binary GENO file. Check GENO file "
+                          "and number of sites!");
+          break;
+        }
+        got += r;
+      }
     }
     if (rc != 0) {
       /* the reference normalizes + NaN-checks each COMPLETE TRIPLE as
@@ -818,6 +910,7 @@ static int nd_read_geno_impl(const char *path, int in_bin, int in_probs,
   }
 
   free(line);
+  if (raw_fd >= 0) close(raw_fd);
   gzclose(fh);
   return rc;
 }
