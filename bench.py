@@ -192,12 +192,15 @@ def main_e2e() -> dict:
     rec["cold_s"] = round(cold, 3)
     rec["warm_s"] = round(warm, 3)
     # Context for remote-device rigs: the host->device copy of the
-    # preprocessed tensor (S*N*12 bytes at f32) is the wall-time floor
-    # when the chip is reached through a tunnel (~4-12 MB/s measured on
-    # the axon rig -> ~100 s for 1024x64k, vs <1 s over local PCIe);
-    # the kernel section itself is ~5 ms at this shape.  See
-    # OPERATIONS.md "e2e benchmark" for the breakdown.
-    rec["upload_bytes"] = S * N * 12
+    # preprocessed tensor is the wall-time floor when the chip is
+    # reached through a tunnel (~4-12 MB/s measured on the axon rig,
+    # vs local PCIe GB/s); the kernel section itself is ~5 ms at this
+    # shape.  f32 paths upload 2 of 3 genotype components (S*N*8 bytes)
+    # and reconstruct the third on device — hostmem.upload23_enabled.
+    # See OPERATIONS.md "e2e benchmark" for the breakdown.
+    from ngsdist_tpu.utils.hostmem import upload23_enabled
+
+    rec["upload_bytes"] = S * N * (8 if upload23_enabled(np.float32) else 12)
     return rec
 
 

@@ -36,7 +36,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import Params
-from ..utils.hostmem import parallel_astype
+from ..utils.hostmem import parallel_astype, upload23_enabled
 from . import bootstrap as bt
 from . import models
 from .em import em_pair_site_contribs
@@ -95,6 +95,30 @@ def _pallas_mode() -> str:
     if jax.config.jax_enable_x64:
         return "off"
     return "on" if jax.default_backend() == "tpu" else "off"
+
+
+@jax.jit
+def _expand23(P2: jnp.ndarray) -> jnp.ndarray:
+    """[S, N, 2] -> [S, N, 3] with p2 = 1 - p0 - p1 (see
+    hostmem.upload23_enabled)."""
+    p2 = 1.0 - P2[..., 0] - P2[..., 1]
+    return jnp.concatenate([P2, p2[..., None]], axis=-1)
+
+
+def put_probs(P_slice: np.ndarray, dtype) -> jnp.ndarray:
+    """Upload a [S, N, 3] host probability slab to the default device.
+
+    f32 paths upload only the first two genotype components and
+    reconstruct the third on device (hostmem.upload23_enabled); the host cast
+    is threaded either way (serial first-touch of a fresh multi-hundred-
+    MB buffer runs at page-fault speed on sandboxed hosts).  The
+    dispatch is asynchronous: staged uploads overlap in-flight kernels.
+    """
+    npdt = np.dtype(np.float64 if dtype == jnp.float64 else np.float32)
+    if P_slice.shape[-1] == 3 and upload23_enabled(npdt):
+        P2 = jnp.asarray(parallel_astype(P_slice[..., :2], npdt))
+        return _expand23(P2)
+    return jnp.asarray(parallel_astype(P_slice, npdt))
 
 
 def missing_mask(P: jnp.ndarray) -> jnp.ndarray:
@@ -464,9 +488,7 @@ def iter_replicates(
     chunk = max(1, (budget * PREFETCH_KEEP_NUM // PREFETCH_KEEP_DEN)
                 // max(1, N * 3 * itemsize)) if chunked else S
     if not chunked:
-        # Threaded host-side cast: a serial f64->f32 copy first-touches
-        # hundreds of MB at page-fault speed on sandboxed VMs.
-        P = jnp.asarray(parallel_astype(P_host, np.dtype(dtype)))
+        P = put_probs(P_host, dtype)
 
     def stats_stream(site_weights=None, n_used=S, rep=0):
         if not chunked:
@@ -489,10 +511,7 @@ def iter_replicates(
                 acc_cnt = arrs.get("cnt")
 
         def stage(start, stop):
-            # jnp.asarray dispatches the host->device copy
-            # asynchronously: staged uploads overlap the in-flight
-            # kernel of the previous chunk.
-            Pc = jnp.asarray(parallel_astype(P_host[start:stop], np.dtype(dtype)))
+            Pc = put_probs(P_host[start:stop], dtype)
             wc = None if site_weights is None else site_weights[start:stop]
             return Pc, wc
 
@@ -921,7 +940,7 @@ def _iter_replicates_extended(
     chunked = S * N * 3 * itemsize > budget
     chunk = max(1, (budget * PREFETCH_KEEP_NUM // PREFETCH_KEEP_DEN)
                 // max(1, N * 3 * itemsize)) if chunked else S
-    P = None if chunked else jnp.asarray(parallel_astype(P_host, np.dtype(dtype)))
+    P = None if chunked else put_probs(P_host, dtype)
 
     if pars.pairwise_del:
         # host-side miss_data (keeps chunk streaming device-free here)
@@ -1019,16 +1038,14 @@ def _iter_replicates_extended(
                     accs[cl][1] = arrs.get(f"cnt_{cl}")
         ranges = [(s, min(s + chunk, S)) for s in range(0, S, chunk)][skip:]
         idx = skip
-        pending = (jnp.asarray(parallel_astype(P_host[slice(*ranges[0])],
-                                               np.dtype(dtype)))
+        pending = (put_probs(P_host[slice(*ranges[0])], dtype)
                    if ranges else None)
         for k, (start, stop) in enumerate(ranges):
             Pc = pending
             if k + 1 < len(ranges):
                 # prefetch the next chunk (async device transfer) while
                 # this chunk's three class reductions run
-                pending = jnp.asarray(parallel_astype(
-                    P_host[slice(*ranges[k + 1])], np.dtype(dtype)))
+                pending = put_probs(P_host[slice(*ranges[k + 1])], dtype)
             for cl in CLS:
                 r, c = _class_stats_one(Pc, (w * masks[cl])[start:stop])
                 accs[cl][0] = r if accs[cl][0] is None else accs[cl][0] + r

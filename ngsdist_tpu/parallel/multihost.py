@@ -24,7 +24,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..config import Params
 from ..core.preprocess import preprocess
 from ..io import readers
-from ..utils.hostmem import parallel_cast_pad
+from ..utils.hostmem import parallel_cast_pad, upload23_enabled
 from .mesh import AXIS, _round_up
 
 
@@ -154,7 +154,16 @@ class SiteStream:
         self.s_loc = s_pad // self.n_dev
         self.start, self.stop = start, stop
         self.n_local_dev = (stop - start) // self.s_loc
-        self.local = local_rows  # [(stop-start), N, 3], padded rows zero
+        # Host slab [(stop-start), N, K], padded rows zero.  K = 2 on
+        # f32 paths (hostmem.upload23_enabled): the third genotype
+        # component is reconstructed ON DEVICE after upload
+        # (mesh.expand23_sharded) — 1.5x fewer bytes over the host link
+        # and 1/3 less resident host RAM per shard.
+        self.local = local_rows
+        if local_rows is not None:
+            self.K = int(local_rows.shape[-1])
+        else:
+            self.K = 2 if upload23_enabled(np_dtype) else 3
         self.lazy = local_rows is None  # rounds read from disk on demand
         self.chunk = int(min(chunk, self.s_loc))
         # lazy shards always iterate rounds (there is no host tensor to
@@ -236,7 +245,13 @@ class SiteStream:
         hi = max(min(stop, pars.n_sites), start)
         # Threaded cast+pad: parallel first-touch of the local shard
         # (serial f64->f32 copies run at page-fault speed on VMs).
-        local = parallel_cast_pad(P_host[start:hi], np_dtype, stop - start)
+        K = 2 if upload23_enabled(np_dtype) else 3
+        local = parallel_cast_pad(P_host[start:hi, :, :K], np_dtype,
+                                  stop - start)
+        if K == 2 and stop - start > hi - start:
+            from .mesh import PAD23
+
+            local[hi - start:, :, 0] = PAD23
         return cls(pars, mesh, np_dtype, local, s_pad, chunk, start, stop)
 
     @staticmethod
@@ -338,7 +353,12 @@ class SiteStream:
             )
         else:
             pre = np.zeros((0, pars.n_ind, 3), np_dtype)
-        local = parallel_cast_pad(pre, np_dtype, stop - start)
+        K = 2 if upload23_enabled(np_dtype) else 3
+        local = parallel_cast_pad(pre[..., :K], np_dtype, stop - start)
+        if K == 2 and stop - start > pre.shape[0]:
+            from .mesh import PAD23
+
+            local[pre.shape[0]:, :, 0] = PAD23
         return cls(pars, mesh, np_dtype, local, s_pad, chunk, start, stop)
 
     # ------------------------- spill cache --------------------------- #
@@ -449,10 +469,19 @@ class SiteStream:
             sharding, np.ascontiguousarray(local), global_shape
         )
 
+    def _put_probs(self, local, n_rows: int):
+        """Upload a [rows, N, K] probability slab and return the sharded
+        [rows, N, 3] tensor (K=2 slabs expand on device)."""
+        arr = self._put(local, P(AXIS, None, None), (n_rows, self.N, self.K))
+        if self.K == 2:
+            from .mesh import expand23_sharded
+
+            return expand23_sharded(arr)
+        return arr
+
     def global_array(self):
         """The whole padded [s_pad, N, 3] array sharded over the mesh."""
-        return self._put(self.local, P(AXIS, None, None),
-                         (self.s_pad, self.N, 3))
+        return self._put_probs(self.local, self.s_pad)
 
     # ------------------------- streaming path ------------------------ #
 
@@ -469,7 +498,14 @@ class SiteStream:
         """Global sharded [chunk*n_dev, N, 3] array for round r."""
         lo = r * self.chunk
         hi = min(lo + self.chunk, self.s_loc)
-        out = np.zeros((self.n_local_dev, self.chunk, self.N, 3), self.np_dtype)
+        out = np.zeros((self.n_local_dev, self.chunk, self.N, self.K),
+                       self.np_dtype)
+        if self.K == 2:
+            # 2-component rounds: rows not overwritten with real data
+            # below get the PAD23 sentinel so the on-device expansion
+            # restores the all-zero padded triples the unweighted
+            # reductions (streamed block partials) rely on
+            from .mesh import PAD23
         if self.lazy:
             # Read this round's rows of every local device's shard from
             # disk (binary seek via site_range), preprocess, cast.  The
@@ -484,12 +520,17 @@ class SiteStream:
                     out[d, : g_hi - g_lo] = preprocess(
                         geno_log, self.pars.call_geno, self.pars.N_thresh,
                         self.pars.call_thresh,
-                    )
+                    )[..., : self.K]
+                if self.K == 2 and g_hi - g_lo < self.chunk:
+                    out[d, g_hi - g_lo:, :, 0] = PAD23
         else:
-            l3 = self.local.reshape(self.n_local_dev, self.s_loc, self.N, 3)
+            l3 = self.local.reshape(
+                self.n_local_dev, self.s_loc, self.N, self.K)
             out[:, : hi - lo] = l3[:, lo:hi]
-        return self._put(out.reshape(-1, self.N, 3), P(AXIS, None, None),
-                         (self.round_sites, self.N, 3))
+            if self.K == 2 and hi - lo < self.chunk:
+                out[:, hi - lo:, :, 0] = PAD23
+        return self._put_probs(out.reshape(-1, self.N, self.K),
+                               self.round_sites)
 
     def round_cols(self, r: int, M_full: np.ndarray):
         """Global sharded per-site vector/matrix for round r.

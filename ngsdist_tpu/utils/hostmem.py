@@ -31,7 +31,11 @@ def parallel_astype(a: np.ndarray, dtype, max_threads: int = 16) -> np.ndarray:
     nt = min(max_threads, os.cpu_count() or 1)
     if a.nbytes < _MIN_PARALLEL_BYTES or nt == 1 or a.ndim == 0:
         return a.astype(dtype)
-    src = np.ascontiguousarray(a)
+    # Workers read `a` directly (numpy block assignment handles strided
+    # views) — a contiguity pre-pass here would serialize exactly the
+    # first-touch gather this function exists to parallelize (the
+    # upload23 path casts a [:, :, :2] view of the f64 tensor).
+    src = a
     out = np.empty(src.shape, dtype)
     n = src.shape[0]
     nt = min(nt, n)
@@ -47,6 +51,25 @@ def parallel_astype(a: np.ndarray, dtype, max_threads: int = 16) -> np.ndarray:
     for t in ts:
         t.join()
     return out
+
+
+def upload23_enabled(dtype) -> bool:
+    """Whether host->device probability uploads drop the third genotype
+    component.  The reader normalizes every triple to sum 1
+    (read_data.cpp:40,98 post_prob; one-hot/uniform triples are exact),
+    so p2 = 1 - p0 - p1 reconstructs on device within ~1e-7 relative —
+    two orders below both the bf16x3 kernel floor (1.5e-6) and the
+    EPSILON=1e-5 missing-data tolerance — for 1.5x fewer bytes over the
+    host link (the e2e bottleneck on tunnel rigs, and PCIe bytes
+    everywhere).  auto = f32 only: x64 runs carry the md5 bit-parity
+    contract and upload all three components.  NGSDIST_UPLOAD23=0/1
+    forces."""
+    mode = os.environ.get("NGSDIST_UPLOAD23", "auto")
+    if mode == "0":
+        return False
+    if mode == "1":
+        return True
+    return np.dtype(dtype) == np.float32
 
 
 def parallel_cast_pad(a: np.ndarray, dtype, n_rows: int,
@@ -67,7 +90,8 @@ def parallel_cast_pad(a: np.ndarray, dtype, n_rows: int,
         out[:S] = a
         out[S:] = 0
         return out
-    src = np.ascontiguousarray(a)
+    # Strided views are read directly by the workers (see parallel_astype).
+    src = a
     nt = min(nt, n_rows)
     bounds = [(w * n_rows) // nt for w in range(nt + 1)]
 
