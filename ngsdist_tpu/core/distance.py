@@ -36,7 +36,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import Params
-from ..utils.hostmem import parallel_astype, upload23_enabled
+from ..utils.hostmem import pack23, parallel_astype, upload23_enabled
 from . import bootstrap as bt
 from . import models
 from .em import em_pair_site_contribs
@@ -98,26 +98,32 @@ def _pallas_mode() -> str:
 
 
 @jax.jit
-def _expand23(P2: jnp.ndarray) -> jnp.ndarray:
-    """[S, N, 2] -> [S, N, 3] with p2 = 1 - p0 - p1 (see
-    hostmem.upload23_enabled)."""
+def expand23(P2: jnp.ndarray) -> jnp.ndarray:
+    """[..., 2] -> [..., 3] with p2 = 1 - p0 - p1 (see
+    hostmem.upload23_enabled).  Elementwise, so a NamedSharding on the
+    input propagates.  Triples whose p0 carries the hostmem.PAD23
+    sentinel expand to ALL-ZERO — mesh padding rows and data-borne
+    (0,0,0) missing triples (empty-line text sites), which would
+    otherwise reconstruct as confident (0,0,1) hom-alt genotypes."""
+    pad = P2[..., 0:1] > 1.5
     p2 = 1.0 - P2[..., 0] - P2[..., 1]
-    return jnp.concatenate([P2, p2[..., None]], axis=-1)
+    P3 = jnp.concatenate([P2, p2[..., None]], axis=-1)
+    return jnp.where(pad, jnp.zeros((), P2.dtype), P3)
 
 
 def put_probs(P_slice: np.ndarray, dtype) -> jnp.ndarray:
     """Upload a [S, N, 3] host probability slab to the default device.
 
     f32 paths upload only the first two genotype components and
-    reconstruct the third on device (hostmem.upload23_enabled); the host cast
-    is threaded either way (serial first-touch of a fresh multi-hundred-
-    MB buffer runs at page-fault speed on sandboxed hosts).  The
-    dispatch is asynchronous: staged uploads overlap in-flight kernels.
+    reconstruct the third on device (hostmem.upload23_enabled, pack23);
+    the host cast is threaded either way (serial first-touch of a fresh
+    multi-hundred-MB buffer runs at page-fault speed on sandboxed
+    hosts).  The dispatch is asynchronous: staged uploads overlap
+    in-flight kernels.
     """
     npdt = np.dtype(np.float64 if dtype == jnp.float64 else np.float32)
     if P_slice.shape[-1] == 3 and upload23_enabled(npdt):
-        P2 = jnp.asarray(parallel_astype(P_slice[..., :2], npdt))
-        return _expand23(P2)
+        return expand23(jnp.asarray(pack23(P_slice, npdt)))
     return jnp.asarray(parallel_astype(P_slice, npdt))
 
 
@@ -585,6 +591,22 @@ def iter_replicates(
             yield _finalize(raw_m, denom, pars, on_stats)
 
 
+def _broadcast_f64_exact(a: np.ndarray) -> np.ndarray:
+    """broadcast_one_to_all of an f64 array, bit-exact under x64-off.
+
+    broadcast_one_to_all device_puts its argument, which silently
+    truncates f64 to f32 whenever x64 is disabled (every real TPU run).
+    Round-checkpoint accumulators are host-f64 sums of f32 rounds —
+    generally not f32-representable — and a resumed run must reproduce
+    an uninterrupted run bit-for-bit, so the broadcast rides a uint8
+    view of the bytes instead."""
+    from jax.experimental import multihost_utils as mhu
+
+    b = np.asarray(mhu.broadcast_one_to_all(
+        np.ascontiguousarray(a).view(np.uint8)))
+    return np.ascontiguousarray(b).view(np.float64).reshape(a.shape)
+
+
 def _round_ckpt_resume(pars: Params, rep: int, shapes, round_ckpt: bool):
     """(skip, {key: float64 array} | None): round-checkpoint resume
     state for streamed collective paths.  Only process 0 keeps the
@@ -602,12 +624,12 @@ def _round_ckpt_resume(pars: Params, rep: int, shapes, round_ckpt: bool):
     if jax.process_count() > 1:
         from jax.experimental import multihost_utils as mhu
 
-        skip = np.int64(got[0]) if got else np.int64(0)
+        skip = np.int32(got[0]) if got else np.int32(0)
         arrs = {}
         for k, shp in shapes.items():
             a = (np.asarray(got[1][k], np.float64)
                  if got and k in got[1] else np.zeros(shp))
-            arrs[k] = np.asarray(mhu.broadcast_one_to_all(a))
+            arrs[k] = _broadcast_f64_exact(a)
         skip = int(mhu.broadcast_one_to_all(skip))
         if skip == 0:
             return 0, None

@@ -40,8 +40,9 @@ try:  # jax >= 0.4.35 stable alias
 except AttributeError:  # pragma: no cover - older jax
     from jax.experimental.shard_map import shard_map  # type: ignore
 
-from ..core.distance import missing_mask
-from ..utils.hostmem import parallel_cast_pad, upload23_enabled
+from ..core.distance import expand23, missing_mask
+from ..utils.hostmem import (PAD23, pack23, parallel_cast_pad,
+                             upload23_enabled)
 from ..core.em import em_pair_site_contribs
 
 AXIS = "sites"
@@ -107,39 +108,23 @@ def shard_sites(arr, mesh: Mesh):
     return jax.device_put(arr, NamedSharding(mesh, spec))
 
 
-# Host-side marker for padding rows in 2-component upload slabs: a
-# probability can never exceed 1, so p0 = PAD23 flags "this row is
-# padding — expand to all-zero", preserving the engines' invariant
-# that padded sites are all-zero (missing AND inert in unweighted
-# reductions like the streamed block partials) no matter where the
-# padding interleaves (per-device round tails, global tail).
-PAD23 = 2.0
-
-
-@jax.jit
-def expand23_sharded(P2):
-    """[*, N, 2] -> [*, N, 3] with p2 = 1 - p0 - p1 (elementwise, so the
-    input's NamedSharding propagates).  Rows whose p0 carries the PAD23
-    sentinel expand to all-zero — identical to the 3-component padding
-    the mesh reductions were built against."""
-    pad = P2[..., 0:1] > 1.5
-    p2 = 1.0 - P2[..., 0] - P2[..., 1]
-    P3 = jnp.concatenate([P2, p2[..., None]], axis=-1)
-    return jnp.where(pad, jnp.zeros((), P2.dtype), P3)
+# Canonical 2-component upload pieces live beside the other host/device
+# staging helpers: hostmem.pack23 (host pack + PAD23 sentinel marking
+# of pad rows AND data-borne all-zero triples) and distance.expand23
+# (sentinel-aware device expansion — elementwise, so NamedShardings
+# propagate).  Re-exported here under the mesh-facing names.
+expand23_sharded = expand23
 
 
 def put_probs_sharded(P_host: np.ndarray, np_dtype, s_pad: int, mesh: Mesh):
-    """shard_sites(parallel_cast_pad(...)) of a [S, N, 3] host tensor,
-    uploading only 2 of 3 genotype components on f32 paths and
-    reconstructing the third on device (utils/hostmem.upload23_enabled:
-    triples are reader-normalized to sum 1, so the reconstruction is
-    ~1e-7 relative — below the kernels' bf16x3 floor)."""
+    """shard_sites of a [S, N, 3] host tensor, uploading only 2 of 3
+    genotype components on f32 paths and reconstructing the third on
+    device (utils/hostmem.upload23_enabled: triples are reader-
+    normalized to sum 1, so the reconstruction is ~1e-7 relative —
+    below the kernels' bf16x3 floor)."""
     if P_host.shape[-1] == 3 and upload23_enabled(np_dtype):
-        S = int(P_host.shape[0])
-        P2h = parallel_cast_pad(P_host[..., :2], np_dtype, s_pad)
-        if s_pad > S:  # fresh buffer whenever padding happened
-            P2h[S:, :, 0] = PAD23
-        return expand23_sharded(shard_sites(P2h, mesh))
+        return expand23_sharded(shard_sites(
+            pack23(P_host, np_dtype, s_pad), mesh))
     return shard_sites(parallel_cast_pad(P_host, np_dtype, s_pad), mesh)
 
 

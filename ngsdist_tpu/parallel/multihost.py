@@ -24,7 +24,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..config import Params
 from ..core.preprocess import preprocess
 from ..io import readers
-from ..utils.hostmem import parallel_cast_pad, upload23_enabled
+from ..utils.hostmem import (PAD23, pack23, parallel_cast_pad,
+                             upload23_enabled)
 from .mesh import AXIS, _round_up
 
 
@@ -245,13 +246,13 @@ class SiteStream:
         hi = max(min(stop, pars.n_sites), start)
         # Threaded cast+pad: parallel first-touch of the local shard
         # (serial f64->f32 copies run at page-fault speed on VMs).
-        K = 2 if upload23_enabled(np_dtype) else 3
-        local = parallel_cast_pad(P_host[start:hi, :, :K], np_dtype,
-                                  stop - start)
-        if K == 2 and stop - start > hi - start:
-            from .mesh import PAD23
-
-            local[hi - start:, :, 0] = PAD23
+        # pack23 marks pad rows AND data-borne all-zero triples with
+        # the PAD23 sentinel so the device expansion restores them.
+        if upload23_enabled(np_dtype):
+            local = pack23(P_host[start:hi], np_dtype, stop - start)
+        else:
+            local = parallel_cast_pad(P_host[start:hi], np_dtype,
+                                      stop - start)
         return cls(pars, mesh, np_dtype, local, s_pad, chunk, start, stop)
 
     @staticmethod
@@ -282,28 +283,19 @@ class SiteStream:
         return bool(pars.in_geno and pars.in_bin and pars.in_geno != "-"
                     and not pars.in_geno.endswith(".gz"))
 
-    @staticmethod
-    def spill_eligible(pars: Params) -> bool:
-        """True when the input is NOT directly seekable but can be
-        streamed ONCE into a per-process disk cache that is: gz/plain
-        text, gzipped binary, or stdin.  With the cache, lazy rounds
-        work for every input style, so neither host RAM nor HBM bounds
-        genome length on ANY input (the reference's only bound is host
-        RAM for all of them, read_data.cpp:21)."""
-        return bool(pars.in_geno)
-
     @classmethod
     def wants_lazy(cls, pars: Params, np_dtype, n_rows: int) -> bool:
         """True when eagerly loading n_rows sites (the f64 read tensor
-        plus the cast shard) would exceed the host budget AND the input
-        supports lazy per-round reads — directly (seekable binary) or
-        via a one-pass spill cache (everything else).  The runner and
-        from_reader share this single predicate."""
+        plus the cast shard) would exceed the host budget.  EVERY input
+        style supports lazy per-round reads — seekable binary directly,
+        everything else (gz/plain text, gzipped binary, stdin) via a
+        one-pass spill cache (_build_spill) — so neither host RAM nor
+        HBM bounds genome length on ANY input (the reference's only
+        bound is host RAM for all of them, read_data.cpp:21).  The
+        runner and from_reader share this single predicate."""
         itemsize = np.dtype(np_dtype).itemsize
         need = n_rows * pars.n_ind * 3 * (itemsize + 8)
-        if need <= cls._host_budget_bytes():
-            return False
-        return cls.seekable_binary(pars) or cls.spill_eligible(pars)
+        return need > cls._host_budget_bytes()
 
     @classmethod
     def from_reader(cls, pars: Params, mesh: Mesh,
@@ -353,12 +345,10 @@ class SiteStream:
             )
         else:
             pre = np.zeros((0, pars.n_ind, 3), np_dtype)
-        K = 2 if upload23_enabled(np_dtype) else 3
-        local = parallel_cast_pad(pre[..., :K], np_dtype, stop - start)
-        if K == 2 and stop - start > pre.shape[0]:
-            from .mesh import PAD23
-
-            local[pre.shape[0]:, :, 0] = PAD23
+        if upload23_enabled(np_dtype):
+            local = pack23(pre, np_dtype, stop - start)
+        else:
+            local = parallel_cast_pad(pre, np_dtype, stop - start)
         return cls(pars, mesh, np_dtype, local, s_pad, chunk, start, stop)
 
     # ------------------------- spill cache --------------------------- #
@@ -379,13 +369,13 @@ class SiteStream:
         fd, cache = tempfile.mkstemp(prefix="ngsdist_spill_", suffix=".bin",
                                      dir=base)
         os.close(fd)
+        lo = min(start, pars.n_sites)
+        hi = min(stop, pars.n_sites)
         try:
             if pars.in_bin:
-                cls._copy_binary(pars, cache)
+                cls._copy_binary(pars, cache, lo, hi)
                 return dict(spill_path=cache, spill_norm=False,
-                            spill_base=0, spill_owned=True)
-            lo = min(start, pars.n_sites)
-            hi = min(stop, pars.n_sites)
+                            spill_base=lo, spill_owned=True)
             readers.spill_text_geno(
                 pars.in_geno, pars.in_probs, pars.in_logscale, pars.n_ind,
                 pars.n_sites, cache, site_range=(lo, hi),
@@ -397,21 +387,27 @@ class SiteStream:
             raise
 
     @staticmethod
-    def _copy_binary(pars: Params, cache: str) -> None:
-        """Decompress-copy a gz/stdin binary GP stream to `cache`, with
-        the reference's read-time size fatals (premature EOF / not at
-        EOF, read_data.cpp:29-47,106-109).  NaN checks stay at round-
-        read time, like direct seekable-binary lazy runs."""
+    def _copy_binary(pars: Params, cache: str, start: int, stop: int) -> None:
+        """Decompress-copy rows [start, stop) of a gz/stdin binary GP
+        stream to `cache` — each process spills only its own site shard
+        (total disk across P processes is ONE genome, not P), skipping
+        bytes before its shard and discard-reading after it so the
+        reference's read-time size fatals still fire (premature EOF /
+        not at EOF, read_data.cpp:29-47,106-109).  NaN checks stay at
+        round-read time, like direct seekable-binary lazy runs.  Only
+        non-seekable sources reach here (gz/stdin — the _build_spill
+        call-site guard); plain binary files are read lazily in place,
+        never spilled."""
         import gzip
         import sys as _sys
 
         from ..config import NgsDistError
 
         want = pars.n_sites * pars.n_ind * 3 * 8
+        row = pars.n_ind * 3 * 8
+        keep_lo, keep_hi = start * row, stop * row
         src = (_sys.stdin.buffer if pars.in_geno == "-" else
-               gzip.open(pars.in_geno, "rb")
-               if pars.in_geno.endswith(".gz") else
-               open(pars.in_geno, "rb"))
+               gzip.open(pars.in_geno, "rb"))
         total = 0
         try:
             with open(cache, "wb") as out:
@@ -419,14 +415,17 @@ class SiteStream:
                     buf = src.read(16 << 20)
                     if not buf:
                         break
-                    total += len(buf)
-                    if total > want:
+                    new = total + len(buf)
+                    if new > want:
                         raise NgsDistError(
                             "read_geno",
                             "GENO file not at EOF. Check GENO file and "
                             "number of sites!",
                         )
-                    out.write(buf)
+                    a, b = max(total, keep_lo), min(new, keep_hi)
+                    if b > a:
+                        out.write(buf[a - total: b - total])
+                    total = new
         finally:
             if src is not _sys.stdin.buffer:
                 src.close()
@@ -451,9 +450,13 @@ class SiteStream:
         if self.spill_norm:
             return readers.read_spill_rows(
                 self.spill_path, p.n_ind, g_lo, g_hi, base=self.spill_base)
+        # verbatim binary cache holds ONLY this process's shard rows
+        # [spill_base, min(stop, n_sites)) — rebase the read window
+        rows = min(self.stop, p.n_sites) - self.spill_base
         return readers.read_geno(
             self.spill_path, True, p.in_probs, p.in_logscale,
-            p.n_ind, p.n_sites, site_range=(g_lo, g_hi),
+            p.n_ind, rows,
+            site_range=(g_lo - self.spill_base, g_hi - self.spill_base),
         )
 
     # ------------------------- resident path ------------------------- #
@@ -500,12 +503,12 @@ class SiteStream:
         hi = min(lo + self.chunk, self.s_loc)
         out = np.zeros((self.n_local_dev, self.chunk, self.N, self.K),
                        self.np_dtype)
-        if self.K == 2:
-            # 2-component rounds: rows not overwritten with real data
-            # below get the PAD23 sentinel so the on-device expansion
-            # restores the all-zero padded triples the unweighted
-            # reductions (streamed block partials) rely on
-            from .mesh import PAD23
+        # 2-component rounds: rows without real data (round tails) get
+        # the PAD23 sentinel so the on-device expansion restores the
+        # all-zero padded triples the unweighted reductions (streamed
+        # block partials) rely on; lazy reads route through pack23,
+        # which also marks data-borne all-zero triples (empty-line
+        # missing sites).
         if self.lazy:
             # Read this round's rows of every local device's shard from
             # disk (binary seek via site_range), preprocess, cast.  The
@@ -517,12 +520,16 @@ class SiteStream:
                 g_hi = min((d0 + d) * self.s_loc + hi, self.S)
                 if g_hi > g_lo:
                     geno_log = self._read_rows(g_lo, g_hi)
-                    out[d, : g_hi - g_lo] = preprocess(
+                    pre = preprocess(
                         geno_log, self.pars.call_geno, self.pars.N_thresh,
                         self.pars.call_thresh,
-                    )[..., : self.K]
-                if self.K == 2 and g_hi - g_lo < self.chunk:
-                    out[d, g_hi - g_lo:, :, 0] = PAD23
+                    )
+                    if self.K == 2:
+                        out[d] = pack23(pre, self.np_dtype, self.chunk)
+                    else:
+                        out[d, : g_hi - g_lo] = pre
+                elif self.K == 2:
+                    out[d, :, :, 0] = PAD23
         else:
             l3 = self.local.reshape(
                 self.n_local_dev, self.s_loc, self.N, self.K)

@@ -72,6 +72,41 @@ def upload23_enabled(dtype) -> bool:
     return np.dtype(dtype) == np.float32
 
 
+# Sentinel in the p0 column of 2-component upload slabs for rows that
+# must expand back to the ALL-ZERO triple (a probability can never
+# exceed 1, so p0 = PAD23 is unambiguous): padding rows, and data-borne
+# (0,0,0) triples — text genomes consume empty lines as missing sites
+# whose -BIGNEG log prefill exp()s to (0,0,0), which is otherwise
+# indistinguishable from a hard-called (0,0,1) once p2 is dropped.
+# All-zero triples matter twice: missing_mask classifies them missing
+# (all components within EPSILON), and unweighted reductions (streamed
+# block partials) rely on padded rows being inert.
+PAD23 = 2.0
+
+
+def pack23(P3: np.ndarray, dtype, n_rows: int | None = None) -> np.ndarray:
+    """Pack a [S, ..., 3] normal-space probability tensor into the
+    2-component upload slab [n_rows, ..., 2] (threaded cast + pad), with
+    the PAD23 sentinel on every row the device-side expansion must
+    restore to all-zero: the pad tail (n_rows > S) and data-borne
+    all-zero triples.  See upload23_enabled for when callers pack."""
+    S = P3.shape[0]
+    rows = S if n_rows is None else n_rows
+    out = parallel_cast_pad(P3[..., :2], dtype, rows)
+    # candidate mask on the already-cast slab (cheap f32 read); confirm
+    # against the dropped component only when candidates exist ((0,0,*)
+    # rows: hard-called p2 one-hots, empty-line missing sites)
+    zz = (out[:S, ..., 0] == 0) & (out[:S, ..., 1] == 0)
+    mark = zz.any() and bool(np.logical_and(zz, P3[..., 2] == 0, out=zz).any())
+    if (mark or rows > S) and np.shares_memory(out, P3):
+        out = out.copy()  # parallel_cast_pad returned the input view
+    if rows > S:
+        out[S:, ..., 0] = PAD23
+    if mark:
+        out[:S, ..., 0][zz] = PAD23
+    return out
+
+
 def parallel_cast_pad(a: np.ndarray, dtype, n_rows: int,
                       max_threads: int = 16) -> np.ndarray:
     """Cast to dtype and zero-pad axis 0 to n_rows in ONE threaded pass

@@ -383,3 +383,38 @@ def test_spill_binary_copy_size_fatals(tmp_path, monkeypatch):
         mh.SiteStream._build_spill(pars, 0, S)
     # failed spills leave no cache behind
     assert [p for p in tmp_path.iterdir() if p.name.startswith("ngsdist_spill")] == []
+
+
+def test_spill_binary_shard_only(tmp_path, monkeypatch, mesh8):
+    """Each process's verbatim binary spill holds ONLY its own site
+    shard (total disk across P processes = one genome, not P genomes),
+    and lazy round reads rebase into the shard cache correctly."""
+    import os
+
+    rng = np.random.default_rng(65)
+    S, N = 30, 3
+    gp = rng.dirichlet(np.ones(3), size=(S, N))
+    gz = tmp_path / "gp.bin.gz"
+    with gzip.open(gz, "wb") as fh:
+        fh.write(gp.tobytes())
+    monkeypatch.setenv("NGSDIST_SPILL_DIR", str(tmp_path))
+    pars = Params(in_geno=str(gz), in_bin=True, in_probs=True,
+                  n_ind=N, n_sites=S, out="y", seed=1, verbose=0)
+    row = N * 3 * 8
+    # shard [16, 32) of an s_pad=32 mesh split — clamped to [16, S)
+    spill = mh.SiteStream._build_spill(pars, 16, 32)
+    try:
+        assert spill["spill_base"] == 16
+        assert os.path.getsize(spill["spill_path"]) == (S - 16) * row
+        got = np.fromfile(spill["spill_path"]).reshape(-1, N, 3)
+        np.testing.assert_array_equal(got, gp[16:])
+        # a lazy stream over this shard rebases its round reads
+        stream = mh.SiteStream(pars, mesh8, np.float64, None,
+                               s_pad=32, chunk=2, start=16, stop=32,
+                               **spill)
+        rows = stream._read_rows(18, 22)
+        eager = readers.read_geno(str(gz), True, True, False, N, S,
+                                  site_range=(18, 22))
+        np.testing.assert_array_equal(rows, eager)
+    finally:
+        mh.SiteStream._rm_spill(spill["spill_path"])

@@ -321,3 +321,34 @@ def test_lazy_stream_round_resume(tmp_path, monkeypatch):
                                         round_ckpt=True))
     assert reads["n"] == stream.n_rounds - 2, "completed rounds re-read"
     np.testing.assert_array_equal(resumed[0], expected[0])
+
+
+def test_broadcast_f64_exact_under_x32():
+    """Multi-host round-ckpt resume broadcasts host-f64 accumulators
+    (sums of f32 rounds, generally not f32-representable).  Under
+    x64-off — every real TPU run — a plain broadcast_one_to_all
+    device_puts and silently truncates them to f32; the byte-view
+    broadcast must stay bit-exact."""
+    import jax
+
+    # an f64 value that is NOT f32-representable (f32 sum + tiny tail)
+    a = np.float64(16777216.0) + np.linspace(0.1, 0.9, 7)
+    assert not np.array_equal(a.astype(np.float32).astype(np.float64), a)
+    jax.config.update("jax_enable_x64", False)
+    try:
+        # the hazard: multi-process broadcast_one_to_all routes arrays
+        # through a jit whose x64-off canonicalization truncates f64 to
+        # f32 (single-process short-circuits to np.asarray, so
+        # demonstrate the mechanism at the jit boundary it uses)
+        naive = np.asarray(jax.jit(lambda x: x)(a), np.float64)
+        assert not np.array_equal(naive, a)
+        # a uint8 byte view survives the same boundary bit-exactly
+        via_jit = np.asarray(
+            jax.jit(lambda x: x)(np.ascontiguousarray(a).view(np.uint8)))
+        np.testing.assert_array_equal(via_jit.view(np.float64), a)
+        # and the resume helper (passthrough single-process) is exact
+        got = dist._broadcast_f64_exact(a)
+        assert got.dtype == np.float64
+        np.testing.assert_array_equal(got, a)
+    finally:
+        jax.config.update("jax_enable_x64", True)

@@ -37,6 +37,12 @@ def _probs(S, N, seed=0):
     P[::17] = 1.0 / 3.0          # missing triples
     P[3::29, N // 2] = [0, 0, 1]  # one-hot hom (p0 = p1 = 0)
     P[7::31, N // 3] = [1, 0, 0]
+    # data-borne ALL-ZERO triples: empty-line text sites keep the
+    # reader's -BIGNEG prefill, whose exp() is (0,0,0) — in 2 components
+    # indistinguishable from the (0,0,1) one-hot above without the
+    # PAD23 sentinel (pack23)
+    P[11::37, N // 4] = [0, 0, 0]
+    P[5::41] = 0.0               # whole empty-line site
     return P
 
 
@@ -68,6 +74,77 @@ def test_suffstats_and_missing_unchanged(monkeypatch):
     # valid-site counts (EPSILON-tolerance missing test) must not move
     np.testing.assert_array_equal(c0, c1)
     np.testing.assert_allclose(r1, r0, rtol=5e-7, atol=1e-9)
+
+
+def test_pack23_marks_data_zero_triples():
+    """(0,0,0) triples — NOT padding — must round-trip through the
+    sentinel: without it they expand to confident (0,0,1) hom-alt
+    genotypes (round-3 review finding, reproduced end-to-end on an
+    empty-line .geno.gz)."""
+    P = _probs(120, 8, seed=4)
+    packed = hostmem.pack23(P, np.float32)
+    assert packed.shape == (120, 8, 2)
+    zz = (P == 0).all(axis=-1)
+    assert zz.any()
+    np.testing.assert_array_equal(packed[zz][:, 0], hostmem.PAD23)
+    got = np.asarray(dist.expand23(jnp.asarray(packed)))
+    np.testing.assert_array_equal(got[zz], 0.0)
+    # one-hot (0,0,1) survives as a REAL genotype
+    oh = (P[..., 2] == 1) & ~zz
+    assert oh.any()
+    np.testing.assert_array_equal(
+        got[oh], np.tile(np.float32([0, 0, 1]), (int(oh.sum()), 1)))
+
+
+def test_pack23_does_not_mutate_shared_input():
+    """Forced 2-comp upload of an already-f32 tensor: parallel_cast_pad
+    returns the caller's view, which pack23 must copy before writing
+    sentinels."""
+    P = _probs(50, 4, seed=5).astype(np.float32)
+    snap = P.copy()
+    packed = hostmem.pack23(P, np.float32)
+    np.testing.assert_array_equal(P, snap)
+    assert (packed[:, :, 0] == hostmem.PAD23).any()
+
+
+def test_empty_line_gz_e2e(tmp_path, monkeypatch):
+    """Empty lines in a text genome consume the site as missing
+    (reference read_data control flow); upload23 must not resurrect
+    them as hom-alt calls.  f32 end-to-end through the runner."""
+    import gzip
+
+    from ngsdist_tpu import runner
+    from ngsdist_tpu.config import Params
+
+    jax.config.update("jax_enable_x64", False)
+    try:
+        N, S = 5, 40
+        rng = np.random.default_rng(3)
+        lines = []
+        for s in range(S):
+            if s in (7, 23):
+                lines.append("")
+                continue
+            g = rng.dirichlet(np.ones(3), size=N).ravel()
+            lines.append("\t".join(f"{x:.6f}" for x in g))
+        geno = tmp_path / "empty.geno.gz"
+        with gzip.open(geno, "wt") as fh:
+            fh.write("\n".join(lines) + "\n")
+        out = {}
+        for env in ("0", "1"):
+            monkeypatch.setenv("NGSDIST_UPLOAD23", env)
+            pars = Params(in_geno=str(geno), in_probs=True, n_ind=N,
+                          n_sites=S, indep_geno=True, pairwise_del=True,
+                          seed=1, verbose=0,
+                          out=str(tmp_path / f"e_{env}.dist"))
+            pars.validate(); pars.finalize()
+            runner.run(pars, engine="jax")
+            rows = [l.split("\t")[1:]
+                    for l in open(tmp_path / f"e_{env}.dist") if "\t" in l]
+            out[env] = np.array(rows, np.float64)
+        np.testing.assert_allclose(out["1"], out["0"], rtol=0, atol=1e-6)
+    finally:
+        jax.config.update("jax_enable_x64", True)
 
 
 def test_x64_auto_disables():
