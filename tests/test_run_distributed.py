@@ -20,7 +20,8 @@ import os, sys
 os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
 import jax
 jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_enable_x64", True)
+jax.config.update("jax_enable_x64",
+                  os.environ.get("NGSDIST_TEST_X64", "1") == "1")
 
 pid, nproc, port, workdir = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3], sys.argv[4]
 sys.path.insert(0, {repo!r})
@@ -246,3 +247,57 @@ def test_run_distributed_resume(tmp_path):
     assert open(tmp_path / "mh.dist").read() == full
     # the writer reports only the 2 newly computed matrices
     assert any("OK 0 2" in o for o in outs), outs
+
+
+@pytest.mark.slow
+def test_run_distributed_f32_streamed(tmp_path):
+    """x64-OFF 2-process run — the real-TPU numeric regime: f32 engine
+    dtype, upload23 auto-ON (2-component SiteStream slabs + on-device
+    expansion, PAD23 sentinels on round tails), streamed rounds with
+    round checkpoints.  Must match a single-process f32 run at f32
+    tolerance (reduction orders differ at shard boundaries)."""
+    import jax
+
+    rng = np.random.default_rng(29)
+    gp = rng.dirichlet(np.ones(3), size=(57, 6))
+    gp[rng.random((57, 6)) < 0.15] = 1 / 3
+    gp.tofile(str(tmp_path / "gp.bin"))
+    worker = str(tmp_path / "worker.py")
+    with open(worker, "w") as fh:
+        fh.write(_WORKER.format(repo=REPO))
+    port = str(_free_port())
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "NGSDIST_DEVICE_BUDGET")}
+    env["NGSDIST_TEST_X64"] = "0"
+    env["NGSDIST_DEVICE_BUDGET"] = str(5 * 6 * 3 * 8)  # ~5 sites/round
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, str(pid), "2", port, str(tmp_path),
+             "1", "1", "-", "0", "0", "gp.bin"],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env,
+            text=True,
+        )
+        for pid in range(2)
+    ]
+    outs = [p.communicate(timeout=300)[0] for p in procs]
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, out
+
+    from ngsdist_tpu import runner
+    from ngsdist_tpu.config import Params
+
+    jax.config.update("jax_enable_x64", False)
+    try:
+        pars = Params(in_geno=str(tmp_path / "gp.bin"), in_bin=True,
+                      in_probs=True, n_ind=6, n_sites=57, seed=9,
+                      n_boot_rep=3, boot_block_size=5, pairwise_del=True,
+                      out=str(tmp_path / "single.dist"), verbose=0)
+        runner.run(pars, engine="jax")
+    finally:
+        jax.config.update("jax_enable_x64", True)
+
+    mh = _load(str(tmp_path / "mh.dist"))
+    single = _load(str(tmp_path / "single.dist"))
+    assert len(mh) == len(single) == 4
+    for a, b in zip(mh, single):
+        np.testing.assert_allclose(a, b, rtol=0, atol=2e-5)
