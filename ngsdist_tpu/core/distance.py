@@ -111,7 +111,7 @@ def expand23(P2: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(pad, jnp.zeros((), P2.dtype), P3)
 
 
-def put_probs(P_slice: np.ndarray, dtype) -> jnp.ndarray:
+def put_probs(P_slice: np.ndarray, dtype, may_zero: bool = True) -> jnp.ndarray:
     """Upload a [S, N, 3] host probability slab to the default device.
 
     f32 paths upload only the first two genotype components and
@@ -119,11 +119,13 @@ def put_probs(P_slice: np.ndarray, dtype) -> jnp.ndarray:
     the host cast is threaded either way (serial first-touch of a fresh
     multi-hundred-MB buffer runs at page-fault speed on sandboxed
     hosts).  The dispatch is asynchronous: staged uploads overlap
-    in-flight kernels.
+    in-flight kernels.  may_zero=False (binary-read inputs, which
+    cannot contain all-zero triples) skips pack23's sentinel scan.
     """
     npdt = np.dtype(np.float64 if dtype == jnp.float64 else np.float32)
     if P_slice.shape[-1] == 3 and upload23_enabled(npdt):
-        return expand23(jnp.asarray(pack23(P_slice, npdt)))
+        return expand23(jnp.asarray(pack23(P_slice, npdt,
+                                           may_zero=may_zero)))
     return jnp.asarray(parallel_astype(P_slice, npdt))
 
 
@@ -494,7 +496,7 @@ def iter_replicates(
     chunk = max(1, (budget * PREFETCH_KEEP_NUM // PREFETCH_KEEP_DEN)
                 // max(1, N * 3 * itemsize)) if chunked else S
     if not chunked:
-        P = put_probs(P_host, dtype)
+        P = put_probs(P_host, dtype, may_zero=not pars.in_bin)
 
     def stats_stream(site_weights=None, n_used=S, rep=0):
         if not chunked:
@@ -517,7 +519,8 @@ def iter_replicates(
                 acc_cnt = arrs.get("cnt")
 
         def stage(start, stop):
-            Pc = put_probs(P_host[start:stop], dtype)
+            Pc = put_probs(P_host[start:stop], dtype,
+                           may_zero=not pars.in_bin)
             wc = None if site_weights is None else site_weights[start:stop]
             return Pc, wc
 
@@ -858,6 +861,7 @@ def _iter_replicates_sharded(
         raw, cnt, B, C = pm.sharded_suffstats(
             arr, score, mesh, indep=False, pairwise_del=pars.pairwise_del,
             n_blocks=n_blocks, block_size=block_size, dtype=dtype, n_sites=S,
+            may_zero=not pars.in_bin,
         )
         if start_rep == 0:
             raw_m, cnt_m = to_matrix(raw, None if not pars.pairwise_del else cnt)
@@ -867,6 +871,7 @@ def _iter_replicates_sharded(
         raw, cnt, _, _ = pm.sharded_suffstats(
             arr, score, mesh, indep=pars.indep_geno,
             pairwise_del=pars.pairwise_del, dtype=dtype, n_sites=S,
+            may_zero=not pars.in_bin,
         )
         raw_m, cnt_m = to_matrix(raw, None if not pars.pairwise_del else cnt)
         denom = cnt_m if pars.pairwise_del else float(S)
@@ -881,6 +886,7 @@ def _iter_replicates_sharded(
             _, _, B, C = pm.sharded_suffstats(
                 arr, score, mesh, indep=True, pairwise_del=pars.pairwise_del,
                 n_blocks=n_blocks, block_size=block_size, dtype=dtype, n_sites=S,
+                may_zero=not pars.in_bin,
             )
         raw_r, cnt_r = pm.bootstrap_replicates(table, B, C, n_blocks, mesh)
         for r in range(n_reps):
@@ -898,7 +904,7 @@ def _iter_replicates_sharded(
             raw, cnt, _, _ = pm.sharded_suffstats(
                 arr, score, mesh, indep=pars.indep_geno,
                 pairwise_del=pars.pairwise_del, site_weights=w, dtype=dtype,
-                n_sites=S,
+                n_sites=S, may_zero=not pars.in_bin,
             )
             raw_m, cnt_m = to_matrix(raw, cnt)
             denom = cnt_m if pars.pairwise_del else float(n_trunc)
@@ -962,7 +968,8 @@ def _iter_replicates_extended(
     chunked = S * N * 3 * itemsize > budget
     chunk = max(1, (budget * PREFETCH_KEEP_NUM // PREFETCH_KEEP_DEN)
                 // max(1, N * 3 * itemsize)) if chunked else S
-    P = None if chunked else put_probs(P_host, dtype)
+    P = None if chunked else put_probs(P_host, dtype,
+                                       may_zero=not pars.in_bin)
 
     if pars.pairwise_del:
         # host-side miss_data (keeps chunk streaming device-free here)
@@ -1060,14 +1067,16 @@ def _iter_replicates_extended(
                     accs[cl][1] = arrs.get(f"cnt_{cl}")
         ranges = [(s, min(s + chunk, S)) for s in range(0, S, chunk)][skip:]
         idx = skip
-        pending = (put_probs(P_host[slice(*ranges[0])], dtype)
+        pending = (put_probs(P_host[slice(*ranges[0])], dtype,
+                               may_zero=not pars.in_bin)
                    if ranges else None)
         for k, (start, stop) in enumerate(ranges):
             Pc = pending
             if k + 1 < len(ranges):
                 # prefetch the next chunk (async device transfer) while
                 # this chunk's three class reductions run
-                pending = put_probs(P_host[slice(*ranges[k + 1])], dtype)
+                pending = put_probs(P_host[slice(*ranges[k + 1])],
+                                    dtype, may_zero=not pars.in_bin)
             for cl in CLS:
                 r, c = _class_stats_one(Pc, (w * masks[cl])[start:stop])
                 accs[cl][0] = r if accs[cl][0] is None else accs[cl][0] + r
@@ -1177,6 +1186,7 @@ def _extended_mesh(
         raw, cnt, _, _ = pm.sharded_suffstats(
             Parr, score, mesh, indep=pars.indep_geno,
             pairwise_del=pars.pairwise_del, site_weights=w, dtype=dtype,
+            may_zero=not pars.in_bin,
             n_sites=n_sites,
         )
         raw = np.asarray(raw, np.float64)
@@ -1210,6 +1220,7 @@ def _extended_mesh(
             pi = pm.sharded_pair_pi(
                 Pp, a1, a2, w_ok, mesh,
                 pairwise_del=pars.pairwise_del, dtype=dtype, n_sites=S,
+                may_zero=not pars.in_bin,
             ) if need_pi else None
             return stats, pi
         skip, arrs = _round_ckpt_resume(pars, rep, _ckpt_shapes(), round_ckpt)

@@ -116,15 +116,17 @@ def shard_sites(arr, mesh: Mesh):
 expand23_sharded = expand23
 
 
-def put_probs_sharded(P_host: np.ndarray, np_dtype, s_pad: int, mesh: Mesh):
+def put_probs_sharded(P_host: np.ndarray, np_dtype, s_pad: int, mesh: Mesh,
+                      may_zero: bool = True):
     """shard_sites of a [S, N, 3] host tensor, uploading only 2 of 3
     genotype components on f32 paths and reconstructing the third on
     device (utils/hostmem.upload23_enabled: triples are reader-
     normalized to sum 1, so the reconstruction is ~1e-7 relative —
-    below the kernels' bf16x3 floor)."""
+    below the kernels' bf16x3 floor).  may_zero=False skips pack23's
+    all-zero-triple scan (binary-read inputs cannot contain one)."""
     if P_host.shape[-1] == 3 and upload23_enabled(np_dtype):
         return expand23_sharded(shard_sites(
-            pack23(P_host, np_dtype, s_pad), mesh))
+            pack23(P_host, np_dtype, s_pad, may_zero=may_zero), mesh))
     return shard_sites(parallel_cast_pad(P_host, np_dtype, s_pad), mesh)
 
 
@@ -621,6 +623,7 @@ def sharded_pair_pi(
     pairwise_del: bool,
     dtype=None,
     n_sites: Optional[int] = None,
+    may_zero: bool = True,
 ):
     """[N, N, 4] per-pair base frequencies over the mesh (models 4-6).
 
@@ -644,7 +647,8 @@ def sharded_pair_pi(
         Pp = P_host
     else:
         s_pad = _plan_padding(S, n_dev, 1)
-        Pp = put_probs_sharded(P_host, np_dtype, s_pad, mesh)
+        Pp = put_probs_sharded(P_host, np_dtype, s_pad, mesh,
+                               may_zero=may_zero)
 
     A1h, A2h = allele_onehots(a1, a2, np_dtype)
 
@@ -741,6 +745,7 @@ def sharded_suffstats(
     block_size: int = 1,
     dtype=None,
     n_sites: Optional[int] = None,
+    may_zero: bool = True,
 ):
     """Sufficient statistics over the mesh.
 
@@ -815,7 +820,8 @@ def sharded_suffstats(
                             block_size)
             granule = tile
         s_pad = _plan_padding(S, n_dev, granule)
-        Pp = put_probs_sharded(P_host, np_dtype, s_pad, mesh)
+        Pp = put_probs_sharded(P_host, np_dtype, s_pad, mesh,
+                               may_zero=may_zero)
 
     def mask_fn(start, stop):
         out = np.zeros((stop - start,), np_dtype)

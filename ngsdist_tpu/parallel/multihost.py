@@ -249,7 +249,8 @@ class SiteStream:
         # pack23 marks pad rows AND data-borne all-zero triples with
         # the PAD23 sentinel so the device expansion restores them.
         if upload23_enabled(np_dtype):
-            local = pack23(P_host[start:hi], np_dtype, stop - start)
+            local = pack23(P_host[start:hi], np_dtype, stop - start,
+                           may_zero=not pars.in_bin)
         else:
             local = parallel_cast_pad(P_host[start:hi], np_dtype,
                                       stop - start)
@@ -346,7 +347,8 @@ class SiteStream:
         else:
             pre = np.zeros((0, pars.n_ind, 3), np_dtype)
         if upload23_enabled(np_dtype):
-            local = pack23(pre, np_dtype, stop - start)
+            local = pack23(pre, np_dtype, stop - start,
+                           may_zero=not pars.in_bin)
         else:
             local = parallel_cast_pad(pre, np_dtype, stop - start)
         return cls(pars, mesh, np_dtype, local, s_pad, chunk, start, stop)
@@ -525,7 +527,10 @@ class SiteStream:
                         self.pars.call_thresh,
                     )
                     if self.K == 2:
-                        out[d] = pack23(pre, self.np_dtype, self.chunk)
+                        # zeros can only come from text-parsed rows
+                        # (the spill_norm cache); binary reads cannot
+                        out[d] = pack23(pre, self.np_dtype, self.chunk,
+                                        may_zero=self.spill_norm)
                     else:
                         out[d, : g_hi - g_lo] = pre
                 elif self.K == 2:

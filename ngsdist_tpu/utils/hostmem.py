@@ -84,26 +84,55 @@ def upload23_enabled(dtype) -> bool:
 PAD23 = 2.0
 
 
-def pack23(P3: np.ndarray, dtype, n_rows: int | None = None) -> np.ndarray:
+def pack23(P3: np.ndarray, dtype, n_rows: int | None = None,
+           max_threads: int = 16, may_zero: bool = True) -> np.ndarray:
     """Pack a [S, ..., 3] normal-space probability tensor into the
-    2-component upload slab [n_rows, ..., 2] (threaded cast + pad), with
-    the PAD23 sentinel on every row the device-side expansion must
-    restore to all-zero: the pad tail (n_rows > S) and data-borne
-    all-zero triples.  See upload23_enabled for when callers pack."""
+    2-component upload slab [n_rows, ..., 2] (ONE threaded pass:
+    cast + pad + sentinel scan), with the PAD23 sentinel on every row
+    the device-side expansion must restore to all-zero: the pad tail
+    (n_rows > S) and data-borne all-zero triples.  The zero-triple
+    scan runs inside the cast workers on the just-written (cache-hot)
+    block — a separate serial pass measured ~4.6 s at 64k x 1k.
+
+    may_zero=False skips the scan (~30%% of the pack cost): all-zero
+    triples exist ONLY in text-read genomes (the -BIGNEG prefill of
+    empty-line missing sites) — every parsed row log-normalizes to
+    sum 1, so binary inputs cannot produce one (callers pass
+    `not pars.in_bin`).  See upload23_enabled for when callers pack."""
+    dtype = np.dtype(dtype)
     S = P3.shape[0]
     rows = S if n_rows is None else n_rows
-    out = parallel_cast_pad(P3[..., :2], dtype, rows)
-    # candidate mask on the already-cast slab (cheap f32 read); confirm
-    # against the dropped component only when candidates exist ((0,0,*)
-    # rows: hard-called p2 one-hots, empty-line missing sites)
-    zz = (out[:S, ..., 0] == 0) & (out[:S, ..., 1] == 0)
-    mark = zz.any() and bool(np.logical_and(zz, P3[..., 2] == 0, out=zz).any())
-    if (mark or rows > S) and np.shares_memory(out, P3):
-        out = out.copy()  # parallel_cast_pad returned the input view
-    if rows > S:
-        out[S:, ..., 0] = PAD23
-    if mark:
-        out[:S, ..., 0][zz] = PAD23
+    out = np.empty((rows,) + P3.shape[1:-1] + (2,), dtype)
+
+    def block(lo: int, hi: int) -> None:
+        cp = min(hi, S)
+        if lo < cp:
+            blk = out[lo:cp]
+            blk[...] = P3[lo:cp, ..., :2]
+            if may_zero:
+                # candidate mask on the just-cast block; confirm
+                # against the dropped component only when candidates
+                # exist ((0,0,*): p2 one-hots, empty-line sites)
+                zz = (blk[..., 0] == 0) & (blk[..., 1] == 0)
+                if zz.any():
+                    np.logical_and(zz, P3[lo:cp, ..., 2] == 0, out=zz)
+                    blk[..., 0][zz] = PAD23
+        if cp < hi:
+            pad = out[max(lo, S):hi]
+            pad[...] = 0
+            pad[..., 0] = PAD23
+
+    nt = min(max_threads, os.cpu_count() or 1, max(1, rows))
+    if P3.nbytes < _MIN_PARALLEL_BYTES or nt == 1:
+        block(0, rows)
+        return out
+    bounds = [(w * rows) // nt for w in range(nt + 1)]
+    ts = [threading.Thread(target=block, args=(bounds[w], bounds[w + 1]))
+          for w in range(nt)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
     return out
 
 
