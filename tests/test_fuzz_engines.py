@@ -24,18 +24,26 @@ def _write_inputs(tmp_path, rng, S, N, kind):
         gp.tofile(path)
         return path, dict(in_probs=True, in_bin=True)
     path = str(tmp_path / f"in_{kind}.geno.gz")
+    # empty lines consume the site as missing (read_data.cpp control
+    # flow) — the only source of all-zero triples downstream, so draw
+    # them (upload23's PAD23 sentinel path, exact-engine parity)
+    empty = (rng.random(S) < 0.1) if rng.random() < 0.3 else np.zeros(S, bool)
     if kind == "gt":
         g = rng.integers(-1, 3, size=(S, N))
         with gzip.open(path, "wt") as fh:
             for s in range(S):
-                fh.write("\t".join(str(int(x)) for x in g[s]) + "\n")
+                fh.write("" if empty[s] else
+                         "\t".join(str(int(x)) for x in g[s]))
+                fh.write("\n")
         return path, dict()
     gp = rng.dirichlet(np.ones(3) * rng.uniform(0.5, 8), size=(S, N))
     if rng.random() < 0.3:
         gp[rng.random((S, N)) < 0.2] = 1 / 3  # missing
     with gzip.open(path, "wt") as fh:
         for s in range(S):
-            fh.write("\t".join(f"{x:.8f}" for x in gp[s].reshape(-1)) + "\n")
+            fh.write("" if empty[s] else
+                     "\t".join(f"{x:.8f}" for x in gp[s].reshape(-1)))
+            fh.write("\n")
     return path, dict(in_probs=True)
 
 
@@ -133,3 +141,56 @@ def test_random_config_sharded_streamed_agree(tmp_path, trial, monkeypatch):
             mb, ma, rtol=0, atol=1e-10,
             err_msg=f"{kw} mesh=({n_dev},{pairs})",
         )
+
+
+@pytest.mark.parametrize("trial", range(6))
+def test_random_config_upload23_agree(tmp_path, trial, monkeypatch):
+    """f32 (x64-off) fuzz of the 2-of-3-component upload lane: random
+    configs/inputs (incl. empty-line text sites, the all-zero-triple
+    source), random meshes and streaming budgets, jax engine with
+    NGSDIST_UPLOAD23 forced off vs on.  Distances must agree to the
+    reconstruction floor (~1e-7 per site; EPSILON classification and
+    therefore valid-site counts are invariant)."""
+    import jax
+
+    from ngsdist_tpu.parallel import mesh as pm
+
+    rng = np.random.default_rng(7000 + trial)
+    S = int(rng.integers(30, 120))
+    N = int(rng.integers(3, 8))
+    kind = rng.choice(["gt", "gp", "bin"])
+    path, extra = _write_inputs(tmp_path, rng, S, N, kind)
+
+    kw = dict(extra)
+    if kind in ("gp", "bin") and rng.random() < 0.5:
+        kw["indep_geno"] = True
+    kw["pairwise_del"] = bool(rng.random() < 0.5)
+    kw["evol_model"] = int(rng.integers(0, 3))
+    if rng.random() < 0.5:
+        kw["n_boot_rep"] = int(rng.integers(1, 3))
+        kw["boot_block_size"] = int(rng.integers(1, max(2, S // 5)))
+
+    mesh = (pm.make_mesh(n_devices=int(rng.choice([2, 4])))
+            if rng.random() < 0.5 else None)
+    if rng.random() < 0.5:
+        monkeypatch.setenv("NGSDIST_DEVICE_BUDGET", str(8 * N * 3 * 8))
+    if mesh is not None and rng.random() < 0.5:
+        monkeypatch.setenv("NGSDIST_HOST_BUDGET", "1500")
+        monkeypatch.setenv("NGSDIST_SPILL_DIR", str(tmp_path))
+
+    base = dict(in_geno=path, n_ind=N, n_sites=S,
+                seed=int(rng.integers(1, 10000)), verbose=0, **kw)
+    jax.config.update("jax_enable_x64", False)
+    try:
+        out = {}
+        for env in ("0", "1"):
+            monkeypatch.setenv("NGSDIST_UPLOAD23", env)
+            out[env] = runner.run(
+                Params(out=str(tmp_path / f"u{env}.dist"), **base),
+                engine="jax", mesh=mesh)
+    finally:
+        jax.config.update("jax_enable_x64", True)
+    assert len(out["0"]) == len(out["1"])
+    for ma, mb in zip(out["0"], out["1"]):
+        np.testing.assert_allclose(mb, ma, rtol=0, atol=5e-6,
+                                   err_msg=f"{kw} mesh={mesh is not None}")
