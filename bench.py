@@ -171,7 +171,7 @@ def main_e2e() -> dict:
         gen_time = time.perf_counter() - t0
 
         times = []
-        for it in range(2):
+        for it in range(3):
             pars = Params(in_geno=geno, in_bin=True, in_probs=True,
                           n_ind=N, n_sites=S, indep_geno=True,
                           pairwise_del=True, evol_model=1, seed=1, verbose=0,
@@ -182,7 +182,11 @@ def main_e2e() -> dict:
             times.append(time.perf_counter() - t0)
     finally:
         shutil.rmtree(td, ignore_errors=True)
-    cold, warm = times
+    # min of the post-compile runs: on tunnel rigs the host->device
+    # copy bandwidth fluctuates minute-to-minute (a "warm" run was
+    # measured SLOWER than its cold predecessor), so one sample is
+    # noise, not a statement about the pipeline
+    cold, warm = times[0], min(times[1:])
     ups = (N * (N - 1) / 2) * S / warm
     print(f"# e2e {N} ind x {S} sites: input gen {gen_time:.1f}s, "
           f"pipeline cold {cold:.1f}s / warm {warm:.1f}s "
