@@ -28,6 +28,25 @@ sys.path.insert(0, {repo!r})
 from ngsdist_tpu.config import Params
 from ngsdist_tpu.parallel.multihost import run_distributed
 
+# test hook: hard-exit (no cleanup, like SIGKILL) at the Nth sharded
+# suffstats call — deterministic mid-replicate crash for round-ckpt
+# resume tests (collectives are lockstep, so every process hits the
+# same call index together)
+_crash_after = int(os.environ.get("NGSDIST_TEST_CRASH_AFTER", "0"))
+if _crash_after:
+    from ngsdist_tpu.parallel import mesh as _pm
+
+    _calls = {{"n": 0}}
+    _orig_ss = _pm.sharded_suffstats
+
+    def _spy(*a, **k):
+        _calls["n"] += 1
+        if _calls["n"] == _crash_after:
+            os._exit(17)
+        return _orig_ss(*a, **k)
+
+    _pm.sharded_suffstats = _spy
+
 pdel = sys.argv[5] == "1"
 evol = int(sys.argv[6]) if len(sys.argv) > 6 else 1
 pos = sys.argv[7] if len(sys.argv) > 7 and sys.argv[7] != "-" else None
@@ -301,3 +320,65 @@ def test_run_distributed_f32_streamed(tmp_path):
     assert len(mh) == len(single) == 4
     for a, b in zip(mh, single):
         np.testing.assert_allclose(a, b, rtol=0, atol=2e-5)
+
+
+@pytest.mark.slow
+def test_run_distributed_f32_round_ckpt_crash_resume(tmp_path):
+    """Round-checkpoint resume across REAL processes under x64-off: crash
+    both workers mid-replicate (hard exit at a lockstep suffstats call),
+    resume, and require the output byte-identical to an uninterrupted
+    run.  This is the end-to-end regression for the f64-accumulator
+    broadcast: resume broadcasts host-f64 sums of f32 rounds from
+    process 0, and a dtype-truncating broadcast flips output digits."""
+    rng = np.random.default_rng(31)
+    gp = rng.dirichlet(np.ones(3), size=(57, 6))
+    gp[rng.random((57, 6)) < 0.15] = 1 / 3
+    gp.tofile(str(tmp_path / "gp.bin"))
+    worker = str(tmp_path / "worker.py")
+    with open(worker, "w") as fh:
+        fh.write(_WORKER.format(repo=REPO))
+    base_env = {k: v for k, v in os.environ.items()
+                if k not in ("XLA_FLAGS", "NGSDIST_DEVICE_BUDGET")}
+    base_env["NGSDIST_TEST_X64"] = "0"
+    base_env["NGSDIST_DEVICE_BUDGET"] = str(5 * 6 * 3 * 8)  # ~3 rounds/rep
+
+    def launch(resume, crash_after=0, check=True):
+        env = dict(base_env)
+        if crash_after:
+            env["NGSDIST_TEST_CRASH_AFTER"] = str(crash_after)
+        port = str(_free_port())
+        procs = [
+            subprocess.Popen(
+                [sys.executable, worker, str(pid), "2", port, str(tmp_path),
+                 "1", "1", "-", "1" if resume else "0", "0", "gp.bin"],
+                stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env,
+                text=True,
+            )
+            for pid in range(2)
+        ]
+        outs = [p.communicate(timeout=300)[0] for p in procs]
+        for p, out in zip(procs, outs):
+            if check:
+                assert p.returncode == 0, out
+            else:
+                assert p.returncode == 17, out  # the planted hard exit
+        return outs
+
+    # uninterrupted run: 4 matrices (3 bootstrap replicates)
+    launch(resume=False)
+    full = (tmp_path / "mh.dist").read_bytes()
+    (tmp_path / "mh.dist").unlink()
+    for p in tmp_path.glob("mh.dist.*"):
+        p.unlink()
+
+    # crash mid-replicate-1 (rep 0 = calls 1-3 + durable write; call 5 =
+    # second round of rep 1), then resume
+    launch(resume=False, crash_after=5, check=False)
+    assert (tmp_path / "mh.dist").read_bytes() != full  # partial output
+    # the crash left an in-flight replicate's round checkpoint — the
+    # resume must go through the round-resume broadcast, not just the
+    # durable-replicate skip
+    assert list(tmp_path.glob("mh.dist*.rounds.npz")), \
+        list(tmp_path.iterdir())
+    launch(resume=True)
+    assert (tmp_path / "mh.dist").read_bytes() == full
