@@ -121,12 +121,40 @@ def put_probs(P_slice: np.ndarray, dtype, may_zero: bool = True) -> jnp.ndarray:
     hosts).  The dispatch is asynchronous: staged uploads overlap
     in-flight kernels.  may_zero=False (binary-read inputs, which
     cannot contain all-zero triples) skips pack23's sentinel scan.
+
+    A [S, N, 2] slab is an already-packed upload (the fused native
+    reader, io/readers.read_geno_pack23): uploaded as-is and expanded
+    on device.
     """
+    if P_slice.shape[-1] == 2:
+        return expand23(jnp.asarray(P_slice))
     npdt = np.dtype(np.float64 if dtype == jnp.float64 else np.float32)
-    if P_slice.shape[-1] == 3 and upload23_enabled(npdt):
+    if upload23_enabled(npdt):
         return expand23(jnp.asarray(pack23(P_slice, npdt,
                                            may_zero=may_zero)))
     return jnp.asarray(parallel_astype(P_slice, npdt))
+
+
+# Fused-read upload pipelining: per-chunk packed bytes of the chunks
+# streamed to the device while the NEXT chunk is read from disk
+# (jax.device_put dispatches asynchronously — the host->device copy of
+# chunk k is in flight while the fused reader parses chunk k+1).
+PIPE_UPLOAD_BYTES = 128 << 20
+
+
+def _upload_packed_pipelined(src, n_used: int) -> jnp.ndarray:
+    """Resident upload of a fused-read source (readers.PackedBinInput):
+    read packed [chunk, N, 2] slabs from disk and dispatch each async
+    upload immediately, overlapping disk/parse with the host link, then
+    assemble and expand ON DEVICE.  One pass over the file, no resident
+    f64 tensor."""
+    N = src.n_ind
+    step = max(1, PIPE_UPLOAD_BYTES // max(1, N * 8))
+    parts = [jnp.asarray(src.read_packed(lo, min(lo + step, n_used)))
+             for lo in range(0, n_used, step)]
+    P2 = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
+    del parts
+    return expand23(P2)
 
 
 def missing_mask(P: jnp.ndarray) -> jnp.ndarray:
@@ -495,8 +523,12 @@ def iter_replicates(
     chunked = S * N * 3 * itemsize > budget
     chunk = max(1, (budget * PREFETCH_KEEP_NUM // PREFETCH_KEEP_DEN)
                 // max(1, N * 3 * itemsize)) if chunked else S
+    # Fused-read source (runner fast path): packed f32 chunks stream
+    # from disk straight to the device — no resident host f64 tensor.
+    packed_src = hasattr(P_host, "read_packed")
     if not chunked:
-        P = put_probs(P_host, dtype, may_zero=not pars.in_bin)
+        P = (_upload_packed_pipelined(P_host, S) if packed_src
+             else put_probs(P_host, dtype, may_zero=not pars.in_bin))
 
     def stats_stream(site_weights=None, n_used=S, rep=0):
         if not chunked:
@@ -519,8 +551,13 @@ def iter_replicates(
                 acc_cnt = arrs.get("cnt")
 
         def stage(start, stop):
-            Pc = put_probs(P_host[start:stop], dtype,
-                           may_zero=not pars.in_bin)
+            # packed sources read the chunk from disk fused (one native
+            # pass to the upload-ready slab); the device_put dispatch is
+            # async either way, so staging overlaps the in-flight chunk
+            Pc = put_probs(
+                P_host.read_packed(start, stop) if packed_src
+                else P_host[start:stop],
+                dtype, may_zero=not pars.in_bin)
             wc = None if site_weights is None else site_weights[start:stop]
             return Pc, wc
 

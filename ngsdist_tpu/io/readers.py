@@ -117,6 +117,80 @@ def read_geno(
     return _read_geno_py(path, in_bin, in_probs, in_logscale, n_ind, n_sites)
 
 
+def read_geno_pack23(
+    path: str,
+    in_logscale: bool,
+    n_ind: int,
+    n_sites: int,
+    site_range: Optional[Tuple[int, int]] = None,
+) -> Optional[np.ndarray]:
+    """Fused one-pass read of a RAW binary GP file: parse -> normalize
+    -> exp -> f32 2-component pack, returning the upload-ready
+    [rows, n_ind, 2] slab (hostmem.pack23 layout, no sentinel rows —
+    binary triples always normalize to sum 1).  Bit-equal to the staged
+    read_geno -> preprocess -> pack23 pipeline (same libm calls in the
+    same order, native nd_read_geno_pack23), but ONE pass over the
+    data instead of three.  Returns None when the file is not raw
+    seekable binary (gzip magic, stdin, pipe) — callers fall back to
+    the staged path.  Reference arithmetic: read_data.cpp:29-47
+    (read+normalize in one pass) + gen_func.cpp:123-130 (conv_space)."""
+    import ctypes
+
+    if path == "-" or not _native.have_native():
+        return None
+    start, stop = site_range if site_range is not None else (0, n_sites)
+    lib = _native.get_lib()
+    out = np.empty((stop - start, n_ind, 2), dtype=np.float32)
+    errbuf = bytes(256)
+    err = ctypes.c_int(0)
+    rc = lib.nd_read_geno_pack23(
+        path.encode(), int(in_logscale), n_ind, n_sites, start, stop,
+        _native.as_float_ptr(out), errbuf, len(errbuf), ctypes.byref(err),
+    )
+    if rc == 2:
+        return None
+    if rc != 0:
+        raise NgsDistError("read_geno", errbuf.split(b"\0")[0].decode(),
+                           err=err.value)
+    return out
+
+
+class PackedBinInput:
+    """Deferred fused-read handle for raw binary GP inputs on the f32
+    engine path (runner fast path).
+
+    Instead of materializing the [S, N, 3] f64 tensor (read) and then
+    converting it twice more (exp, f32 pack) — three full passes and a
+    3x-resident host footprint — the engine pulls upload-ready packed
+    f32 [chunk, N, 2] slabs straight from disk via read_geno_pack23 and
+    dispatches each async device upload while the next chunk parses.
+    Values are bit-equal to the staged pipeline (same libm arithmetic).
+
+    Consequence of deferral: reader fatals that depend on file CONTENT
+    (the NaN check) surface when the affected chunk is read — mid-run
+    for multi-chunk streams — instead of before the first compute
+    banner as in the eager reference read (read_data.cpp:29-47).  Size
+    errors still fail up-front (Params.finalize stat check).  See
+    docs/PARITY.md.
+    """
+
+    def __init__(self, pars) -> None:
+        self.path = pars.in_geno
+        self.in_logscale = bool(pars.in_logscale)
+        self.n_ind = int(pars.n_ind)
+        self.n_sites = int(pars.n_sites)
+        self.shape = (self.n_sites, self.n_ind, 3)  # logical tensor shape
+
+    def read_packed(self, lo: int, hi: int) -> np.ndarray:
+        """Upload-ready f32 [hi-lo, n_ind, 2] slab for sites [lo, hi)."""
+        out = read_geno_pack23(self.path, self.in_logscale, self.n_ind,
+                               self.n_sites, site_range=(lo, hi))
+        if out is None:  # not raw binary after all (TOCTOU): hard error
+            raise NgsDistError("read_geno", "cannot read binary GENO file. "
+                               "Check GENO file and number of sites!")
+        return out
+
+
 def _postprob_py(tri: np.ndarray) -> np.ndarray:
     """Log-normalize triples along the last axis (post_prob semantics)."""
     m = np.max(tri, axis=-1, keepdims=True)

@@ -955,6 +955,183 @@ ND_EXPORT int nd_spill_text_geno(const char *path, int in_probs,
 }
 
 /* ------------------------------------------------------------------ */
+/* Fused packed reader (read -> normalize -> exp -> f32 2-comp pack)   */
+/* ------------------------------------------------------------------ */
+
+/* The staged pipeline (nd_read_geno f64 -> nd_exp_array -> host pack23
+ * cast) makes three full passes over the [S, n_ind, 3] f64 tensor — at
+ * 1k individuals x 1M sites that is ~75 GB of extra memory traffic and
+ * a 25 GB resident f64 tensor.  This reader fuses them for RAW binary
+ * GP inputs (the reference's -geno + -in_bin double stream,
+ * read_data.cpp:29-47): each worker preads its site slice in bounded
+ * scratch chunks and, per triple, applies the exact staged arithmetic —
+ * log (clamped, if the input is normal-space), the ordered log-sum-exp
+ * normalize (nd_postprob3), the NaN check, then exp and a float cast of
+ * the first TWO components (the third reconstructs on device as
+ * 1 - p0 - p1; hostmem.pack23 semantics with may_zero=False — binary
+ * triples always normalize to sum 1, so the PAD23 sentinel scan is
+ * vacuous).  Identical libm calls in identical order make the output
+ * bit-equal to the staged f32 path.  Worker writes double as the
+ * parallel first touch of the fresh output slab. */
+
+typedef struct {
+  int fd;
+  int64_t base_off;  /* file byte offset of triple 0 of the range */
+  int64_t t_lo, t_hi; /* this worker's triple range within the range */
+  float *out2;       /* packed output: triple t -> out2[2*t] */
+  int in_logscale;
+  int nan_flag;
+  int read_err;
+  int saved_errno;   /* libm errno from normalize only (not exp) */
+} nd_pack_job;
+
+#define ND_PACK_SCRATCH_TRIPLES 65536 /* 1.5 MB f64 scratch per worker */
+
+static void *nd_pack_worker(void *arg) {
+  nd_pack_job *j = (nd_pack_job *)arg;
+  double *scratch =
+      (double *)malloc(ND_PACK_SCRATCH_TRIPLES * 3 * sizeof(double));
+  if (!scratch) {
+    j->read_err = 1;
+    return NULL;
+  }
+  errno = 0;
+  for (int64_t t0 = j->t_lo; t0 < j->t_hi; t0 += ND_PACK_SCRATCH_TRIPLES) {
+    int64_t nt = j->t_hi - t0;
+    if (nt > ND_PACK_SCRATCH_TRIPLES) nt = ND_PACK_SCRATCH_TRIPLES;
+    int64_t bytes = nt * 3 * (int64_t)sizeof(double);
+    int64_t off = j->base_off + t0 * 3 * (int64_t)sizeof(double);
+    int64_t done = 0;
+    while (done < bytes) {
+      ssize_t r = pread(j->fd, (char *)scratch + done,
+                        (size_t)(bytes - done), off + done);
+      if (r <= 0) {
+        j->read_err = 1;
+        free(scratch);
+        return NULL;
+      }
+      done += r;
+    }
+    /* normalize pass: the staged reader's per-triple arithmetic */
+    for (int64_t t = 0; t < nt; t++) {
+      double *p = scratch + 3 * t;
+      if (!j->in_logscale) nd_log_array(p, ND_NGENO);
+      nd_postprob3(p, 1);
+      if (isnan(p[0]) || isnan(p[1]) || isnan(p[2])) j->nan_flag = 1;
+    }
+    /* exp+cast pass: exp's ERANGE underflow (one-hot triples) must not
+     * leak into the reported errno — the staged pipeline captures errno
+     * at read time, before preprocessing exp's (readers.py err plumb) */
+    int norm_errno = errno;
+    for (int64_t t = 0; t < nt; t++) {
+      double *p = scratch + 3 * t;
+      float *o = j->out2 + 2 * (t0 + t);
+      o[0] = (float)exp(p[0]);
+      o[1] = (float)exp(p[1]);
+    }
+    errno = norm_errno;
+  }
+  j->saved_errno = errno;
+  free(scratch);
+  return NULL;
+}
+
+/* Fused ranged reader for RAW (non-gzip, seekable) binary GP files.
+ * Fills out2[(site_stop-site_start)][n_ind][2] with normal-space f32
+ * 2-component triples.  Returns 0 on success, 1 on a reader fatal
+ * (errbuf set, reference messages), 2 when the file is not raw binary
+ * (gzip magic / unseekable) and the caller must take the staged path.
+ * Error semantics mirror nd_read_geno_impl's binary branch: complete
+ * triples are normalized before a short-file error is raised, a NaN
+ * among them outranks premature EOF, and when the range runs to
+ * n_sites a longer-than-expected file is "not at EOF"
+ * (read_data.cpp:29-47,106-109). */
+ND_EXPORT int nd_read_geno_pack23(const char *path, int in_logscale,
+                                  int64_t n_ind, int64_t n_sites,
+                                  int64_t site_start, int64_t site_stop,
+                                  float *out2, char *errbuf,
+                                  int64_t errbuf_cap, int *err_out) {
+  *err_out = 0;
+  if (strcmp(path, "-") == 0) return 2;
+  int fd = open(path, O_RDONLY);
+  if (fd < 0) {
+    nd_seterr(errbuf, errbuf_cap, "cannot open GENO file!");
+    *err_out = errno;
+    return 1;
+  }
+  unsigned char magic[2];
+  struct stat stv;
+  if (pread(fd, magic, 2, 0) != 2 || (magic[0] == 0x1f && magic[1] == 0x8b) ||
+      fstat(fd, &stv) != 0 || !S_ISREG(stv.st_mode)) {
+    close(fd);
+    return 2;
+  }
+  int64_t row = n_ind * ND_NGENO * (int64_t)sizeof(double);
+  int64_t total = n_sites * row;
+  int64_t base_off = site_start * row;
+  int64_t want = (site_stop - site_start) * n_ind; /* triples */
+  int64_t avail_bytes = (int64_t)stv.st_size - base_off;
+  if (avail_bytes < 0) avail_bytes = 0;
+  if (avail_bytes > want * 3 * (int64_t)sizeof(double))
+    avail_bytes = want * 3 * (int64_t)sizeof(double);
+  /* complete triples only: a partial trailing triple is never
+   * normalized (the reference's short gzread likewise drops it) */
+  int64_t have = avail_bytes / (3 * (int64_t)sizeof(double));
+
+  long nt = sysconf(_SC_NPROCESSORS_ONLN);
+  if (nt < 1) nt = 1;
+  if (nt > 16) nt = 16;
+  if (nt > have) nt = (long)(have > 0 ? have : 1);
+  nd_pack_job jobs[16];
+  pthread_t tids[16];
+  int64_t per = (have + nt - 1) / nt;
+  long nw = 0;
+  for (long w = 0; w < nt && w * per < have; w++) {
+    int64_t lo = w * per, hi = lo + per < have ? lo + per : have;
+    jobs[w] = (nd_pack_job){fd, base_off, lo, hi, out2,
+                            in_logscale, 0, 0, 0};
+    if (pthread_create(&tids[w], NULL, nd_pack_worker, &jobs[w])) {
+      nd_pack_worker(&jobs[w]);
+      nw = w + 1;
+      continue;
+    }
+    nw = w + 1;
+  }
+  for (long w = 0; w < nw; w++) pthread_join(tids[w], NULL);
+  int rc = 0;
+  int nan = 0, read_err = 0;
+  for (long w = 0; w < nw; w++) {
+    nan |= jobs[w].nan_flag;
+    read_err |= jobs[w].read_err;
+    /* last non-zero errno in triple order wins (nd_normalize_rows) */
+    if (jobs[w].saved_errno) *err_out = jobs[w].saved_errno;
+  }
+  close(fd);
+  if (nan) {
+    nd_seterr(errbuf, errbuf_cap, "NaN found! Is the file format correct?");
+    return 1;
+  }
+  if (read_err) {
+    nd_seterr(errbuf, errbuf_cap,
+              "cannot read binary GENO file. Check GENO file and number of "
+              "sites!");
+    return 1;
+  }
+  if (have < want) {
+    nd_seterr(errbuf, errbuf_cap,
+              "GENO file at premature EOF. Check GENO file and number of "
+              "sites!");
+    return 1;
+  }
+  if (site_stop == n_sites && (int64_t)stv.st_size > total) {
+    nd_seterr(errbuf, errbuf_cap,
+              "GENO file not at EOF. Check GENO file and number of sites!");
+    return 1;
+  }
+  return rc;
+}
+
+/* ------------------------------------------------------------------ */
 /* Exact pairwise distance engine                                      */
 /* ------------------------------------------------------------------ */
 

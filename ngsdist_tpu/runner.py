@@ -13,6 +13,7 @@ pair at once:
 
 from __future__ import annotations
 
+import os
 import sys
 from typing import List, Optional, TextIO
 
@@ -31,12 +32,41 @@ def _log(pars: Params, level: int, msg: str) -> None:
         print(msg, file=sys.stderr)
 
 
-def load_inputs(pars: Params, geno: bool = True):
+def _fused_packed_wanted(pars: Params, engine: str, mesh) -> bool:
+    """True when the genotype read should be DEFERRED to the engine as
+    a fused-read handle (readers.PackedBinInput): the engine then pulls
+    upload-ready packed f32 chunks straight from disk — one native pass
+    instead of read+exp+pack over a resident f64 tensor, with chunk
+    reads overlapping the async device upload.  Requires the f32
+    2-component upload path and an engine stage that never needs the
+    host tensor (models 0-2, no genotype calling, no per-site debug
+    replay).  NGSDIST_FUSED_READ=0 forces the staged pipeline."""
+    if engine != "jax" or mesh is not None:
+        return False
+    if os.environ.get("NGSDIST_FUSED_READ", "auto") == "0":
+        return False
+    if (not pars.in_bin or pars.in_geno == "-"
+            or pars.in_geno.endswith(".gz")):
+        return False
+    if pars.call_geno or pars.evol_model >= 3 or pars.verbose >= 8:
+        return False
+    import jax.numpy as jnp
+
+    from .core.distance import default_dtype
+    from .utils.hostmem import upload23_enabled
+
+    return (default_dtype() == jnp.float32
+            and upload23_enabled(np.float32))
+
+
+def load_inputs(pars: Params, geno: bool = True, fused: bool = False):
     """Read labels, positions and the genotype tensor; returns
     (labels, pos_rows, P_normal [n_sites, n_ind, 3]).
 
     geno=False skips the genotype read (P is None) — the lazy
-    disk-streaming path constructs a SiteStream instead."""
+    disk-streaming path constructs a SiteStream instead.
+    fused=True returns a readers.PackedBinInput handle instead of the
+    tensor (the engine reads fused packed chunks on demand)."""
     if pars.in_labels:
         _log(pars, 1, "==> Reading labels")
         labels = readers.read_labels(pars.in_labels, pars.in_labels_header, pars.n_ind)
@@ -57,6 +87,8 @@ def load_inputs(pars: Params, geno: bool = True):
     if not geno:
         return labels, pos_rows, None
     _log(pars, 1, "==> Reading genotype data")
+    if fused:
+        return labels, pos_rows, readers.PackedBinInput(pars)
     geno_log = readers.read_geno(
         pars.in_geno, pars.in_bin, pars.in_probs, pars.in_logscale,
         pars.n_ind, pars.n_sites,
@@ -292,7 +324,8 @@ def run(
 
     engine = resolve_engine(engine)
     lazy = _lazy_stream_wanted(pars, engine)
-    labels, pos_rows, P = load_inputs(pars, geno=not lazy)
+    fused = not lazy and _fused_packed_wanted(pars, engine, mesh)
+    labels, pos_rows, P = load_inputs(pars, geno=not lazy, fused=fused)
     if lazy:
         from .core.distance import default_dtype
         from .parallel.mesh import make_mesh

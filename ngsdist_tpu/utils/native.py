@@ -23,6 +23,7 @@ _lock = threading.Lock()
 _lib: ctypes.CDLL | None = None
 
 _c_dp = ctypes.POINTER(ctypes.c_double)
+_c_fp = ctypes.POINTER(ctypes.c_float)
 _c_i64p = ctypes.POINTER(ctypes.c_int64)
 _c_u64p = ctypes.POINTER(ctypes.c_uint64)
 
@@ -64,6 +65,12 @@ def _configure(lib: ctypes.CDLL) -> None:
         ctypes.POINTER(ctypes.c_int),
     ]
     lib.nd_spill_text_geno.restype = ctypes.c_int
+    lib.nd_read_geno_pack23.argtypes = [
+        ctypes.c_char_p, ctypes.c_int, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int64, ctypes.c_int64, _c_fp, ctypes.c_char_p,
+        ctypes.c_int64, ctypes.POINTER(ctypes.c_int),
+    ]
+    lib.nd_read_geno_pack23.restype = ctypes.c_int
     lib.nd_pair_dists.argtypes = [
         _c_dp, ctypes.c_int64, ctypes.c_int64, _c_i64p, ctypes.c_int64,
         _c_dp, ctypes.c_int, ctypes.c_int, ctypes.c_int64, ctypes.c_int,
@@ -101,6 +108,11 @@ def have_native() -> bool:
 def as_double_ptr(a: np.ndarray):
     assert a.dtype == np.float64 and a.flags["C_CONTIGUOUS"]
     return a.ctypes.data_as(_c_dp)
+
+
+def as_float_ptr(a: np.ndarray):
+    assert a.dtype == np.float32 and a.flags["C_CONTIGUOUS"]
+    return a.ctypes.data_as(_c_fp)
 
 
 def as_i64_ptr(a: np.ndarray):

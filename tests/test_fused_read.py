@@ -1,0 +1,197 @@
+"""Fused one-pass packed reader (native nd_read_geno_pack23).
+
+The staged binary pipeline — read_geno (f64) -> preprocess exp ->
+pack23 (f32 cast) — makes three full passes over the tensor; the fused
+reader produces the upload-ready f32 [S, N, 2] slab in ONE native pass.
+Contract pinned here:
+
+  (a) bit-equality with the staged pipeline (same libm calls in the
+      same order), full reads, ranged reads, and log-scale inputs;
+  (b) the reference reader's error surface (premature EOF, trailing
+      content, NaN precedence — read_data.cpp:29-47,106-109);
+  (c) graceful None on non-raw inputs (gzip magic) so callers fall
+      back to the staged path;
+  (d) the ENGINE path: runner.run over a PackedBinInput produces the
+      same matrices as the staged f32 run, resident and chunked.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from ngsdist_tpu.config import NgsDistError, Params
+from ngsdist_tpu.core.preprocess import preprocess
+from ngsdist_tpu.io import readers
+from ngsdist_tpu.utils.hostmem import pack23
+
+
+def _write_gp(tmp_path, S, N, seed=3, name="gp.bin"):
+    rng = np.random.default_rng(seed)
+    g = rng.exponential(size=(S, N, 3))
+    g /= g.sum(-1, keepdims=True)
+    g[5 % S, 3 % N] = [1, 0, 0]   # one-hot: exp underflow in normalize
+    g[(S - 1), N - 1] = [0, 0, 1]
+    path = os.path.join(tmp_path, name)
+    g.astype(np.float64).tofile(path)
+    return path, g
+
+
+def _staged(path, in_logscale, N, S):
+    geno_log = readers.read_geno(path, True, True, in_logscale, N, S)
+    return pack23(preprocess(geno_log, False, 0.0, 0.0), np.float32,
+                  may_zero=False)
+
+
+def test_bit_equal_full_range_logscale(tmp_path):
+    S, N = 301, 17
+    path, g = _write_gp(str(tmp_path), S, N)
+    fused = readers.read_geno_pack23(path, False, N, S)
+    assert fused is not None and fused.dtype == np.float32
+    np.testing.assert_array_equal(_staged(path, False, N, S), fused)
+
+    ranged = readers.read_geno_pack23(path, False, N, S,
+                                      site_range=(50, 200))
+    np.testing.assert_array_equal(fused[50:200], ranged)
+
+    logp = os.path.join(str(tmp_path), "gl.bin")
+    np.log(np.maximum(g, 1e-300)).tofile(logp)
+    fused_l = readers.read_geno_pack23(logp, True, N, S)
+    np.testing.assert_array_equal(_staged(logp, True, N, S), fused_l)
+
+
+def test_error_surface(tmp_path):
+    S, N = 64, 5
+    path, g = _write_gp(str(tmp_path), S, N)
+    with open(path, "rb") as fh:
+        buf = fh.read()
+
+    trunc = os.path.join(str(tmp_path), "trunc.bin")
+    with open(trunc, "wb") as fh:
+        fh.write(buf[:-40])
+    with pytest.raises(NgsDistError, match="premature EOF"):
+        readers.read_geno_pack23(trunc, False, N, S)
+
+    over = os.path.join(str(tmp_path), "over.bin")
+    with open(over, "wb") as fh:
+        fh.write(buf + b"\0" * 8)
+    with pytest.raises(NgsDistError, match="not at EOF"):
+        readers.read_geno_pack23(over, False, N, S)
+    # a ranged read that does NOT run to n_sites ignores trailing bytes
+    assert readers.read_geno_pack23(over, False, N, S,
+                                    site_range=(0, S - 1)) is not None
+
+    # NaN outranks premature EOF (complete triples are normalized first)
+    gn = g.copy()
+    gn[10, 2] = np.nan
+    nanp = os.path.join(str(tmp_path), "nan.bin")
+    gn.tofile(nanp)
+    with open(nanp, "rb") as fh:
+        nbuf = fh.read()
+    with open(nanp, "wb") as fh:
+        fh.write(nbuf[:-40])
+    with pytest.raises(NgsDistError, match="NaN found"):
+        readers.read_geno_pack23(nanp, False, N, S)
+
+
+def test_gzip_falls_back_to_none(tmp_path):
+    import gzip
+    import shutil
+
+    S, N = 32, 4
+    path, _ = _write_gp(str(tmp_path), S, N)
+    gz = os.path.join(str(tmp_path), "gp.gz.bin")  # gz magic, raw name
+    with open(path, "rb") as s, gzip.open(gz, "wb") as d:
+        shutil.copyfileobj(s, d)
+    assert readers.read_geno_pack23(gz, False, N, S) is None
+
+
+@pytest.fixture
+def f32_engine(monkeypatch):
+    """Force the f32 2-component engine path under the x64 test config
+    (the fused fast path is f32-only; production TPU runs are x64-off)."""
+    from ngsdist_tpu.core import distance as dist
+
+    monkeypatch.setenv("NGSDIST_UPLOAD23", "1")
+    monkeypatch.setattr(dist, "default_dtype", lambda: jnp.float32)
+    return dist
+
+
+def _run_engine(pars, P):
+    from ngsdist_tpu.core import bootstrap as bt
+    from ngsdist_tpu.core import distance as dist
+
+    n_trunc, maps = bt.site_maps(pars.seed, pars.n_boot_rep, pars.n_sites,
+                                 pars.boot_block_size)
+    return list(dist.iter_replicates(pars, P, maps, n_trunc))
+
+
+@pytest.mark.parametrize("budget", [None, 40000])
+def test_engine_matches_staged(tmp_path, monkeypatch, f32_engine, budget):
+    """runner fast path vs staged f32 path: identical matrices on the
+    resident (pipelined concat upload) and chunked (per-chunk fused
+    disk reads) streams, including bootstrap replicates."""
+    if budget is not None:
+        monkeypatch.setenv("NGSDIST_DEVICE_BUDGET", str(budget))
+    S, N = 600, 8
+    path, _ = _write_gp(str(tmp_path), S, N, seed=11)
+    pars = Params(in_geno=path, in_bin=True, in_probs=True, n_ind=N,
+                  n_sites=S, indep_geno=True, pairwise_del=True,
+                  evol_model=1, seed=5, n_boot_rep=2, boot_block_size=10,
+                  verbose=0, out=os.path.join(str(tmp_path), "o.dist"))
+    pars.validate()
+    pars.finalize()
+
+    staged_P = preprocess(
+        readers.read_geno(path, True, True, False, N, S), False, 0.0, 0.0)
+    want = _run_engine(pars, staged_P)
+    got = _run_engine(pars, readers.PackedBinInput(pars))
+    assert len(want) == len(got) == 3
+    for w, g in zip(want, got):
+        np.testing.assert_array_equal(w, g)
+
+
+def test_runner_gating(tmp_path, monkeypatch, f32_engine):
+    """_fused_packed_wanted: on for raw-binary f32 jax runs, off for
+    text/gz/stdin, exact engine, calling, extended models, v>=8, env."""
+    from ngsdist_tpu import runner
+
+    S, N = 16, 3
+    path, _ = _write_gp(str(tmp_path), S, N, seed=2)
+    base = dict(in_geno=path, in_bin=True, in_probs=True, n_ind=N,
+                n_sites=S, indep_geno=True, verbose=0)
+    assert runner._fused_packed_wanted(Params(**base), "jax", None)
+    assert not runner._fused_packed_wanted(Params(**base), "exact", None)
+    assert not runner._fused_packed_wanted(Params(**base), "jax", object())
+    assert not runner._fused_packed_wanted(
+        Params(**{**base, "in_geno": "-"}), "jax", None)
+    assert not runner._fused_packed_wanted(
+        Params(**{**base, "call_geno": True}), "jax", None)
+    assert not runner._fused_packed_wanted(
+        Params(**{**base, "evol_model": 4}), "jax", None)
+    assert not runner._fused_packed_wanted(
+        Params(**{**base, "verbose": 8}), "jax", None)
+    monkeypatch.setenv("NGSDIST_FUSED_READ", "0")
+    assert not runner._fused_packed_wanted(Params(**base), "jax", None)
+
+
+def test_runner_end_to_end_fused(tmp_path, monkeypatch, f32_engine):
+    """Full runner.run through the fused path == staged output file."""
+    from ngsdist_tpu import runner
+
+    S, N = 200, 6
+    path, _ = _write_gp(str(tmp_path), S, N, seed=7)
+
+    def run(tag, fused_env):
+        monkeypatch.setenv("NGSDIST_FUSED_READ", fused_env)
+        out = os.path.join(str(tmp_path), f"{tag}.dist")
+        pars = Params(in_geno=path, in_bin=True, in_probs=True, n_ind=N,
+                      n_sites=S, indep_geno=True, pairwise_del=True,
+                      evol_model=0, seed=1, verbose=0, out=out)
+        runner.run(pars, engine="jax")
+        with open(out) as fh:
+            return fh.read()
+
+    assert run("fused", "auto") == run("staged", "0")
