@@ -955,6 +955,75 @@ ND_EXPORT int nd_spill_text_geno(const char *path, int in_probs,
 }
 
 /* ------------------------------------------------------------------ */
+/* Phylip %.10f matrix formatter                                       */
+/* ------------------------------------------------------------------ */
+
+/* The output contract is glibc printf("%.10f") byte-for-byte
+ * (reference join(), gen_func.cpp:479-496) — a pure-Python per-element
+ * format runs ~1 us/value, which at 1k individuals is ~1 s per matrix
+ * and dominates a 100-replicate bootstrap stream.  Each row is
+ * formatted "\tv1\tv2...\tvn" into its own fixed-stride slot (threaded
+ * across rows; snprintf IS glibc printf, so inf/nan spellings and
+ * rounding are exact by construction). */
+
+typedef struct {
+  const double *m;
+  int64_t n_cols, r_lo, r_hi;
+  char *out;
+  int64_t stride;
+  int64_t *lens;
+  int overflow;
+} nd_fmt_job;
+
+static void *nd_fmt_worker(void *arg) {
+  nd_fmt_job *j = (nd_fmt_job *)arg;
+  for (int64_t r = j->r_lo; r < j->r_hi; r++) {
+    char *dst = j->out + r * j->stride;
+    int64_t pos = 0;
+    const double *row = j->m + r * j->n_cols;
+    for (int64_t c = 0; c < j->n_cols; c++) {
+      int wrote = snprintf(dst + pos, (size_t)(j->stride - pos), "\t%.10f",
+                           row[c]);
+      if (wrote < 0 || pos + wrote >= j->stride) {
+        j->overflow = 1;
+        return NULL;
+      }
+      pos += wrote;
+    }
+    j->lens[r] = pos;
+  }
+  return NULL;
+}
+
+/* Format an [n_rows, n_cols] f64 matrix as per-row "\tv\tv..." byte
+ * runs: row r occupies out[r*stride .. r*stride+lens[r]).  Returns 0,
+ * or 1 if any row overflowed `stride` (caller retries with a larger
+ * one). */
+ND_EXPORT int nd_format_matrix10f(const double *m, int64_t n_rows,
+                                  int64_t n_cols, char *out, int64_t stride,
+                                  int64_t *lens) {
+  long nt = sysconf(_SC_NPROCESSORS_ONLN);
+  if (nt < 1) nt = 1;
+  if (nt > 16) nt = 16;
+  if (nt > n_rows) nt = (long)(n_rows > 0 ? n_rows : 1);
+  nd_fmt_job jobs[16];
+  pthread_t tids[16];
+  int64_t per = (n_rows + nt - 1) / nt;
+  long nw = 0;
+  for (long w = 0; w < nt && w * per < n_rows; w++) {
+    int64_t lo = w * per, hi = lo + per < n_rows ? lo + per : n_rows;
+    jobs[w] = (nd_fmt_job){m, n_cols, lo, hi, out, stride, lens, 0};
+    if (pthread_create(&tids[w], NULL, nd_fmt_worker, &jobs[w]))
+      nd_fmt_worker(&jobs[w]);
+    nw = w + 1;
+  }
+  for (long w = 0; w < nw; w++) pthread_join(tids[w], NULL);
+  int ov = 0;
+  for (long w = 0; w < nw; w++) ov |= jobs[w].overflow;
+  return ov;
+}
+
+/* ------------------------------------------------------------------ */
 /* Fused packed reader (read -> normalize -> exp -> f32 2-comp pack)   */
 /* ------------------------------------------------------------------ */
 

@@ -71,6 +71,11 @@ def _configure(lib: ctypes.CDLL) -> None:
         ctypes.c_int64, ctypes.POINTER(ctypes.c_int),
     ]
     lib.nd_read_geno_pack23.restype = ctypes.c_int
+    lib.nd_format_matrix10f.argtypes = [
+        _c_dp, ctypes.c_int64, ctypes.c_int64, ctypes.c_char_p,
+        ctypes.c_int64, _c_i64p,
+    ]
+    lib.nd_format_matrix10f.restype = ctypes.c_int
     lib.nd_pair_dists.argtypes = [
         _c_dp, ctypes.c_int64, ctypes.c_int64, _c_i64p, ctypes.c_int64,
         _c_dp, ctypes.c_int, ctypes.c_int, ctypes.c_int64, ctypes.c_int,
