@@ -145,12 +145,41 @@ def _gen_gp_bin(path: str, N: int, S: int, seed: int = 7) -> float:
         g /= g.sum(axis=-1, keepdims=True)
         parts.append(g.tobytes())
     block = b"".join(parts)
-    with open(path, "wb") as fh:
-        full, rem = divmod(S, block_sites)
-        for _ in range(full):
-            fh.write(block)
-        if rem:
-            fh.write(block[: rem * N * 24])
+    full, rem = divmod(S, block_sites)
+    # threaded pwrite: serial writes page-fault at ~10 MB/s/thread on
+    # this sandbox (first touch of fresh tmpfs pages), so a 26 GB input
+    # would cost minutes of the bench budget single-threaded
+    import threading
+
+    fd = os.open(path, os.O_CREAT | os.O_TRUNC | os.O_WRONLY, 0o644)
+    try:
+        os.truncate(fd, S * N * 24)
+
+        def write_at(i):
+            os.pwrite(fd, block, i * len(block))
+
+        kmax = full + (1 if rem else 0)
+        idx = iter(range(kmax))
+        lock = threading.Lock()
+
+        def worker():
+            while True:
+                with lock:
+                    k = next(idx, None)
+                if k is None:
+                    return
+                if k < full:
+                    write_at(k)
+                else:
+                    os.pwrite(fd, block[: rem * N * 24], full * len(block))
+
+        ts = [threading.Thread(target=worker) for _ in range(4)]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join()
+    finally:
+        os.close(fd)
     return time.perf_counter() - t0
 
 

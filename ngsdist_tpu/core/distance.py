@@ -145,13 +145,24 @@ PIPE_UPLOAD_BYTES = 128 << 20
 def _upload_packed_pipelined(src, n_used: int) -> jnp.ndarray:
     """Resident upload of a fused-read source (readers.PackedBinInput):
     read packed [chunk, N, 2] slabs from disk and dispatch each async
-    upload immediately, overlapping disk/parse with the host link, then
-    assemble and expand ON DEVICE.  One pass over the file, no resident
-    f64 tensor."""
+    upload immediately, then assemble and expand ON DEVICE.  One pass
+    over the file, no resident f64 tensor.  The NEXT chunk's fused read
+    runs in a prefetch thread because device_put applies backpressure
+    (it blocks until the in-flight transfer drains) — without the
+    thread, disk reads and host-link copies ping-pong serially."""
+    from concurrent.futures import ThreadPoolExecutor
+
     N = src.n_ind
     step = max(1, PIPE_UPLOAD_BYTES // max(1, N * 8))
-    parts = [jnp.asarray(src.read_packed(lo, min(lo + step, n_used)))
-             for lo in range(0, n_used, step)]
+    ranges = [(lo, min(lo + step, n_used)) for lo in range(0, n_used, step)]
+    parts = []
+    with ThreadPoolExecutor(1) as ex:
+        fut = ex.submit(src.read_packed, *ranges[0])
+        for k in range(len(ranges)):
+            buf = fut.result()
+            if k + 1 < len(ranges):
+                fut = ex.submit(src.read_packed, *ranges[k + 1])
+            parts.append(jnp.asarray(buf))
     P2 = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
     del parts
     return expand23(P2)
@@ -313,6 +324,20 @@ def _em_scan(
         B = ys[0].reshape(n_tiles * bpt, n_pairs)
         C = ys[1].reshape(n_tiles * bpt, n_pairs)
     return raw, cnt, B, C
+
+
+def _fetch_pair(raw, cnt):
+    """Fetch (raw, cnt) device arrays as ONE device->host transfer by
+    stacking on device: each fetch through a tunneled device pays a
+    fixed round-trip latency that would otherwise double (cheap no-op
+    pass-through for host arrays / cnt=None / mismatched shapes)."""
+    if (cnt is None or isinstance(raw, np.ndarray)
+            or isinstance(cnt, np.ndarray)
+            or getattr(raw, "shape", None) != getattr(cnt, "shape", None)
+            or raw.dtype != cnt.dtype):
+        return raw, cnt
+    both = np.asarray(jnp.stack([raw, cnt]))
+    return both[0], both[1]
 
 
 def _scatter_pairs(vals: np.ndarray, I: np.ndarray, J: np.ndarray, n_ind: int) -> np.ndarray:
@@ -506,6 +531,7 @@ def iter_replicates(
         )
 
     def to_matrix(raw, cnt):
+        raw, cnt = _fetch_pair(raw, cnt)
         if raw.ndim == 1:  # pair-vector (EM path)
             raw_m = _scatter_pairs(np.asarray(raw, np.float64), I, J, N)
             cnt_m = None if cnt is None else _scatter_pairs(np.asarray(cnt, np.float64), I, J, N)
@@ -621,11 +647,27 @@ def iter_replicates(
             denom = cnt_m if pars.pairwise_del else float(n_trunc)
             yield _finalize(raw_m, denom, pars, on_stats)
     else:
-        for r in range(n_reps):
-            if r + 1 < start_rep:
-                continue
+        reps = [r for r in range(n_reps) if r + 1 >= start_rep]
+
+        def dispatch(r):
             w = np.bincount(maps[r], minlength=n_trunc).astype(np.float64)
-            raw, cnt = stats_stream(site_weights=w, n_used=n_trunc, rep=r + 1)
+            return stats_stream(site_weights=w, n_used=n_trunc, rep=r + 1)
+
+        # Resident runs: dispatch replicate r+1's kernel (async) BEFORE
+        # fetching replicate r — the device computes the next weighted
+        # replicate while the host blocks on the previous fetch, the
+        # model correction and the phylip write.  Chunked streams fetch
+        # inside stats_stream, so lookahead would just compute a whole
+        # replicate early (wasted on a graceful stop) — skipped.
+        lookahead = not chunked
+        pending = dispatch(reps[0]) if (reps and lookahead) else None
+        for k, r in enumerate(reps):
+            if lookahead:
+                raw, cnt = pending
+                if k + 1 < len(reps):
+                    pending = dispatch(reps[k + 1])
+            else:
+                raw, cnt = dispatch(r)
             raw_m, cnt_m = to_matrix(raw, cnt)
             denom = cnt_m if pars.pairwise_del else float(n_trunc)
             yield _finalize(raw_m, denom, pars, on_stats)
