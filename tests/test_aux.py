@@ -137,6 +137,33 @@ def test_read_pos_dist_invalid_distance():
         read_pos_dist([["c", "5"], ["c", "5"]], 2)  # distance 0 < 1
 
 
+def test_read_pos_dist_prevalidation():
+    """Reference order (read_data.cpp:165-218): EXACTLY n_sites kept
+    rows with >= 2 columns are required BEFORE any row is scanned — a
+    bad-distance row must not be reached when the count is wrong."""
+    from ngsdist_tpu.config import NgsDistError
+    from ngsdist_tpu.io.readers import read_pos_dist
+
+    with pytest.raises(NgsDistError, match="wrong number of lines"):
+        read_pos_dist([["c", "5"], ["c", "5"], ["c", "5"]], 2)
+    with pytest.raises(NgsDistError, match="wrong number of lines"):
+        read_pos_dist([["c", "5"]], 2)
+    with pytest.raises(NgsDistError, match="wrong POS file format"):
+        read_pos_dist([["c"], ["c"]], 2)
+
+
+def test_read_pos_dist_header_is_reference_hang(capsys):
+    """A position column that strtod-parses to 0 makes the reference
+    re-scan the same buffer slot forever (read_data.cpp:188-195);
+    reproduced as a clean fatal AFTER the reference's skip banner."""
+    from ngsdist_tpu.config import NgsDistError
+    from ngsdist_tpu.io.readers import read_pos_dist
+
+    with pytest.raises(NgsDistError, match="never terminates"):
+        read_pos_dist([["chr", "pos"], ["chr1", "100"]], 2)
+    assert "> Header found! Skipping line..." in capsys.readouterr().err
+
+
 def test_verbose3_pair_report(gt_file, tmp_path, capsys):
     out = str(tmp_path / "v3.dist")
     pars = _pars(gt_file, out, verbose=3, n_boot_rep=0)
