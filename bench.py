@@ -41,7 +41,7 @@ probe window (seconds, default 600, 0 = skip): the probe RETRIES a
 dead device tunnel with backoff until the window expires — a flaky
 tunnel at capture time must not cost the round's perf evidence
 (BENCH_r02 lesson) — and reports the failing stage when it gives up.
-NGSDIST_BENCH_BUDGET (seconds, default 900) bounds the default
+NGSDIST_BENCH_BUDGET (seconds, default 1500) bounds the default
 invocation's total wall time: modes still pending when it trips are
 recorded as skipped rather than run.
 """
@@ -311,12 +311,17 @@ def main_e2e_1m() -> dict:
     try:
         geno = os.path.join(td, "gp.bin")
         gen_time = _gen_gp_bin(geno, N, S)
+        print(f"# e2e-1M: input ready ({gen_time:.0f}s), starting runs",
+              file=sys.stderr, flush=True)
+        runs = int(os.environ.get("NGSDIST_BENCH_1M_RUNS", "2"))
         times = []
-        for it in range(2):
+        for it in range(runs):
             pars = _e2e_pars(geno, N, S, os.path.join(td, f"out{it}.dist"))
             t0 = time.perf_counter()
             runner.run(pars, engine="jax")
             times.append(time.perf_counter() - t0)
+            print(f"# e2e-1M: run {it} {times[-1]:.0f}s", file=sys.stderr,
+                  flush=True)
             if _deadline_passed():
                 break
     finally:
@@ -494,7 +499,7 @@ def main_indep() -> dict:
 
 
 _MODES = [("indep", main_indep), ("em", main_em), ("e2e", main_e2e),
-          ("e2e1m", main_e2e_1m), ("boot", main_boot)]
+          ("boot", main_boot), ("e2e1m", main_e2e_1m)]
 
 # Soft deadline shared with modes that can trim optional extra trials
 # (set by main_all from NGSDIST_BENCH_BUDGET; single-mode runs have none).
@@ -513,7 +518,7 @@ def main_all() -> int:
     single-metric format keep working; the other modes land under
     "metrics".  A failing mode is recorded and skipped, not fatal —
     BENCH artifacts should carry whatever the chip gave us."""
-    budget = float(os.environ.get("NGSDIST_BENCH_BUDGET", "900"))
+    budget = float(os.environ.get("NGSDIST_BENCH_BUDGET", "1500"))
     t_start = time.perf_counter()
     global _DEADLINE
     _DEADLINE = t_start + budget

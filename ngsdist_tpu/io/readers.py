@@ -95,7 +95,17 @@ def read_geno(
             path, in_bin, in_probs, in_logscale, n_ind, n_sites,
             site_range=site_range,
         )
-    if native and path != "-":
+    if native and path == "-":
+        # Stdin pipelines take the same threaded native parse as files
+        # (nd_read_geno gzdopen's fd 0, mirroring the reference's
+        # unified gz path, gen_func.cpp:208-223) — but only when
+        # sys.stdin IS fd 0: tests and embedders that swap sys.stdin
+        # for an in-memory stream fall back to the Python reader.
+        try:
+            native = sys.stdin.buffer.fileno() == 0 and not sys.stdin.closed
+        except (AttributeError, OSError, ValueError):
+            native = False
+    if native:
         import ctypes
 
         lib = _native.get_lib()

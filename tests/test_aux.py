@@ -152,6 +152,74 @@ def test_read_pos_dist_prevalidation():
         read_pos_dist([["c"], ["c"]], 2)
 
 
+def _subproc_env():
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env["PYTHONPATH"] = os.pathsep.join(
+        p for p in [repo] + os.environ.get("PYTHONPATH", "").split(os.pathsep)
+        if p)
+    return env
+
+
+def test_stdin_binary_routes_through_native_reader(tmp_path):
+    """`--geno -` (stdin is always BINARY, config.finalize like the
+    reference) takes the same native threaded parse as files
+    (nd_read_geno gzdopen's fd 0, reference gen_func.cpp:208-223): the
+    CLI run with the input piped on stdin must be byte-identical to
+    the file-path run."""
+    import subprocess
+    import sys as _sys
+
+    rng = np.random.default_rng(23)
+    gp = rng.dirichlet(np.ones(3), size=(80, 7))
+    path = str(tmp_path / "gp.bin")
+    gp.tofile(path)
+    outs = {}
+    for mode in ("file", "stdin"):
+        out = str(tmp_path / f"{mode}.dist")
+        args = ["--geno", path if mode == "file" else "-", "--probs",
+                "--n_ind", "7", "--n_sites", "80", "--seed", "1",
+                "--engine", "exact", "--out", out]
+        proc = subprocess.run(
+            [_sys.executable, "-m", "ngsdist_tpu"] + args,
+            input=open(path, "rb").read() if mode == "stdin" else None,
+            capture_output=True, env=_subproc_env(), timeout=300,
+        )
+        assert proc.returncode == 0, proc.stderr[-1500:]
+        outs[mode] = open(out, "rb").read()
+    assert outs["file"] == outs["stdin"]
+
+
+def test_stdin_text_native_reader_api(tmp_path):
+    """readers.read_geno('-', text) from a REAL pipe parses natively
+    (fd-0 check) and matches the file read bit-for-bit."""
+    import subprocess
+    import sys as _sys
+
+    rng = np.random.default_rng(29)
+    gp = rng.dirichlet(np.ones(3), size=(40, 5))
+    path = str(tmp_path / "gp.geno")
+    with open(path, "w") as fh:
+        for s in range(40):
+            fh.write("\t".join(f"{x:.8f}" for x in gp[s].reshape(-1)) + "\n")
+    npy = str(tmp_path / "got.npy")
+    code = (
+        "import sys, numpy as np\n"
+        "from ngsdist_tpu.io import readers\n"
+        "g = readers.read_geno('-', False, True, False, 5, 40)\n"
+        f"np.save({npy!r}, g)\n"
+    )
+    proc = subprocess.run(
+        [_sys.executable, "-c", code], input=open(path, "rb").read(),
+        capture_output=True, env=_subproc_env(), timeout=300,
+    )
+    assert proc.returncode == 0, proc.stderr[-1500:]
+    from ngsdist_tpu.io import readers
+
+    want = readers.read_geno(path, False, True, False, 5, 40)
+    np.testing.assert_array_equal(np.load(npy), want)
+
+
 def test_read_pos_dist_header_is_reference_hang(capsys):
     """A position column that strtod-parses to 0 makes the reference
     re-scan the same buffer slot forever (read_data.cpp:188-195);
