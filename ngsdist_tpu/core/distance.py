@@ -587,26 +587,34 @@ def iter_replicates(
             wc = None if site_weights is None else site_weights[start:stop]
             return Pc, wc
 
+        from concurrent.futures import ThreadPoolExecutor
+
         ranges = [(s, min(s + chunk, n_used))
                   for s in range(0, n_used, chunk)][skip:]
         idx = skip
-        pending = stage(*ranges[0]) if ranges else None
-        for k, _rng in enumerate(ranges):
-            Pc, wc = pending
-            raw, cnt, _, _ = full_stats(Pc, site_weights=wc)
-            if k + 1 < len(ranges):  # prefetch while the device works
-                pending = stage(*ranges[k + 1])
-            raw = np.asarray(raw, np.float64)
-            acc_raw = raw if acc_raw is None else acc_raw + raw
-            if cnt is not None:
-                cnt = np.asarray(cnt, np.float64)
-                acc_cnt = cnt if acc_cnt is None else acc_cnt + cnt
-            idx += 1
-            if round_ckpt:
-                arrs = {"raw": acc_raw}
-                if acc_cnt is not None:
-                    arrs["cnt"] = acc_cnt
-                ckpt_mod.save_rounds(pars.out, pars, rep, idx, arrs, engine="jax")
+        # Staging runs in a worker thread: device_put applies
+        # backpressure (it blocks while the previous chunk's transfer
+        # drains), so an inline stage() would serialize disk reads
+        # against the host link instead of overlapping them.
+        with ThreadPoolExecutor(1) as ex:
+            pending = ex.submit(stage, *ranges[0]) if ranges else None
+            for k, _rng in enumerate(ranges):
+                Pc, wc = pending.result()
+                raw, cnt, _, _ = full_stats(Pc, site_weights=wc)
+                if k + 1 < len(ranges):  # prefetch while the device works
+                    pending = ex.submit(stage, *ranges[k + 1])
+                raw = np.asarray(raw, np.float64)
+                acc_raw = raw if acc_raw is None else acc_raw + raw
+                if cnt is not None:
+                    cnt = np.asarray(cnt, np.float64)
+                    acc_cnt = cnt if acc_cnt is None else acc_cnt + cnt
+                idx += 1
+                if round_ckpt:
+                    arrs = {"raw": acc_raw}
+                    if acc_cnt is not None:
+                        arrs["cnt"] = acc_cnt
+                    ckpt_mod.save_rounds(pars.out, pars, rep, idx, arrs,
+                                         engine="jax")
         return acc_raw, acc_cnt
 
     # Replicate 0: full dataset (skipped entirely on resume).
@@ -1144,18 +1152,24 @@ def _iter_replicates_extended(
                 for cl in CLS:
                     accs[cl][0] = arrs[f"raw_{cl}"]
                     accs[cl][1] = arrs.get(f"cnt_{cl}")
+        from concurrent.futures import ThreadPoolExecutor
+
+        def stage_ext(rng_):
+            return put_probs(P_host[slice(*rng_)], dtype,
+                             may_zero=not pars.in_bin)
+
         ranges = [(s, min(s + chunk, S)) for s in range(0, S, chunk)][skip:]
         idx = skip
-        pending = (put_probs(P_host[slice(*ranges[0])], dtype,
-                               may_zero=not pars.in_bin)
-                   if ranges else None)
+        # threaded prefetch: device_put backpressure would otherwise
+        # serialize host staging against the link (see stats_stream)
+        ex = ThreadPoolExecutor(1)
+        pending = ex.submit(stage_ext, ranges[0]) if ranges else None
         for k, (start, stop) in enumerate(ranges):
-            Pc = pending
+            Pc = pending.result()
             if k + 1 < len(ranges):
-                # prefetch the next chunk (async device transfer) while
-                # this chunk's three class reductions run
-                pending = put_probs(P_host[slice(*ranges[k + 1])],
-                                    dtype, may_zero=not pars.in_bin)
+                # prefetch the next chunk while this chunk's three
+                # class reductions run
+                pending = ex.submit(stage_ext, ranges[k + 1])
             for cl in CLS:
                 r, c = _class_stats_one(Pc, (w * masks[cl])[start:stop])
                 accs[cl][0] = r if accs[cl][0] is None else accs[cl][0] + r
@@ -1171,6 +1185,7 @@ def _iter_replicates_extended(
                     if accs[cl][1] is not None:
                         arrs[f"cnt_{cl}"] = accs[cl][1]
                 ckpt_mod.save_rounds(pars.out, pars, rep, idx, arrs, engine="jax")
+        ex.shutdown(wait=False)
         return {cl: (accs[cl][0], accs[cl][1]) for cl in CLS}
 
     def pair_pi(w_ok: np.ndarray):
