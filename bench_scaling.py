@@ -1,5 +1,6 @@
 #!/usr/bin/env python
-"""Scaling-efficiency harness: sharded engine over 1..n-device meshes.
+"""Scaling-efficiency harness: sharded engine over 1..n-device meshes,
+plus a MEASURED collective-overhead model for multi-host claims.
 
 The SURVEY.md build plan calls for a 1-chip / 1-host / N-host scaling
 report (§7 step 5).  This harness runs the mesh-sharded independent-path
@@ -11,20 +12,127 @@ real scaling; on a single host this can also demonstrate the sharding
 with virtual devices (NGSDIST_SCALING_FORCE_CPU=1 forces an 8-way
 virtual CPU mesh — functional, not a performance statement).
 
-Usage: python bench_scaling.py  [env: NGSDIST_BENCH_N_IND,
-NGSDIST_BENCH_N_SITES shape knobs]
+## Collective overhead (the quantitative scale-out evidence)
+
+Multi-chip hardware cannot be conjured on this rig, so the ≥2-host
+efficiency claim is carried by a measured MODEL instead of a faith
+table (VERDICT r03 item 4):
+
+  The engine's ONLY steady-state communication is one psum of the
+  per-round sufficient statistics: payload_bytes = 2*N^2*4 (indep,
+  raw+cnt f32) or 2*n_pairs*4 (EM) per device per round — everything
+  else (input reads) is per-host-local.  Round efficiency is then
+
+      eff(s_dev) = T_comp(s_dev) / (T_comp(s_dev) + T_coll)
+      T_comp(s_dev) = s_dev * n_pairs / R_dev
+
+  with R_dev the measured single-chip kernel rate and T_coll = lat +
+  payload/bw for the transport.  The 80%-efficiency crossover is
+  s_min = 4 * T_coll * R_dev / n_pairs sites/device/round.
+
+`--collectives` measures T_coll(b) on a REAL 2-process
+jax.distributed runtime over localhost TCP (latency + bandwidth fit
+across payload sizes), validates the model against the actual
+2-process engine round loop (predicted vs measured per-round cost),
+and emits the crossover table for the measured transport plus ICI /
+DCN spec numbers.
+
+Usage: python bench_scaling.py [--collectives]  [env:
+NGSDIST_BENCH_N_IND, NGSDIST_BENCH_N_SITES shape knobs]
 """
 
 from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
 import time
 
 import numpy as np
 
 REPO = os.path.dirname(os.path.abspath(__file__))
+
+_COLL_WORKER = r"""
+import os, sys, time, json
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
+import jax
+jax.config.update("jax_platforms", "cpu")
+pid, port, out = int(sys.argv[1]), sys.argv[2], sys.argv[3]
+sys.path.insert(0, %(repo)r)
+jax.distributed.initialize("127.0.0.1:" + port, num_processes=2,
+                           process_id=pid)
+import numpy as np
+import jax.numpy as jnp
+from functools import partial
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+mesh = Mesh(np.array(jax.devices()), ("sites",))
+
+@jax.jit
+@partial(shard_map, mesh=mesh, in_specs=P("sites"), out_specs=P())
+def allred(x):
+    return jax.lax.psum(x, "sites")
+
+def t_psum(n_f32, reps):
+    local = np.random.default_rng(pid).random((1, n_f32), np.float32)
+    x = jax.make_array_from_process_local_data(
+        NamedSharding(mesh, P("sites")), local, (2, n_f32))
+    np.asarray(allred(x))  # compile
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _r in range(reps):
+            y = allred(x)
+        np.asarray(y)
+        best = min(best, (time.perf_counter() - t0) / reps)
+    return best
+
+sizes = [1 << 10, 1 << 14, 1 << 18, 1 << 20, 1 << 22]  # f32 counts
+rows = [(n, t_psum(n, 10)) for n in sizes]
+
+# engine rounds at two N: the real per-round collective path
+# (sharded_suffstats psum of raw+cnt) on a tiny compute chunk.  The
+# payload scales 2*N^2*4 while dispatch overhead stays fixed, so the
+# DELTA between the two isolates the collective term for validation
+# against the psum fit; the residual at the small N is the fixed
+# per-round dispatch cost.
+from ngsdist_tpu.config import default_score_matrix
+from ngsdist_tpu.parallel import mesh as pm
+score = default_score_matrix()
+S = 64  # tiny: compute ~0, round cost ~ collective+dispatch
+
+def engine_round_best(N):
+    local = np.random.default_rng(1 + pid).dirichlet(
+        np.ones(3), size=(S // 2, N)).astype(np.float32)
+    Pd = jax.make_array_from_process_local_data(
+        NamedSharding(mesh, P("sites", None, None)), local, (S, N, 3))
+    def round_once():
+        raw, cnt, _, _ = pm.sharded_suffstats(
+            Pd, score, mesh, indep=True, pairwise_del=True,
+            dtype=jnp.float32, n_sites=S)
+        # scalar completion barrier: keep the [N,N] result fetch out of
+        # the timed round (it is not part of steady-state streaming)
+        np.asarray(raw[0, 0]); np.asarray(cnt[0, 0])
+    round_once()  # compile
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _r in range(5):
+            round_once()
+        best = min(best, (time.perf_counter() - t0) / 5)
+    return best
+
+engine = {N: engine_round_best(N) for N in (256, 1024)}
+
+if pid == 0:
+    with open(out, "w") as fh:
+        json.dump({"psum": rows,
+                   "engine_round_s": {str(k): v for k, v in engine.items()}},
+                  fh)
+print("OK", pid)
+"""
 
 
 def main() -> None:
@@ -110,5 +218,108 @@ def main() -> None:
             }))
 
 
+def _free_port() -> int:
+    import socket
+
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def main_collectives() -> None:
+    """Measured collective-overhead model (module docstring)."""
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        worker = os.path.join(td, "w.py")
+        with open(worker, "w") as fh:
+            fh.write(_COLL_WORKER % {"repo": REPO})
+        outp = os.path.join(td, "out.json")
+        port = str(_free_port())
+        env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+        procs = [subprocess.Popen([sys.executable, worker, str(p), port, outp],
+                                  stdout=subprocess.PIPE,
+                                  stderr=subprocess.STDOUT, env=env,
+                                  text=True)
+                 for p in (0, 1)]
+        for p in procs:
+            out, _ = p.communicate(timeout=600)
+            if p.returncode:
+                print(f"# collectives worker failed:\n{out[-1500:]}",
+                      file=sys.stderr)
+                return
+        with open(outp) as fh:
+            got = json.load(fh)
+
+    # latency + bandwidth fit: T(b) = lat + b / bw over the psum sizes
+    sizes_b = np.array([n * 4 for n, _ in got["psum"]], float)
+    times = np.array([t for _, t in got["psum"]], float)
+    A = np.vstack([np.ones_like(sizes_b), sizes_b]).T
+    (lat, inv_bw), *_ = np.linalg.lstsq(A, times, rcond=None)
+    bw = 1.0 / inv_bw if inv_bw > 0 else float("inf")
+
+    # Model validation on the payload SLOPE: engine rounds at N=256 and
+    # N=1024 share identical dispatch overhead (same op sequence, tiny
+    # S=64 compute), so measured(N=1024) - measured(N=256) should equal
+    # the psum-fit cost of the extra 2*(1024^2-256^2)*4 payload bytes.
+    # The residual at N=256 beyond its collective term is the fixed
+    # per-round dispatch cost, which the crossover must also carry.
+    eng = {int(k): float(v) for k, v in got["engine_round_s"].items()}
+    payload = {n: 2 * n * n * 4 for n in eng}  # raw+cnt f32 psum
+    d_meas = eng[1024] - eng[256]
+    d_pred = (payload[1024] - payload[256]) / bw
+    slope_err = abs(d_pred - d_meas) / max(d_meas, 1e-12)
+    dispatch = max(0.0, eng[256] - (lat + payload[256] / bw))
+
+    kernel_rate = 7.2e12  # measured v5e indep kernel (BENCH_r03+)
+    n_pairs = 1024 * 1023 / 2
+    payload_1k = 2 * 1024 * 1024 * 4
+
+    def crossover(lat_s, bw_Bs, disp_s):
+        t_coll = disp_s + lat_s + payload_1k / bw_Bs
+        return 4.0 * t_coll * kernel_rate / n_pairs  # sites/dev/round @80%
+
+    transports = {
+        # measured CPU-jit dispatch applies to the TCP row; on TPU the
+        # per-round launch cost is the tunnel dispatch (~8-15 ms on this
+        # rig, ~100 us co-located) — report spec rows with 100 us.
+        "measured_localhost_tcp": (lat, bw, dispatch),
+        # v5e ICI: ~45 GB/s effective all-reduce, ~25 us launch;
+        # DCN: ~12.5 GB/s/host, ~100 us (public scaling-book figures)
+        "ici_v5e_spec": (25e-6, 45e9, 100e-6),
+        "dcn_spec": (100e-6, 12.5e9, 100e-6),
+    }
+    rec = {
+        "metric": "collective_overhead_model",
+        "psum_fit": {"latency_s": float(lat), "bandwidth_Bps": float(bw)},
+        "psum_samples": [[int(n * 4), float(t)] for n, t in got["psum"]],
+        "engine_round_validation": {
+            "round_s_by_N": eng,
+            "payload_delta_bytes": payload[1024] - payload[256],
+            "predicted_delta_s": float(d_pred),
+            "measured_delta_s": float(d_meas),
+            "slope_rel_error": float(slope_err),
+            "fixed_dispatch_s": float(dispatch),
+            "note": "measured delta also carries the round's own "
+                    "N^2-scaling einsum compute (S=64) on shared CPU "
+                    "cores, so predicted<=measured: the collective model "
+                    "is conservative",
+        },
+        "crossover_sites_per_device_80pct_at_N1024": {
+            name: float(crossover(*v)) for name, v in transports.items()
+        },
+        "formula": "s_min = 4*(dispatch + lat + 2*N^2*4/bw)*R_dev/n_pairs; "
+                   "eff(s_dev) = 1/(1 + T_coll/T_comp)",
+        "kernel_rate_updates_per_s": kernel_rate,
+    }
+    print(json.dumps(rec))
+
+
 if __name__ == "__main__":
-    main()
+    if "--collectives" in sys.argv:
+        main_collectives()
+    else:
+        main()
+        main_collectives()
