@@ -27,6 +27,16 @@ iteration cap; differs only by the exact normalization arithmetic
 (rounding-level) — the bit-exact contract is carried by the CPU engine
 (core/exact.py), and tests pin this kernel to the batched JAX EM
 (core/em.py) at float tolerance.
+
+Speed of light: the kernel is VMEM-issue-bound on its per-step [B, B]
+mask-chain state (a [256, 256] f32 array is 64 vregs — far over the
+register file — so each of the ~4 vector ops/lane/step streams through
+VMEM at ~2.3 cycles/vreg-op).  Round-4 roofline measurements (forced
+7- vs 49-step runs, six structural variants incl. a bit-identical
+single-carry form that regressed 30% under the production scoped-VMEM
+limit) put the current form at Mosaic's codegen floor for this
+algorithm — see docs/OPERATIONS.md "EM kernel roofline" for the full
+numbers before attempting to optimize this loop again.
 """
 
 from __future__ import annotations
