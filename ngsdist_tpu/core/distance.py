@@ -60,6 +60,26 @@ def default_dtype():
 PREFETCH_KEEP_NUM = 3
 PREFETCH_KEEP_DEN = 4
 
+# Streamed chunks must be small enough to PIPELINE, not merely to fit:
+# the FIRST chunk's fused read/stage has nothing to overlap with, so a
+# barely-over-budget genome split into two budget-sized chunks exposes
+# half its read time serially (round-4 1M e2e measured 90 s of a 281 s
+# run).  Planners therefore target at least STREAM_MIN_CHUNKS rounds,
+# floored at STREAM_MIN_CHUNK_SITES so per-chunk dispatch + [N, N]
+# result-fetch overhead (~0.2 s/chunk through the tunnel) stays
+# amortized; the device budget remains the hard UPPER bound.
+STREAM_MIN_CHUNKS = 16
+STREAM_MIN_CHUNK_SITES = 16384
+
+
+def _stream_chunk_sites(S: int, N: int, itemsize: int, budget: int) -> int:
+    """Site-chunk length for the single-device streamed engine loops."""
+    cap = max(1, (budget * PREFETCH_KEEP_NUM // PREFETCH_KEEP_DEN)
+              // max(1, N * 3 * itemsize))
+    depth = -(-S // STREAM_MIN_CHUNKS)
+    return max(1, min(cap, max(depth, STREAM_MIN_CHUNK_SITES)))
+
+
 # The engine's peak device footprint is a small multiple of the
 # probability tensor itself: the Pallas kernels materialize a padded
 # (indep: plane-major) layout copy, and the XLA einsum engine two
@@ -547,8 +567,7 @@ def iter_replicates(
     itemsize = np.dtype(np.float64 if dtype == jnp.float64 else np.float32).itemsize
     budget = _device_budget_bytes()
     chunked = S * N * 3 * itemsize > budget
-    chunk = max(1, (budget * PREFETCH_KEEP_NUM // PREFETCH_KEEP_DEN)
-                // max(1, N * 3 * itemsize)) if chunked else S
+    chunk = _stream_chunk_sites(S, N, itemsize, budget) if chunked else S
     # Fused-read source (runner fast path): packed f32 chunks stream
     # from disk straight to the device — no resident host f64 tensor.
     packed_src = hasattr(P_host, "read_packed")
@@ -1053,8 +1072,7 @@ def _iter_replicates_extended(
     itemsize = np.dtype(np.float64 if dtype == jnp.float64 else np.float32).itemsize
     budget = _device_budget_bytes()
     chunked = S * N * 3 * itemsize > budget
-    chunk = max(1, (budget * PREFETCH_KEEP_NUM // PREFETCH_KEEP_DEN)
-                // max(1, N * 3 * itemsize)) if chunked else S
+    chunk = _stream_chunk_sites(S, N, itemsize, budget) if chunked else S
     P = None if chunked else put_probs(P_host, dtype,
                                        may_zero=not pars.in_bin)
 

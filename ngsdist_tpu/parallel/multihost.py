@@ -230,7 +230,15 @@ class SiteStream:
         budget_sites = max(
             1, budget_sites * _dist.PREFETCH_KEEP_NUM // _dist.PREFETCH_KEEP_DEN)
         chunk = (budget_sites // pref) * pref or (budget_sites // g) * g or g
-        return s_loc, chunk
+        # Pipeline depth: the first round's read has nothing to overlap
+        # with, so a barely-over-budget shard split into 2 rounds
+        # exposes half its read serially — target STREAM_MIN_CHUNKS
+        # rounds (distance._stream_chunk_sites rationale), alignment
+        # kept, budget still the hard upper bound.
+        depth = _round_up(
+            max(-(-s_loc // _dist.STREAM_MIN_CHUNKS),
+                _dist.STREAM_MIN_CHUNK_SITES), pref)
+        return s_loc, min(chunk, depth)
 
     # -------------------------- constructors ------------------------- #
 

@@ -110,10 +110,13 @@ def pack23(P3: np.ndarray, dtype, n_rows: int | None = None,
             blk = out[lo:cp]
             blk[...] = P3[lo:cp, ..., :2]
             if may_zero:
-                # candidate mask on the just-cast block; confirm
-                # against the dropped component only when candidates
-                # exist ((0,0,*): p2 one-hots, empty-line sites)
-                zz = (blk[..., 0] == 0) & (blk[..., 1] == 0)
+                # candidate mask on the SOURCE dtype (cache-hot from
+                # the cast just above), not the cast block: an f64
+                # triple with sub-f32-denormal p0/p1 casts to 0.0f and
+                # would be falsely sentineled by an f32-side scan.
+                # Confirm against the dropped component only when
+                # candidates exist ((0,0,*): p2 one-hots, empty-lines)
+                zz = (P3[lo:cp, ..., 0] == 0) & (P3[lo:cp, ..., 1] == 0)
                 if zz.any():
                     np.logical_and(zz, P3[lo:cp, ..., 2] == 0, out=zz)
                     blk[..., 0][zz] = PAD23
