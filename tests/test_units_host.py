@@ -541,3 +541,71 @@ def test_two_column_pos_verbose4_dump_is_graceful(tmp_path, capfd):
     mats = runner.run(pars, engine="exact")
     assert len(mats) == 1
     assert "chr1\t1\t\t" in capfd.readouterr().err
+
+
+class TestStreamChunkPlanner:
+    """Pipeline-depth chunk sizing (distance._stream_chunk_sites and the
+    SiteStream round planner): streamed chunks target >= 16 rounds so
+    the first chunk's unoverlapped read stays a small fraction of the
+    stream (round-4 1M e2e: 2 budget-sized chunks exposed 90 s of a
+    281 s run), floored at 16k sites, with the device budget as the
+    hard upper bound."""
+
+    def test_headline_shape_gets_depth(self):
+        from ngsdist_tpu.core import distance as dist
+
+        # 1024 ind x 1M sites f32 against the default 12 GiB/3 budget:
+        # barely over budget -> old sizing gave 2 chunks, now 16.
+        S, N, itemsize = 1 << 20, 1024, 4
+        budget = (12 << 30) // 3
+        assert S * N * 3 * itemsize > budget
+        chunk = dist._stream_chunk_sites(S, N, itemsize, budget)
+        assert chunk == S // dist.STREAM_MIN_CHUNKS
+        assert -(-S // chunk) >= dist.STREAM_MIN_CHUNKS
+
+    def test_budget_remains_upper_bound(self):
+        from ngsdist_tpu.core import distance as dist
+
+        # tiny forced budgets (test fixtures) keep their exact old size
+        S, N, itemsize = 1200, 20, 8
+        budget = dist._WORKING_SET_FACTOR * 16 * N * 3 * 8 \
+            * dist.PREFETCH_KEEP_DEN // dist.PREFETCH_KEEP_NUM \
+            // dist._WORKING_SET_FACTOR
+        chunk = dist._stream_chunk_sites(S, N, itemsize, budget)
+        cap = (budget * dist.PREFETCH_KEEP_NUM
+               // dist.PREFETCH_KEEP_DEN) // (N * 3 * itemsize)
+        assert chunk == cap  # depth floor never exceeds the budget cap
+
+    def test_small_streams_keep_min_chunk(self):
+        from ngsdist_tpu.core import distance as dist
+
+        # S/16 below the floor: the 16k minimum wins (fetch overhead)
+        chunk = dist._stream_chunk_sites(100_000, 64, 4, 1 << 62)
+        assert chunk == dist.STREAM_MIN_CHUNK_SITES
+
+    def test_sitestream_plan_depth_and_alignment(self):
+        from ngsdist_tpu.config import Params
+        from ngsdist_tpu.core import distance as dist
+        from ngsdist_tpu.parallel import make_mesh
+        from ngsdist_tpu.parallel.multihost import SiteStream
+
+        mesh = make_mesh(n_devices=8)
+        pars = Params(in_geno="x", n_ind=64, n_sites=1 << 20, out="o",
+                      n_boot_rep=2, boot_block_size=96, indep_geno=True)
+        old = os.environ.get("NGSDIST_DEVICE_BUDGET")
+        os.environ["NGSDIST_DEVICE_BUDGET"] = str(
+            pars.n_sites * pars.n_ind * 3 * 4 // 8)  # force streaming
+        try:
+            s_loc, chunk = SiteStream._plan(pars, mesh, np.float32)
+        finally:
+            if old is None:
+                del os.environ["NGSDIST_DEVICE_BUDGET"]
+            else:
+                os.environ["NGSDIST_DEVICE_BUDGET"] = old
+        # s_loc = round_up(2^20/8, 96) = 131136; the old budget-only
+        # sizing gave chunk 32736 (4 rounds + remainder); the depth
+        # target is round_up(max(s_loc/16, 16384), 96) = 16416 -> 8
+        # aligned rounds, still under the budget cap.
+        assert s_loc == 131136
+        assert chunk == 16416
+        assert chunk % pars.boot_block_size == 0  # alignment kept
