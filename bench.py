@@ -222,8 +222,9 @@ def _e2e_pars(geno, N, S, out, **kw):
     from ngsdist_tpu.config import Params
 
     kw.setdefault("seed", 1)
+    kw.setdefault("indep_geno", True)
     pars = Params(in_geno=geno, in_bin=True, in_probs=True,
-                  n_ind=N, n_sites=S, indep_geno=True,
+                  n_ind=N, n_sites=S,
                   pairwise_del=True, evol_model=1, verbose=0,
                   out=out, **kw)
     pars.validate(); pars.finalize()
@@ -384,6 +385,60 @@ def main_boot() -> dict:
     return rec
 
 
+def main_e2e_em() -> dict:
+    """EM-path (non-independent genotypes) end-to-end: binary GP file ->
+    fused reader -> per-(pair,site) EM Pallas kernel -> phylip writer.
+    Unlike the indep e2e — whose kernel is so fast the wall-time is
+    ~100% the rig's tunneled host->device copy — the EM e2e is
+    COMPUTE-bound (kernel ~2.1e9 upd/s vs the CPU's 4.1e7), so this
+    line shows the engine through the tunnel rather than the tunnel.
+    Shape 1024 x 16k: ~8.6e9 EM problems, ~4 s device compute vs ~3 s
+    upload.  Reference path: ngsDist.cpp:348-349 (em2 per site) under
+    the default !indep_geno."""
+    import shutil
+    import tempfile
+
+    sys.path.insert(0, REPO)
+    from ngsdist_tpu import runner
+
+    N = int(os.environ.get("NGSDIST_BENCH_N_IND", 1024))
+    S = int(os.environ.get("NGSDIST_BENCH_EM_E2E_SITES", 1 << 14))
+    base = "/dev/shm" if os.access("/dev/shm", os.W_OK) else None
+    td = tempfile.mkdtemp(dir=base)
+    try:
+        geno = os.path.join(td, "gp.bin")
+        gen_time = _gen_gp_bin(geno, N, S)
+        times = []
+        for it in range(5):
+            pars = _e2e_pars(geno, N, S, os.path.join(td, f"out{it}.dist"),
+                             indep_geno=False)
+            t0 = time.perf_counter()
+            runner.run(pars, engine="jax")
+            times.append(time.perf_counter() - t0)
+            if it >= 2 and _deadline_passed():
+                break
+    finally:
+        shutil.rmtree(td, ignore_errors=True)
+    cold, post = times[0], sorted(times[1:])
+    warm = post[0]
+    med = post[(len(post) - 1) // 2]
+    ups = (N * (N - 1) / 2) * S / warm
+    print(f"# EM e2e {N} ind x {S} sites: input gen {gen_time:.1f}s, "
+          f"pipeline cold {cold:.1f}s / warm min {warm:.1f}s median "
+          f"{med:.1f}s (EM kernel compute-bound)", file=sys.stderr)
+    rec = _record("em_e2e_pair_site_updates_per_sec", ups, "updates/s",
+                  "cpu64_em_updates_per_sec")
+    rec["cold_s"] = round(cold, 3)
+    rec["warm_s"] = round(warm, 3)
+    rec["warm_median_s"] = round(med, 3)
+    rec["samples_s"] = [round(t, 3) for t in times]
+    from ngsdist_tpu.utils.hostmem import upload23_enabled
+
+    _floor_fields(rec, warm,
+                  S * N * (8 if upload23_enabled(np.float32) else 12))
+    return rec
+
+
 def main_indep() -> dict:
     import jax
     import jax.numpy as jnp
@@ -499,7 +554,8 @@ def main_indep() -> dict:
 
 
 _MODES = [("indep", main_indep), ("em", main_em), ("e2e", main_e2e),
-          ("boot", main_boot), ("e2e1m", main_e2e_1m)]
+          ("e2e_em", main_e2e_em), ("boot", main_boot),
+          ("e2e1m", main_e2e_1m)]
 
 # Soft deadline shared with modes that can trim optional extra trials
 # (set by main_all from NGSDIST_BENCH_BUDGET; single-mode runs have none).
@@ -636,6 +692,8 @@ if __name__ == "__main__":
         print(json.dumps(main_e2e()))
     elif "--e2e1m" in sys.argv:
         print(json.dumps(main_e2e_1m()))
+    elif "--e2e_em" in sys.argv:
+        print(json.dumps(main_e2e_em()))
     elif "--boot" in sys.argv:
         print(json.dumps(main_boot()))
     elif "--indep" in sys.argv:
