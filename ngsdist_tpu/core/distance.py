@@ -146,13 +146,60 @@ def put_probs(P_slice: np.ndarray, dtype, may_zero: bool = True) -> jnp.ndarray:
     reader, io/readers.read_geno_pack23): uploaded as-is and expanded
     on device.
     """
+    return _send_probs(_host_pack(P_slice, dtype, may_zero=may_zero))
+
+
+def _host_pack(P_slice: np.ndarray, dtype, may_zero: bool = True) -> np.ndarray:
+    """Host half of put_probs: the upload-ready slab (packed f32
+    [S, N, 2] when upload23 is on, else a threaded cast), no device
+    traffic.  Split out so streamed loops can run it on a thread that
+    is NOT the one holding the device link (_pipelined_chunks)."""
     if P_slice.shape[-1] == 2:
-        return expand23(jnp.asarray(P_slice))
+        return P_slice
     npdt = np.dtype(np.float64 if dtype == jnp.float64 else np.float32)
     if upload23_enabled(npdt):
-        return expand23(jnp.asarray(pack23(P_slice, npdt,
-                                           may_zero=may_zero)))
-    return jnp.asarray(parallel_astype(P_slice, npdt))
+        return pack23(P_slice, npdt, may_zero=may_zero)
+    return parallel_astype(P_slice, npdt)
+
+
+def _send_probs(arr: np.ndarray) -> jnp.ndarray:
+    """Device half of put_probs: ship a host-prepped slab and expand
+    packed 2-component uploads on device."""
+    if arr.shape[-1] == 2:
+        return expand23(jnp.asarray(arr))
+    return jnp.asarray(arr)
+
+
+def _pipelined_chunks(ranges, read_fn, send_fn):
+    """Yield send_fn(read_fn(rng)) for each range with disk/parse work
+    and host->device sends on SEPARATE single threads.
+
+    The device link copy inside send_fn blocks its thread for the full
+    transfer on tunnel/fabric rigs, so a single staging thread
+    serializes reads against the link (round-4 1M e2e: 81 s of fused
+    read/parse time exposed above the 183 s link floor).  Two stages
+    restore the overlap: read k+1 parses while send k drains.  Depth
+    is bounded — one read-ahead slab plus at most two slabs in the
+    send stage (one in flight, one queued) — so host footprint stays
+    within the prefetch reserve the chunk planner already assumes.
+    """
+    from collections import deque
+    from concurrent.futures import ThreadPoolExecutor
+
+    if not ranges:
+        return
+    with ThreadPoolExecutor(1) as rex, ThreadPoolExecutor(1) as sex:
+        rfut = rex.submit(read_fn, ranges[0])
+        sends: deque = deque()
+        for k in range(len(ranges)):
+            item = rfut.result()
+            if k + 1 < len(ranges):
+                rfut = rex.submit(read_fn, ranges[k + 1])
+            sends.append(sex.submit(send_fn, item))
+            if len(sends) > 1:
+                yield sends.popleft().result()
+        while sends:
+            yield sends.popleft().result()
 
 
 # Fused-read upload pipelining: per-chunk packed bytes of the chunks
@@ -595,45 +642,40 @@ def iter_replicates(
                 acc_raw = arrs["raw"]
                 acc_cnt = arrs.get("cnt")
 
-        def stage(start, stop):
-            # packed sources read the chunk from disk fused (one native
-            # pass to the upload-ready slab); the device_put dispatch is
-            # async either way, so staging overlaps the in-flight chunk
-            Pc = put_probs(
+        # Two-stage staging (_pipelined_chunks): the fused disk read /
+        # pack runs on one thread while ANOTHER thread holds the device
+        # link, so parse time hides under the in-flight transfer
+        # instead of serializing with it.
+        def read_host(rng_):
+            start, stop = rng_
+            arr = _host_pack(
                 P_host.read_packed(start, stop) if packed_src
                 else P_host[start:stop],
                 dtype, may_zero=not pars.in_bin)
             wc = None if site_weights is None else site_weights[start:stop]
-            return Pc, wc
+            return arr, wc
 
-        from concurrent.futures import ThreadPoolExecutor
+        def send(item):
+            arr, wc = item
+            return _send_probs(arr), wc
 
         ranges = [(s, min(s + chunk, n_used))
                   for s in range(0, n_used, chunk)][skip:]
         idx = skip
-        # Staging runs in a worker thread: device_put applies
-        # backpressure (it blocks while the previous chunk's transfer
-        # drains), so an inline stage() would serialize disk reads
-        # against the host link instead of overlapping them.
-        with ThreadPoolExecutor(1) as ex:
-            pending = ex.submit(stage, *ranges[0]) if ranges else None
-            for k, _rng in enumerate(ranges):
-                Pc, wc = pending.result()
-                raw, cnt, _, _ = full_stats(Pc, site_weights=wc)
-                if k + 1 < len(ranges):  # prefetch while the device works
-                    pending = ex.submit(stage, *ranges[k + 1])
-                raw = np.asarray(raw, np.float64)
-                acc_raw = raw if acc_raw is None else acc_raw + raw
-                if cnt is not None:
-                    cnt = np.asarray(cnt, np.float64)
-                    acc_cnt = cnt if acc_cnt is None else acc_cnt + cnt
-                idx += 1
-                if round_ckpt:
-                    arrs = {"raw": acc_raw}
-                    if acc_cnt is not None:
-                        arrs["cnt"] = acc_cnt
-                    ckpt_mod.save_rounds(pars.out, pars, rep, idx, arrs,
-                                         engine="jax")
+        for Pc, wc in _pipelined_chunks(ranges, read_host, send):
+            raw, cnt, _, _ = full_stats(Pc, site_weights=wc)
+            raw = np.asarray(raw, np.float64)
+            acc_raw = raw if acc_raw is None else acc_raw + raw
+            if cnt is not None:
+                cnt = np.asarray(cnt, np.float64)
+                acc_cnt = cnt if acc_cnt is None else acc_cnt + cnt
+            idx += 1
+            if round_ckpt:
+                arrs = {"raw": acc_raw}
+                if acc_cnt is not None:
+                    arrs["cnt"] = acc_cnt
+                ckpt_mod.save_rounds(pars.out, pars, rep, idx, arrs,
+                                     engine="jax")
         return acc_raw, acc_cnt
 
     # Replicate 0: full dataset (skipped entirely on resume).
@@ -1170,24 +1212,19 @@ def _iter_replicates_extended(
                 for cl in CLS:
                     accs[cl][0] = arrs[f"raw_{cl}"]
                     accs[cl][1] = arrs.get(f"cnt_{cl}")
-        from concurrent.futures import ThreadPoolExecutor
+        # Two-stage staging: host pack on one thread, the device link
+        # on another (_pipelined_chunks — see stats_stream).
+        def read_ext(rng_):
+            return (_host_pack(P_host[slice(*rng_)], dtype,
+                               may_zero=not pars.in_bin), rng_)
 
-        def stage_ext(rng_):
-            return put_probs(P_host[slice(*rng_)], dtype,
-                             may_zero=not pars.in_bin)
+        def send_ext(item):
+            arr, rng_ = item
+            return _send_probs(arr), rng_
 
         ranges = [(s, min(s + chunk, S)) for s in range(0, S, chunk)][skip:]
         idx = skip
-        # threaded prefetch: device_put backpressure would otherwise
-        # serialize host staging against the link (see stats_stream)
-        ex = ThreadPoolExecutor(1)
-        pending = ex.submit(stage_ext, ranges[0]) if ranges else None
-        for k, (start, stop) in enumerate(ranges):
-            Pc = pending.result()
-            if k + 1 < len(ranges):
-                # prefetch the next chunk while this chunk's three
-                # class reductions run
-                pending = ex.submit(stage_ext, ranges[k + 1])
+        for Pc, (start, stop) in _pipelined_chunks(ranges, read_ext, send_ext):
             for cl in CLS:
                 r, c = _class_stats_one(Pc, (w * masks[cl])[start:stop])
                 accs[cl][0] = r if accs[cl][0] is None else accs[cl][0] + r
@@ -1203,7 +1240,6 @@ def _iter_replicates_extended(
                     if accs[cl][1] is not None:
                         arrs[f"cnt_{cl}"] = accs[cl][1]
                 ckpt_mod.save_rounds(pars.out, pars, rep, idx, arrs, engine="jax")
-        ex.shutdown(wait=False)
         return {cl: (accs[cl][0], accs[cl][1]) for cl in CLS}
 
     def pair_pi(w_ok: np.ndarray):

@@ -609,3 +609,64 @@ class TestStreamChunkPlanner:
         assert s_loc == 131136
         assert chunk == 16416
         assert chunk % pars.boot_block_size == 0  # alignment kept
+
+
+class TestPipelinedChunks:
+    """Two-stage streamed staging (distance._pipelined_chunks): the
+    fused read/pack of chunk k+1 must run CONCURRENTLY with the device
+    send of chunk k — a single staging thread serializes parse time
+    against a synchronous link copy (round-4 1M e2e: 81 s of read time
+    exposed above the 183 s link floor)."""
+
+    def test_order_and_completeness(self):
+        from ngsdist_tpu.core.distance import _pipelined_chunks
+
+        ranges = [(i, i + 1) for i in range(7)]
+        out = list(_pipelined_chunks(ranges, lambda r: r, lambda r: r[0]))
+        assert out == list(range(7))
+
+    def test_empty(self):
+        from ngsdist_tpu.core.distance import _pipelined_chunks
+
+        assert list(_pipelined_chunks([], lambda r: r, lambda r: r)) == []
+
+    def test_read_overlaps_send(self):
+        import threading
+
+        from ngsdist_tpu.core.distance import _pipelined_chunks
+
+        # send(k) BLOCKS until read(k+1) has started: if the stages
+        # shared a thread this deadlocks (the 5 s join below fails);
+        # with two stages it completes immediately.
+        read_started = [threading.Event() for _ in range(4)]
+
+        def read_fn(rng):
+            read_started[rng[0]].set()
+            return rng[0]
+
+        def send_fn(k):
+            if k + 1 < len(read_started):
+                assert read_started[k + 1].wait(timeout=5.0), \
+                    "read of chunk k+1 never started while send k blocked"
+            return k
+
+        done: list = []
+        t = threading.Thread(
+            target=lambda: done.extend(_pipelined_chunks(
+                [(i, i + 1) for i in range(4)], read_fn, send_fn)))
+        t.start()
+        t.join(timeout=10.0)
+        assert not t.is_alive(), "pipeline deadlocked: stages share a thread"
+        assert done == [0, 1, 2, 3]
+
+    def test_read_error_propagates(self):
+        from ngsdist_tpu.core.distance import _pipelined_chunks
+
+        def read_fn(rng):
+            if rng[0] == 2:
+                raise ValueError("NaN found in site block")
+            return rng
+
+        with pytest.raises(ValueError, match="NaN"):
+            list(_pipelined_chunks([(i, i + 1) for i in range(4)],
+                                   read_fn, lambda r: r))
