@@ -36,7 +36,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import Params
-from ..utils.hostmem import pack23, parallel_astype, upload23_enabled
+from ..utils.hostmem import (CodedProbs, CodedSlab, coded_upload_enabled,
+                             pack23, parallel_astype, upload23_enabled)
 from . import bootstrap as bt
 from . import models
 from .em import em_pair_site_contribs
@@ -150,24 +151,41 @@ def put_probs(P_slice: np.ndarray, dtype, may_zero: bool = True) -> jnp.ndarray:
 
 
 def _host_pack(P_slice: np.ndarray, dtype, may_zero: bool = True) -> np.ndarray:
-    """Host half of put_probs: the upload-ready slab (packed f32
-    [S, N, 2] when upload23 is on, else a threaded cast), no device
-    traffic.  Split out so streamed loops can run it on a thread that
-    is NOT the one holding the device link (_pipelined_chunks)."""
+    """Host half of put_probs: the upload-ready slab (uint8 codes for
+    coded tensors, packed f32 [S, N, 2] when upload23 is on, else a
+    threaded cast), no device traffic.  Split out so streamed loops can
+    run it on a thread that is NOT the one holding the device link
+    (_pipelined_chunks)."""
+    npdt = np.dtype(np.float64 if dtype == jnp.float64 else np.float32)
+    if isinstance(P_slice, CodedProbs):
+        if coded_upload_enabled(npdt):
+            return CodedSlab(np.ascontiguousarray(P_slice.codes),
+                             P_slice.lut.astype(npdt))
+        P_slice = P_slice.P
     if P_slice.shape[-1] == 2:
         return P_slice
-    npdt = np.dtype(np.float64 if dtype == jnp.float64 else np.float32)
     if upload23_enabled(npdt):
         return pack23(P_slice, npdt, may_zero=may_zero)
     return parallel_astype(P_slice, npdt)
 
 
-def _send_probs(arr: np.ndarray) -> jnp.ndarray:
-    """Device half of put_probs: ship a host-prepped slab and expand
-    packed 2-component uploads on device."""
+def _send_probs(arr) -> jnp.ndarray:
+    """Device half of put_probs: ship a host-prepped slab; expand
+    packed 2-component or coded uint8 uploads on device."""
+    if isinstance(arr, CodedSlab):
+        return expand_codes(jnp.asarray(arr.codes), jnp.asarray(arr.lut))
     if arr.shape[-1] == 2:
         return expand23(jnp.asarray(arr))
     return jnp.asarray(arr)
+
+
+@jax.jit
+def expand_codes(codes: jnp.ndarray, lut: jnp.ndarray) -> jnp.ndarray:
+    """[S, N] uint8 genotype codes + [K, 3] table -> [S, N, 3] probs.
+    The gather fuses into the consuming kernels' input staging; the
+    code plane is the ONLY per-site host-link traffic (1 byte per
+    (site, individual) vs 8 for the packed f32 slab)."""
+    return jnp.take(lut, codes.astype(jnp.int32), axis=0)
 
 
 def _pipelined_chunks(ranges, read_fn, send_fn):

@@ -338,6 +338,29 @@ def run(
             mesh = make_mesh()  # all local devices
         np_dtype = np.float64 if default_dtype() == jnp.float64 else np.float32
         P = SiteStream.from_reader(pars, mesh, np_dtype)
+    if (engine == "jax" and mesh is None and not lazy and not fused
+            and pars.evol_model <= 2 and pars.verbose < 8
+            and isinstance(P, np.ndarray)
+            and (not pars.in_probs or pars.call_geno)):
+        # Hard-genotype inputs (read_data.cpp:87-95) and --call_geno
+        # runs produce tensors of one-hot/uniform triples: upload ONE
+        # uint8 code per (site, ind) + a tiny table instead of the f32
+        # slab — 8x fewer host-link bytes, expanded on device
+        # (hostmem.derive_codes; the scan bails on the first
+        # non-codeable chunk, e.g. thresholded call_geno that left
+        # mid-confidence triples untouched).
+        import jax.numpy as jnp
+
+        from .core.distance import default_dtype
+        from .utils.hostmem import (CodedProbs, coded_upload_enabled,
+                                    derive_codes)
+
+        npdt = np.float64 if default_dtype() == jnp.float64 else np.float32
+        if coded_upload_enabled(npdt):
+            got = derive_codes(P)
+            if got is not None:
+                P = CodedProbs(P, *got)
+
     alleles = None
     if pars.evol_model >= 3 and pos_rows is not None and engine != "exact":
         from .core.submodels import encode_alleles

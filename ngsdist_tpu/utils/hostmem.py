@@ -176,3 +176,119 @@ def parallel_cast_pad(a: np.ndarray, dtype, n_rows: int,
     for t in ts:
         t.join()
     return out
+
+
+def coded_upload_enabled(dtype) -> bool:
+    """Whether fully-coded probability tensors (every triple one-hot or
+    a uniform missing value — hard-genotype inputs, read_data.cpp:87-95,
+    and default-threshold --call_geno runs, gen_func.cpp:886-914) are
+    uploaded as ONE uint8 code per (site, individual) plus a tiny
+    lookup table, expanded on device.  8x fewer host-link bytes than
+    the packed f32 slab — and bit-faithful: the table rows ARE the f32
+    casts of the f64 triples the staged pipeline would upload (one-hot
+    rows are exact; the uniform value avoids even pack23's ~1e-7 p2
+    reconstruction).  auto = f32 only (x64 runs carry the md5 parity
+    contract and upload full f64); NGSDIST_CODED_UPLOAD=0/1 forces."""
+    mode = os.environ.get("NGSDIST_CODED_UPLOAD", "auto")
+    if mode == "0":
+        return False
+    if mode == "1":
+        return True
+    return np.dtype(dtype) == np.float32
+
+
+# Codes 0-2 = one-hot genotype; 3+ = uniform missing triples (distinct
+# values get distinct table rows: the reader's exp(log(1/3)) uniform
+# and the all-zero empty-line triple can coexist in one text genome).
+_CODED_MAX_UNIFORM = 4
+
+
+def derive_codes(P3: np.ndarray, chunk_rows: int = 1 << 21):
+    """(codes uint8 [S, N], lut f32 [3 + u, 3]) when EVERY triple in the
+    [S, N, 3] normal-space tensor is an exact one-hot or one of at most
+    _CODED_MAX_UNIFORM all-equal values; None otherwise (first
+    non-codeable chunk bails).  The scan is chunked so its boolean
+    temporaries stay bounded on multi-GB tensors."""
+    S, N = P3.shape[0], P3.shape[1]
+    flat = P3.reshape(-1, 3)
+    codes = np.empty(flat.shape[0], np.uint8)
+    uniform_vals: list = []
+    for lo in range(0, flat.shape[0], chunk_rows):
+        b = flat[lo:lo + chunk_rows]
+        p0, p1, p2 = b[:, 0], b[:, 1], b[:, 2]
+        miss = (p0 == p1) & (p1 == p2)
+        am = np.argmax(b, axis=1).astype(np.uint8)
+        # one-hot exactness: the max component is 1 and the others 0
+        rows = np.arange(b.shape[0])
+        hot = (b[rows, am] == 1.0) & ((b != 0).sum(axis=1) == 1)
+        if not np.all(miss | hot):
+            return None
+        c = am
+        if miss.any():
+            mv = p0[miss]
+            for v in np.unique(mv):
+                if v not in uniform_vals:
+                    uniform_vals.append(float(v))
+                    if len(uniform_vals) > _CODED_MAX_UNIFORM:
+                        return None
+            # map each missing triple to its uniform-value slot
+            idx = np.empty(mv.shape[0], np.uint8)
+            for k, v in enumerate(uniform_vals):
+                idx[mv == v] = 3 + k
+            c = c.copy()
+            c[miss] = idx
+        codes[lo:lo + chunk_rows] = c
+    # The table keeps the exact f64 host values; the pack stage casts
+    # to the engine dtype, so expansion == the cast of the f64 triple.
+    lut = np.zeros((3 + max(1, len(uniform_vals)), 3), np.float64)
+    lut[0, 0] = lut[1, 1] = lut[2, 2] = 1.0
+    for k, v in enumerate(uniform_vals):
+        lut[3 + k, :] = v
+    return codes.reshape(S, N), lut
+
+
+class CodedSlab:
+    """Host-prepped upload unit for a coded tensor: the uint8 code
+    plane slice plus the shared lookup table (distance._send_probs
+    ships it and expands on device)."""
+
+    __slots__ = ("codes", "lut")
+
+    def __init__(self, codes: np.ndarray, lut: np.ndarray) -> None:
+        self.codes = codes
+        self.lut = lut
+
+
+class CodedProbs:
+    """A resident [S, N, 3] probability tensor whose triples are all
+    one-hot / uniform, carrying the uint8 code plane for 1-byte device
+    uploads (derive_codes).  Quacks like the ndarray for the host-side
+    consumers the jax engine path has (slicing, np.asarray, shape);
+    distance._host_pack recognizes it and stages CodedSlab uploads."""
+
+    def __init__(self, P: np.ndarray, codes: np.ndarray,
+                 lut: np.ndarray) -> None:
+        self.P = P
+        self.codes = codes
+        self.lut = lut
+
+    @property
+    def shape(self):
+        return self.P.shape
+
+    @property
+    def dtype(self):
+        return self.P.dtype
+
+    def __len__(self):
+        return len(self.P)
+
+    def __array__(self, dtype=None, copy=None):
+        return np.asarray(self.P, dtype)
+
+    def __getitem__(self, key):
+        # site-axis slices keep the code plane (the streamed loops cut
+        # [start:stop] chunks); anything fancier decays to the tensor
+        if isinstance(key, slice):
+            return CodedProbs(self.P[key], self.codes[key], self.lut)
+        return self.P[key]

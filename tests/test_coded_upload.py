@@ -1,0 +1,173 @@
+"""Coded uint8 uploads (NGSDIST_CODED_UPLOAD).
+
+Hard-genotype inputs (/root/reference/shared/read_data.cpp:87-95: every
+triple one-hot or uniform log(1/3)) and default-threshold --call_geno
+runs (gen_func.cpp:886-914) produce tensors drawn from a handful of
+distinct triples.  The jax engine uploads ONE uint8 code per
+(site, individual) plus a tiny lookup table and expands on device — 8x
+fewer host-link bytes than the packed f32 slab, and bit-faithful: the
+expansion equals the engine-dtype cast of the f64 triple (no pack23
+p2-reconstruction error).  These tests pin (a) derive_codes detection
+and bail-out, (b) expansion exactness through put_probs, (c) engine
+sufficient statistics vs the staged upload, and (d) the end-to-end CLI
+surface (resident + forced-chunked) against the staged pipeline.
+"""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from ngsdist_tpu.core import distance as dist
+from ngsdist_tpu.utils.hostmem import CodedProbs, derive_codes
+
+SCORE = np.array([[0, 0.5, 1], [0.5, 0, 0.5], [1, 0.5, 0]])
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+DATA = os.path.join(REPO, "tests", "fixtures", "data")
+
+
+def _coded_tensor(S, N, seed=0):
+    """One-hot / uniform tensor like the reader's genotype output."""
+    rng = np.random.default_rng(seed)
+    g = rng.integers(0, 3, size=(S, N))
+    P = np.zeros((S, N, 3))
+    for k in range(3):
+        P[..., k] = g == k
+    miss = rng.random((S, N)) < 0.15
+    # the reader's uniform value is exp(log(1/3) - logsum), not a
+    # round 1/3 — use a value with the same "not exactly representable
+    # as a sum-to-1 triple" character
+    v = np.exp(np.log(1.0 / 3.0))
+    P[miss] = v
+    return P, g, miss, v
+
+
+class TestDeriveCodes:
+    def test_detects_and_roundtrips(self):
+        P, g, miss, v = _coded_tensor(300, 9)
+        got = derive_codes(P)
+        assert got is not None
+        codes, lut = got
+        assert codes.dtype == np.uint8 and lut.dtype == np.float64
+        # expansion reproduces the tensor exactly (f64 table)
+        np.testing.assert_array_equal(lut[codes], P)
+        np.testing.assert_array_equal(codes >= 3, miss)
+
+    def test_bails_on_real_probs(self):
+        rng = np.random.default_rng(1)
+        P = rng.dirichlet(np.ones(3), size=(40, 4))
+        assert derive_codes(P) is None
+
+    def test_bails_on_mixed_thresholded(self):
+        # thresholded call_geno leaves mid-confidence triples untouched
+        P, _, _, _ = _coded_tensor(50, 4)
+        P[10, 2] = [0.2, 0.5, 0.3]
+        assert derive_codes(P) is None
+
+    def test_two_uniform_values(self):
+        # reader uniform + empty-line all-zero triples coexist
+        P, _, _, _ = _coded_tensor(60, 4, seed=2)
+        P[7, :] = 0.0
+        got = derive_codes(P)
+        assert got is not None
+        codes, lut = got
+        np.testing.assert_array_equal(lut[codes], P)
+
+    def test_coded_probs_slicing(self):
+        P, _, _, _ = _coded_tensor(80, 5)
+        codes, lut = derive_codes(P)
+        w = CodedProbs(P, codes, lut)
+        assert w.shape == P.shape and len(w) == 80
+        sub = w[10:30]
+        assert isinstance(sub, CodedProbs)
+        np.testing.assert_array_equal(sub.codes, codes[10:30])
+        np.testing.assert_array_equal(np.asarray(w), P)
+        # non-slice access decays to the tensor
+        assert not isinstance(w[0], CodedProbs)
+
+
+class TestPutProbs:
+    def test_expansion_is_exact_cast(self, monkeypatch):
+        P, _, _, _ = _coded_tensor(200, 8)
+        codes, lut = derive_codes(P)
+        w = CodedProbs(P, codes, lut)
+        monkeypatch.setenv("NGSDIST_CODED_UPLOAD", "1")
+        Pd = np.asarray(dist.put_probs(w, jnp.float32))
+        # bit-faithful: the f32 cast of the f64 triples, including the
+        # uniform value's third component (pack23 would reconstruct it
+        # as 1 - v - v instead)
+        np.testing.assert_array_equal(Pd, P.astype(np.float32))
+
+    def test_disabled_falls_back(self, monkeypatch):
+        P, _, _, _ = _coded_tensor(100, 6, seed=3)
+        codes, lut = derive_codes(P)
+        w = CodedProbs(P, codes, lut)
+        monkeypatch.setenv("NGSDIST_CODED_UPLOAD", "0")
+        monkeypatch.setenv("NGSDIST_UPLOAD23", "0")
+        Pd = np.asarray(dist.put_probs(w, jnp.float32))
+        np.testing.assert_array_equal(Pd, P.astype(np.float32))
+
+    def test_suffstats_match_staged_upload(self, monkeypatch):
+        P, _, _, _ = _coded_tensor(400, 10, seed=4)
+        codes, lut = derive_codes(P)
+        score = jnp.asarray(SCORE, jnp.float32)
+        monkeypatch.setenv("NGSDIST_CODED_UPLOAD", "0")
+        monkeypatch.setenv("NGSDIST_UPLOAD23", "0")
+        Pd0 = dist.put_probs(CodedProbs(P, codes, lut), jnp.float32)
+        r0, c0 = dist.indep_suffstats(Pd0, score, True)
+        monkeypatch.setenv("NGSDIST_CODED_UPLOAD", "1")
+        Pd1 = dist.put_probs(CodedProbs(P, codes, lut), jnp.float32)
+        r1, c1 = dist.indep_suffstats(Pd1, score, True)
+        # identical device tensors -> identical statistics
+        np.testing.assert_array_equal(np.asarray(c0), np.asarray(c1))
+        np.testing.assert_array_equal(np.asarray(r0), np.asarray(r1))
+
+
+@pytest.mark.slow
+class TestEndToEnd:
+    """CLI surface in an f32 (x64-off) subprocess — the real-TPU
+    numeric regime where coded uploads auto-enable."""
+
+    def _run(self, tmp_path, tag, extra_env):
+        out = str(tmp_path / f"{tag}.dist")
+        env = dict(os.environ)
+        env["PYTHONPATH"] = os.pathsep.join(
+            [REPO] + env.get("PYTHONPATH", "").split(os.pathsep))
+        env.update(extra_env)
+        # --platform cpu pins the backend (f32: no --x64), the regime
+        # where coded uploads auto-enable
+        cmd = [sys.executable, "-m", "ngsdist_tpu",
+               "--geno", os.path.join(DATA, "gt.geno.gz"),
+               "--n_ind", "20", "--n_sites", "1200",
+               "--labels", os.path.join(DATA, "labels.txt"),
+               "--pairwise_del", "--out", out, "--engine", "jax",
+               "--platform", "cpu"]
+        r = subprocess.run(cmd, env=env, capture_output=True, text=True)
+        assert r.returncode == 0, r.stderr[-2000:]
+        return out
+
+    @staticmethod
+    def _matrix(path):
+        rows = []
+        with open(path) as fh:
+            lines = [ln.rstrip("\n") for ln in fh if ln.strip()]
+        for ln in lines[1:]:
+            rows.append([float(x) for x in ln.split("\t")[1:]])
+        return np.asarray(rows)
+
+    def test_geno_input_resident_and_chunked(self, tmp_path):
+        base = self._run(tmp_path, "staged", {"NGSDIST_CODED_UPLOAD": "0"})
+        coded = self._run(tmp_path, "coded", {"NGSDIST_CODED_UPLOAD": "1"})
+        # forced-chunked: streams CodedProbs slices through
+        # _pipelined_chunks (uint8 chunks on the link)
+        chunked = self._run(tmp_path, "coded_chunk",
+                            {"NGSDIST_CODED_UPLOAD": "1",
+                             "NGSDIST_DEVICE_BUDGET": "100000"})
+        M0 = self._matrix(base)
+        np.testing.assert_allclose(self._matrix(coded), M0, rtol=0, atol=2e-6)
+        np.testing.assert_array_equal(self._matrix(chunked),
+                                      self._matrix(coded))
