@@ -290,6 +290,49 @@ def main_e2e() -> dict:
     return rec
 
 
+def main_e2e_cg() -> dict:
+    """Coded-upload end-to-end: --call_geno on binary GP hard-calls
+    every non-missing triple (gen_func.cpp:886-914 with default
+    thresholds), so the engine ships uint8 codes + a lookup table —
+    1 byte per (site, individual) over the host link instead of the
+    8-byte packed f32 slab (hostmem.derive_codes, NGSDIST_CODED_UPLOAD).
+    Same shape as the headline e2e; 3 runs (cold + 2), min reported."""
+    import shutil
+    import tempfile
+
+    sys.path.insert(0, REPO)
+    from ngsdist_tpu import runner
+
+    N = int(os.environ.get("NGSDIST_BENCH_N_IND", 1024))
+    S = int(os.environ.get("NGSDIST_BENCH_N_SITES", 1 << 16))
+    base = "/dev/shm" if os.access("/dev/shm", os.W_OK) else None
+    td = tempfile.mkdtemp(dir=base)
+    try:
+        geno = os.path.join(td, "gp.bin")
+        gen_time = _gen_gp_bin(geno, N, S)
+        times = []
+        for it in range(3):
+            pars = _e2e_pars(geno, N, S, os.path.join(td, f"out{it}.dist"),
+                             call_geno=True)
+            t0 = time.perf_counter()
+            runner.run(pars, engine="jax")
+            times.append(time.perf_counter() - t0)
+            if it >= 1 and _deadline_passed():
+                break
+    finally:
+        shutil.rmtree(td, ignore_errors=True)
+    warm = min(times[1:]) if len(times) > 1 else times[0]
+    ups = (N * (N - 1) / 2) * S / warm
+    print(f"# e2e-cg {N} ind x {S} sites (--call_geno, coded uint8 "
+          f"uploads): input gen {gen_time:.1f}s, pipeline "
+          f"{'/'.join(f'{t:.1f}' for t in times)}s", file=sys.stderr)
+    rec = _record("cg_e2e_pair_site_updates_per_sec", ups, "updates/s",
+                  "cpu64_updates_per_sec")
+    rec["samples_s"] = [round(t, 3) for t in times]
+    _floor_fields(rec, warm, S * N)  # 1 byte per (site, ind)
+    return rec
+
+
 def main_e2e_1m() -> dict:
     """The BASELINE.json headline shape end-to-end: 1k individuals x 1M
     sites (25.8 GB binary GP) through the real CLI pipeline.  The f32
@@ -555,7 +598,7 @@ def main_indep() -> dict:
 
 _MODES = [("indep", main_indep), ("em", main_em), ("e2e", main_e2e),
           ("e2e_em", main_e2e_em), ("boot", main_boot),
-          ("e2e1m", main_e2e_1m)]
+          ("e2e1m", main_e2e_1m), ("e2e_cg", main_e2e_cg)]
 
 # Soft deadline shared with modes that can trim optional extra trials
 # (set by main_all from NGSDIST_BENCH_BUDGET; single-mode runs have none).
@@ -694,6 +737,8 @@ if __name__ == "__main__":
         print(json.dumps(main_e2e_1m()))
     elif "--e2e_em" in sys.argv:
         print(json.dumps(main_e2e_em()))
+    elif "--e2e_cg" in sys.argv:
+        print(json.dumps(main_e2e_cg()))
     elif "--boot" in sys.argv:
         print(json.dumps(main_boot()))
     elif "--indep" in sys.argv:

@@ -182,10 +182,17 @@ def _send_probs(arr) -> jnp.ndarray:
 @jax.jit
 def expand_codes(codes: jnp.ndarray, lut: jnp.ndarray) -> jnp.ndarray:
     """[S, N] uint8 genotype codes + [K, 3] table -> [S, N, 3] probs.
-    The gather fuses into the consuming kernels' input staging; the
-    code plane is the ONLY per-site host-link traffic (1 byte per
-    (site, individual) vs 8 for the packed f32 slab)."""
-    return jnp.take(lut, codes.astype(jnp.int32), axis=0)
+    The code plane is the ONLY per-site host-link traffic (1 byte per
+    (site, individual) vs 8 for the packed f32 slab).
+
+    Expansion gathers each genotype component as its own [S, N] plane
+    and stacks, exactly like expand23's concatenate: a direct
+    take(lut, codes, axis=0) materializes an [S*N, 3] gather output
+    whose trailing dim of 3 is lane-padded to 128 on TPU — a 43x HBM
+    blowup that OOM'd a 16 GB v5e at the 64k x 1k bench shape."""
+    idx = codes.astype(jnp.int32)
+    return jnp.stack([jnp.take(lut[:, k], idx, axis=0) for k in range(3)],
+                     axis=-1)
 
 
 def _pipelined_chunks(ranges, read_fn, send_fn):
