@@ -822,7 +822,7 @@ def _as_stream(pars: Params, P_src, mesh):
 
     if isinstance(P_src, SiteStream):
         return P_src
-    if isinstance(P_src, np.ndarray):
+    if isinstance(P_src, (np.ndarray, CodedProbs)):
         dtype = default_dtype()
         np_dtype = np.float64 if dtype == jnp.float64 else np.float32
         return SiteStream.from_array(P_src, pars, mesh, np_dtype)

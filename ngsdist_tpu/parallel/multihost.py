@@ -24,8 +24,9 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..config import Params
 from ..core.preprocess import preprocess
 from ..io import readers
-from ..utils.hostmem import (PAD23, pack23, parallel_cast_pad,
-                             upload23_enabled)
+from ..utils.hostmem import (PAD23, CodedProbs, coded_pad_lut,
+                             coded_upload_enabled, pack23,
+                             parallel_cast_pad, upload23_enabled)
 from .mesh import AXIS, _round_up
 
 
@@ -140,7 +141,8 @@ class SiteStream:
                  local_rows: Optional[np.ndarray], s_pad: int, chunk: int,
                  start: int, stop: int,
                  spill_path: Optional[str] = None, spill_norm: bool = False,
-                 spill_base: int = 0, spill_owned: bool = False):
+                 spill_base: int = 0, spill_owned: bool = False,
+                 lut: Optional[np.ndarray] = None, pad_code: int = 0):
         import weakref
 
         from .mesh import sites_size
@@ -161,7 +163,18 @@ class SiteStream:
         # (mesh.expand23_sharded) — 1.5x fewer bytes over the host link
         # and 1/3 less resident host RAM per shard.
         self.local = local_rows
-        if local_rows is not None:
+        # Coded shards (hostmem.derive_codes): the host slab is ONE
+        # uint8 code per (site, individual) — [(stop-start), N] — and
+        # rounds/global uploads expand through the lut on device
+        # (distance.expand_codes): 8x fewer link bytes and 24x less
+        # shard RAM than the f64 tensor.  Pad rows carry pad_code (the
+        # lut's all-zero row), inert exactly like the PAD23 sentinel.
+        self.coded = lut is not None
+        self.lut = lut
+        self.pad_code = pad_code
+        if self.coded:
+            self.K = 1
+        elif local_rows is not None:
             self.K = int(local_rows.shape[-1])
         else:
             self.K = 2 if upload23_enabled(np_dtype) else 3
@@ -252,6 +265,15 @@ class SiteStream:
         s_pad = s_loc * sites_size(mesh)
         start, stop = host_site_range(s_pad, mesh)
         hi = max(min(stop, pars.n_sites), start)
+        if isinstance(P_host, CodedProbs):
+            if coded_upload_enabled(np_dtype):
+                lut, pad_code = coded_pad_lut(P_host.lut)
+                local = np.full((stop - start, pars.n_ind), pad_code,
+                                np.uint8)
+                local[: hi - start] = P_host.codes[start:hi]
+                return cls(pars, mesh, np_dtype, local, s_pad, chunk,
+                           start, stop, lut=lut, pad_code=pad_code)
+            P_host = P_host.P
         # Threaded cast+pad: parallel first-touch of the local shard
         # (serial f64->f32 copies run at page-fault speed on VMs).
         # pack23 marks pad rows AND data-borne all-zero triples with
@@ -483,8 +505,17 @@ class SiteStream:
         )
 
     def _put_probs(self, local, n_rows: int):
-        """Upload a [rows, N, K] probability slab and return the sharded
-        [rows, N, 3] tensor (K=2 slabs expand on device)."""
+        """Upload a [rows, N, K] probability slab (or a [rows, N] uint8
+        code plane) and return the sharded [rows, N, 3] tensor (K=2
+        slabs and code planes expand on device)."""
+        if self.coded:
+            import jax.numpy as jnp
+
+            from ..core.distance import expand_codes
+
+            arr = self._put(local, P(AXIS, None), (n_rows, self.N))
+            return expand_codes(
+                arr, jnp.asarray(self.lut.astype(self.np_dtype)))
         arr = self._put(local, P(AXIS, None, None), (n_rows, self.N, self.K))
         if self.K == 2:
             from .mesh import expand23_sharded
@@ -511,6 +542,13 @@ class SiteStream:
         """Global sharded [chunk*n_dev, N, 3] array for round r."""
         lo = r * self.chunk
         hi = min(lo + self.chunk, self.s_loc)
+        if self.coded:  # never lazy: coded shards come from_array
+            out = np.full((self.n_local_dev, self.chunk, self.N),
+                          self.pad_code, np.uint8)
+            l3 = self.local.reshape(self.n_local_dev, self.s_loc, self.N)
+            out[:, : hi - lo] = l3[:, lo:hi]
+            return self._put_probs(out.reshape(-1, self.N),
+                                   self.round_sites)
         out = np.zeros((self.n_local_dev, self.chunk, self.N, self.K),
                        self.np_dtype)
         # 2-component rounds: rows without real data (round tails) get

@@ -338,7 +338,7 @@ def run(
             mesh = make_mesh()  # all local devices
         np_dtype = np.float64 if default_dtype() == jnp.float64 else np.float32
         P = SiteStream.from_reader(pars, mesh, np_dtype)
-    if (engine == "jax" and mesh is None and not lazy and not fused
+    if (engine == "jax" and not lazy and not fused
             and pars.evol_model <= 2 and pars.verbose < 8
             and isinstance(P, np.ndarray)
             and (not pars.in_probs or pars.call_geno)):
@@ -348,7 +348,9 @@ def run(
         # slab — 8x fewer host-link bytes, expanded on device
         # (hostmem.derive_codes; the scan bails on the first
         # non-codeable chunk, e.g. thresholded call_geno that left
-        # mid-confidence triples untouched).
+        # mid-confidence triples untouched).  Mesh runs shard the code
+        # plane itself (SiteStream.from_array; the scan is
+        # deterministic, so every process derives identical tables).
         import jax.numpy as jnp
 
         from .core.distance import default_dtype

@@ -247,6 +247,17 @@ def derive_codes(P3: np.ndarray, chunk_rows: int = 1 << 21):
     return codes.reshape(S, N), lut
 
 
+def coded_pad_lut(lut: np.ndarray):
+    """(lut, pad_code) for sharded/padded coded uploads: pad rows must
+    expand to the ALL-ZERO triple (inert in unweighted mesh reductions,
+    exactly like the PAD23 sentinel).  Reuses an existing all-zero lut
+    row (empty-line text sites) or appends one."""
+    zero = np.where(~lut.any(axis=1))[0]
+    if zero.size:
+        return lut, int(zero[0])
+    return np.vstack([lut, np.zeros((1, 3), lut.dtype)]), int(lut.shape[0])
+
+
 class CodedSlab:
     """Host-prepped upload unit for a coded tensor: the uint8 code
     plane slice plus the shared lookup table (distance._send_probs

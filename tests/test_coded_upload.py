@@ -171,3 +171,84 @@ class TestEndToEnd:
         np.testing.assert_allclose(self._matrix(coded), M0, rtol=0, atol=2e-6)
         np.testing.assert_array_equal(self._matrix(chunked),
                                       self._matrix(coded))
+
+
+class TestMesh:
+    """Coded shards on the device mesh: SiteStream stores the uint8
+    code plane itself (24x less shard RAM, 8x fewer link bytes) and
+    expands rounds on device.  Forced on under the f64 test mesh, the
+    lut expansion is the exact f64 tensor, so sharded results must be
+    BIT-identical to the staged upload."""
+
+    @pytest.fixture()
+    def mesh8(self):
+        from ngsdist_tpu.parallel import mesh as pm
+
+        return pm.make_mesh(n_devices=8)
+
+    def _mats(self, pars, P, mesh):
+        from ngsdist_tpu.core import bootstrap as bt
+        from ngsdist_tpu.core import distance as dist
+
+        n_trunc, maps = bt.site_maps(
+            pars.seed, pars.n_boot_rep, pars.n_sites, pars.boot_block_size)
+        return list(dist.iter_replicates(pars, P, maps, n_trunc, mesh=mesh))
+
+    @pytest.mark.parametrize("pairwise_del", [False, True])
+    def test_sharded_resident_and_streamed(self, mesh8, monkeypatch,
+                                           pairwise_del):
+        from ngsdist_tpu.config import Params
+        from ngsdist_tpu.parallel.multihost import SiteStream
+
+        P, _, _, _ = _coded_tensor(141, 5, seed=7)
+        codes, lut = derive_codes(P)
+        w = CodedProbs(P, codes, lut)
+        pars = Params(in_geno="x", n_ind=5, n_sites=141, out="y", seed=3,
+                      indep_geno=True, pairwise_del=pairwise_del,
+                      in_probs=False, n_boot_rep=2, boot_block_size=4,
+                      evol_model=1)
+        monkeypatch.setenv("NGSDIST_CODED_UPLOAD", "1")
+        monkeypatch.delenv("NGSDIST_DEVICE_BUDGET", raising=False)
+        st = SiteStream.from_array(w, pars, mesh8, np.float64)
+        assert st.coded and st.resident
+        # the coded shard is the uint8 plane, not the f64 tensor
+        assert st.local.dtype == np.uint8 and st.local.ndim == 2
+        base = self._mats(pars, P, mesh8)
+        got = self._mats(pars, w, mesh8)
+        assert len(got) == len(base) == 3
+        for a, b in zip(base, got):
+            np.testing.assert_array_equal(b, a)
+        # forced rounds: the code plane streams through round_data
+        monkeypatch.setenv("NGSDIST_DEVICE_BUDGET", str(4 * 5 * 3 * 8))
+        st2 = SiteStream.from_array(w, pars, mesh8, np.float64)
+        assert st2.coded and not st2.resident and st2.n_rounds > 1
+        streamed = self._mats(pars, w, mesh8)
+        for a, b in zip(base, streamed):
+            np.testing.assert_allclose(b, a, rtol=0, atol=1e-11)
+
+    def test_disabled_decays_to_staged(self, mesh8, monkeypatch):
+        from ngsdist_tpu.config import Params
+        from ngsdist_tpu.parallel.multihost import SiteStream
+
+        P, _, _, _ = _coded_tensor(60, 4, seed=8)
+        codes, lut = derive_codes(P)
+        w = CodedProbs(P, codes, lut)
+        pars = Params(in_geno="x", n_ind=4, n_sites=60, out="y", seed=3,
+                      indep_geno=True, in_probs=False, evol_model=1)
+        monkeypatch.setenv("NGSDIST_CODED_UPLOAD", "0")
+        st = SiteStream.from_array(w, pars, mesh8, np.float64)
+        assert not st.coded
+        np.testing.assert_array_equal(
+            np.asarray(st.global_array())[:60], P)
+
+    def test_pad_lut(self):
+        from ngsdist_tpu.utils.hostmem import coded_pad_lut
+
+        lut = np.zeros((4, 3))
+        lut[0, 0] = lut[1, 1] = lut[2, 2] = 1.0
+        lut[3] = 1 / 3
+        lut2, pc = coded_pad_lut(lut)
+        assert lut2.shape == (5, 3) and pc == 4 and not lut2[pc].any()
+        # an existing zero row is reused
+        lut3, pc3 = coded_pad_lut(lut2)
+        assert lut3.shape == (5, 3) and pc3 == 4
