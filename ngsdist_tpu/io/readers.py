@@ -165,6 +165,49 @@ def read_geno_pack23(
     return out
 
 
+def read_geno_codes(
+    path: str,
+    in_logscale: bool,
+    n_ind: int,
+    n_sites: int,
+    site_range: Optional[Tuple[int, int]] = None,
+) -> Optional[Tuple[np.ndarray, bool]]:
+    """Fused one-pass read of a RAW binary GP file under
+    DEFAULT-THRESHOLD --call_geno: parse -> normalize -> call -> uint8
+    code per (site, individual), returning (codes [rows, n_ind],
+    any_missing).  With N_thresh = call_thresh = 0 every triple hard-
+    calls to a one-hot at the log-space first-argmax (codes 0-2) or, if
+    exactly all-equal, to the uniform exp(log(1/3)) missing value
+    (code 3) — so the [S, N, 3] tensor is fully determined by the code
+    plane plus hostmem.coded_call_lut(any_missing), and the staged
+    read_geno -> call_geno -> exp -> derive_codes pipeline (four full
+    passes and a resident f64 tensor, 24 bytes/triple) collapses to ONE
+    native pass writing 1 byte/triple.  Returns None when the file is
+    not raw seekable binary — callers fall back to the staged path.
+    Reference arithmetic: read_data.cpp:29-47 + gen_func.cpp:886-914."""
+    import ctypes
+
+    if path == "-" or not _native.have_native():
+        return None
+    start, stop = site_range if site_range is not None else (0, n_sites)
+    lib = _native.get_lib()
+    out = np.empty((stop - start, n_ind), dtype=np.uint8)
+    errbuf = bytes(256)
+    err = ctypes.c_int(0)
+    any_missing = ctypes.c_int(0)
+    rc = lib.nd_read_geno_codes(
+        path.encode(), int(in_logscale), n_ind, n_sites, start, stop,
+        _native.as_uint8_ptr(out), ctypes.byref(any_missing), errbuf,
+        len(errbuf), ctypes.byref(err),
+    )
+    if rc == 2:
+        return None
+    if rc != 0:
+        raise NgsDistError("read_geno", errbuf.split(b"\0")[0].decode(),
+                           err=err.value)
+    return out, bool(any_missing.value)
+
+
 class PackedBinInput:
     """Deferred fused-read handle for raw binary GP inputs on the f32
     engine path (runner fast path).

@@ -1047,12 +1047,18 @@ typedef struct {
   int fd;
   int64_t base_off;  /* file byte offset of triple 0 of the range */
   int64_t t_lo, t_hi; /* this worker's triple range within the range */
-  float *out2;       /* packed output: triple t -> out2[2*t] */
+  float *out2;       /* MODE_PACK23: packed output, triple t -> out2[2*t] */
+  unsigned char *outc; /* MODE_CODES: one code per triple */
+  int mode;          /* ND_FUSED_PACK23 | ND_FUSED_CODES */
   int in_logscale;
   int nan_flag;
   int read_err;
+  int any_missing;   /* MODE_CODES: emitted at least one code 3 */
   int saved_errno;   /* libm errno from normalize only (not exp) */
 } nd_pack_job;
+
+#define ND_FUSED_PACK23 0
+#define ND_FUSED_CODES 1
 
 #define ND_PACK_SCRATCH_TRIPLES 65536 /* 1.5 MB f64 scratch per worker */
 
@@ -1092,11 +1098,36 @@ static void *nd_pack_worker(void *arg) {
      * leak into the reported errno — the staged pipeline captures errno
      * at read time, before preprocessing exp's (readers.py err plumb) */
     int norm_errno = errno;
-    for (int64_t t = 0; t < nt; t++) {
-      double *p = scratch + 3 * t;
-      float *o = j->out2 + 2 * (t0 + t);
-      o[0] = (float)exp(p[0]);
-      o[1] = (float)exp(p[1]);
+    if (j->mode == ND_FUSED_PACK23) {
+      for (int64_t t = 0; t < nt; t++) {
+        double *p = scratch + 3 * t;
+        float *o = j->out2 + 2 * (t0 + t);
+        o[0] = (float)exp(p[0]);
+        o[1] = (float)exp(p[1]);
+      }
+    } else {
+      /* ND_FUSED_CODES: default-threshold call_geno (nd_call_geno3 with
+       * N_thresh = call_thresh = 0, gen_func.cpp:886-914) maps EVERY
+       * normalized triple to either a one-hot at the FIRST log-space
+       * argmax (code 0-2) or, for an exactly all-equal triple, the
+       * uniform exp(log(1/3)) missing value (code 3).  The downstream
+       * values are fully determined by the code, so no exp is needed —
+       * hostmem.coded_call_lut reconstructs the exact staged triples. */
+      for (int64_t t = 0; t < nt; t++) {
+        double *p = scratch + 3 * t;
+        int max_pos = 0, min_pos = 0;
+        double mx = -INFINITY, mn = INFINITY;
+        for (int k = 0; k < 3; k++) {
+          if (p[k] > mx) { mx = p[k]; max_pos = k; }
+          if (p[k] < mn) { mn = p[k]; min_pos = k; }
+        }
+        unsigned char c = (unsigned char)max_pos;
+        if (p[min_pos] == p[max_pos]) {
+          c = 3;
+          j->any_missing = 1;
+        }
+        j->outc[t0 + t] = c;
+      }
     }
     errno = norm_errno;
   }
@@ -1106,8 +1137,9 @@ static void *nd_pack_worker(void *arg) {
 }
 
 /* Fused ranged reader for RAW (non-gzip, seekable) binary GP files.
- * Fills out2[(site_stop-site_start)][n_ind][2] with normal-space f32
- * 2-component triples.  Returns 0 on success, 1 on a reader fatal
+ * ND_FUSED_PACK23 fills out2[(site_stop-site_start)][n_ind][2] with
+ * normal-space f32 2-component triples; ND_FUSED_CODES fills outc with
+ * one call_geno code per triple.  Returns 0 on success, 1 on a reader fatal
  * (errbuf set, reference messages), 2 when the file is not raw binary
  * (gzip magic / unseekable) and the caller must take the staged path.
  * Error semantics mirror nd_read_geno_impl's binary branch: complete
@@ -1115,11 +1147,12 @@ static void *nd_pack_worker(void *arg) {
  * among them outranks premature EOF, and when the range runs to
  * n_sites a longer-than-expected file is "not at EOF"
  * (read_data.cpp:29-47,106-109). */
-ND_EXPORT int nd_read_geno_pack23(const char *path, int in_logscale,
-                                  int64_t n_ind, int64_t n_sites,
-                                  int64_t site_start, int64_t site_stop,
-                                  float *out2, char *errbuf,
-                                  int64_t errbuf_cap, int *err_out) {
+static int nd_fused_read_impl(const char *path, int in_logscale,
+                              int64_t n_ind, int64_t n_sites,
+                              int64_t site_start, int64_t site_stop,
+                              float *out2, unsigned char *outc, int mode,
+                              int *any_missing_out, char *errbuf,
+                              int64_t errbuf_cap, int *err_out) {
   *err_out = 0;
   if (strcmp(path, "-") == 0) return 2;
   int fd = open(path, O_RDONLY);
@@ -1157,8 +1190,8 @@ ND_EXPORT int nd_read_geno_pack23(const char *path, int in_logscale,
   long nw = 0;
   for (long w = 0; w < nt && w * per < have; w++) {
     int64_t lo = w * per, hi = lo + per < have ? lo + per : have;
-    jobs[w] = (nd_pack_job){fd, base_off, lo, hi, out2,
-                            in_logscale, 0, 0, 0};
+    jobs[w] = (nd_pack_job){fd, base_off, lo, hi, out2, outc, mode,
+                            in_logscale, 0, 0, 0, 0};
     if (pthread_create(&tids[w], NULL, nd_pack_worker, &jobs[w])) {
       nd_pack_worker(&jobs[w]);
       nw = w + 1;
@@ -1168,13 +1201,15 @@ ND_EXPORT int nd_read_geno_pack23(const char *path, int in_logscale,
   }
   for (long w = 0; w < nw; w++) pthread_join(tids[w], NULL);
   int rc = 0;
-  int nan = 0, read_err = 0;
+  int nan = 0, read_err = 0, any_missing = 0;
   for (long w = 0; w < nw; w++) {
     nan |= jobs[w].nan_flag;
     read_err |= jobs[w].read_err;
+    any_missing |= jobs[w].any_missing;
     /* last non-zero errno in triple order wins (nd_normalize_rows) */
     if (jobs[w].saved_errno) *err_out = jobs[w].saved_errno;
   }
+  if (any_missing_out) *any_missing_out = any_missing;
   close(fd);
   if (nan) {
     nd_seterr(errbuf, errbuf_cap, "NaN found! Is the file format correct?");
@@ -1198,6 +1233,35 @@ ND_EXPORT int nd_read_geno_pack23(const char *path, int in_logscale,
     return 1;
   }
   return rc;
+}
+
+ND_EXPORT int nd_read_geno_pack23(const char *path, int in_logscale,
+                                  int64_t n_ind, int64_t n_sites,
+                                  int64_t site_start, int64_t site_stop,
+                                  float *out2, char *errbuf,
+                                  int64_t errbuf_cap, int *err_out) {
+  return nd_fused_read_impl(path, in_logscale, n_ind, n_sites, site_start,
+                            site_stop, out2, NULL, ND_FUSED_PACK23, NULL,
+                            errbuf, errbuf_cap, err_out);
+}
+
+/* Fused ranged CODES reader for RAW binary GP files under
+ * default-threshold --call_geno: fills outc[(site_stop-site_start)*n_ind]
+ * with one uint8 code per triple (0-2 = one-hot at the log-space argmax,
+ * 3 = all-equal missing) in ONE threaded pass — no [S, N, 3] f64 tensor,
+ * no call_geno / exp / derive_codes passes.  any_missing_out reports
+ * whether code 3 occurred (the Python side zeroes the unused lut row to
+ * stay bit-identical to hostmem.derive_codes on the staged tensor).
+ * Same return/error contract as nd_read_geno_pack23. */
+ND_EXPORT int nd_read_geno_codes(const char *path, int in_logscale,
+                                 int64_t n_ind, int64_t n_sites,
+                                 int64_t site_start, int64_t site_stop,
+                                 unsigned char *outc, int *any_missing_out,
+                                 char *errbuf, int64_t errbuf_cap,
+                                 int *err_out) {
+  return nd_fused_read_impl(path, in_logscale, n_ind, n_sites, site_start,
+                            site_stop, NULL, outc, ND_FUSED_CODES,
+                            any_missing_out, errbuf, errbuf_cap, err_out);
 }
 
 /* ------------------------------------------------------------------ */

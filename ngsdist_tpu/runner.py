@@ -59,7 +59,48 @@ def _fused_packed_wanted(pars: Params, engine: str, mesh) -> bool:
             and upload23_enabled(np.float32))
 
 
-def load_inputs(pars: Params, geno: bool = True, fused: bool = False):
+def _fused_coded_wanted(pars: Params, engine: str) -> bool:
+    """True when the genotype read can collapse to the fused native
+    CODES reader (readers.read_geno_codes): raw binary GP under
+    DEFAULT-THRESHOLD --call_geno hard-calls every triple to a one-hot
+    or the uniform missing value, so ONE native pass writes the uint8
+    code plane (1 byte/triple) and the [S, N, 3] f64 tensor is never
+    materialized — the staged read -> call_geno -> exp -> derive_codes
+    chain was four full passes and a 24-bytes/triple resident tensor.
+    Because the eager footprint drops ~24x this also OVERRIDES the
+    lazy-stream decision whenever the code plane itself fits the host
+    budget.  Gates mirror the staged coded-upload block (models 0-2,
+    verbose < 8, f32 coded uploads on); NGSDIST_FUSED_READ=0 forces
+    the staged pipeline."""
+    if engine != "jax":
+        return False
+    if os.environ.get("NGSDIST_FUSED_READ", "auto") == "0":
+        return False
+    if (not pars.in_bin or pars.in_geno == "-"
+            or pars.in_geno.endswith(".gz")):
+        return False
+    if (not pars.call_geno or pars.N_thresh != 0.0
+            or pars.call_thresh != 0.0):
+        return False
+    if pars.evol_model >= 3 or pars.verbose >= 8:
+        return False
+    import jax.numpy as jnp
+
+    from .core.distance import default_dtype
+    from .utils.hostmem import coded_upload_enabled
+
+    if default_dtype() != jnp.float32 or not coded_upload_enabled(np.float32):
+        return False
+    # The point is a RESIDENT code plane (global codes + the sharded
+    # local copy ~ 2 bytes/triple); stay lazy when even that blows the
+    # host budget.
+    from .parallel.multihost import SiteStream
+
+    return pars.n_sites * pars.n_ind * 2 <= SiteStream._host_budget_bytes()
+
+
+def load_inputs(pars: Params, geno: bool = True, fused: bool = False,
+                coded: bool = False):
     """Read labels, positions and the genotype tensor; returns
     (labels, pos_rows, P_normal [n_sites, n_ind, 3]).
 
@@ -89,6 +130,16 @@ def load_inputs(pars: Params, geno: bool = True, fused: bool = False):
     _log(pars, 1, "==> Reading genotype data")
     if fused:
         return labels, pos_rows, readers.PackedBinInput(pars)
+    if coded:
+        got = readers.read_geno_codes(
+            pars.in_geno, pars.in_logscale, pars.n_ind, pars.n_sites)
+        if got is not None:
+            from .utils.hostmem import CodedProbs, coded_call_lut
+
+            codes, any_missing = got
+            return labels, pos_rows, CodedProbs(
+                None, codes, coded_call_lut(any_missing))
+        # not raw seekable binary after all (TOCTOU): staged read below
     geno_log = readers.read_geno(
         pars.in_geno, pars.in_bin, pars.in_probs, pars.in_logscale,
         pars.n_ind, pars.n_sites,
@@ -323,9 +374,11 @@ def run(
             print(msg, file=sys.stderr)
 
     engine = resolve_engine(engine)
-    lazy = _lazy_stream_wanted(pars, engine)
-    fused = not lazy and _fused_packed_wanted(pars, engine, mesh)
-    labels, pos_rows, P = load_inputs(pars, geno=not lazy, fused=fused)
+    coded = _fused_coded_wanted(pars, engine)
+    lazy = not coded and _lazy_stream_wanted(pars, engine)
+    fused = not lazy and not coded and _fused_packed_wanted(pars, engine, mesh)
+    labels, pos_rows, P = load_inputs(pars, geno=not lazy, fused=fused,
+                                      coded=coded)
     if lazy:
         from .core.distance import default_dtype
         from .parallel.mesh import make_mesh

@@ -247,6 +247,21 @@ def derive_codes(P3: np.ndarray, chunk_rows: int = 1 << 21):
     return codes.reshape(S, N), lut
 
 
+def coded_call_lut(any_missing: bool) -> np.ndarray:
+    """The fixed lookup table for default-threshold call_geno codes
+    (readers.read_geno_codes): rows 0-2 exact one-hot (exp(0)=1,
+    exp(-BIGNEG)=0), row 3 the uniform exp(log(1/3)) missing triple —
+    zeroed when no missing triple occurred, so the table is bit-
+    identical to what derive_codes would have captured from the staged
+    tensor (its lut carries only the uniform values that OCCUR; the
+    placeholder row is zero)."""
+    lut = np.zeros((4, 3), np.float64)
+    lut[0, 0] = lut[1, 1] = lut[2, 2] = 1.0
+    if any_missing:
+        lut[3, :] = np.exp(np.log(1.0 / 3.0))
+    return lut
+
+
 def coded_pad_lut(lut: np.ndarray):
     """(lut, pad_code) for sharded/padded coded uploads: pad rows must
     expand to the ALL-ZERO triple (inert in unweighted mesh reductions,
@@ -271,28 +286,41 @@ class CodedSlab:
 
 
 class CodedProbs:
-    """A resident [S, N, 3] probability tensor whose triples are all
-    one-hot / uniform, carrying the uint8 code plane for 1-byte device
-    uploads (derive_codes).  Quacks like the ndarray for the host-side
+    """A [S, N, 3] probability tensor whose triples are all one-hot /
+    uniform, carrying the uint8 code plane for 1-byte device uploads
+    (derive_codes).  Quacks like the ndarray for the host-side
     consumers the jax engine path has (slicing, np.asarray, shape);
-    distance._host_pack recognizes it and stages CodedSlab uploads."""
+    distance._host_pack recognizes it and stages CodedSlab uploads.
 
-    def __init__(self, P: np.ndarray, codes: np.ndarray,
-                 lut: np.ndarray) -> None:
-        self.P = P
+    P may be None (the fused read_geno_codes path never materializes
+    the f64 tensor): the .P property reconstructs it on demand from
+    codes + lut — bit-exact, since the lut rows ARE the triples the
+    staged pipeline would have produced — so rarely-taken fallbacks
+    (coded uploads disabled mid-flight, fancy indexing) still work at
+    a one-time 24-bytes/triple cost."""
+
+    def __init__(self, P, codes: np.ndarray, lut: np.ndarray) -> None:
+        self._P = P
         self.codes = codes
         self.lut = lut
 
     @property
+    def P(self) -> np.ndarray:
+        if self._P is None:
+            self._P = np.take(self.lut, self.codes.reshape(-1), axis=0
+                              ).reshape(self.codes.shape + (3,))
+        return self._P
+
+    @property
     def shape(self):
-        return self.P.shape
+        return self.codes.shape + (3,)
 
     @property
     def dtype(self):
-        return self.P.dtype
+        return self.lut.dtype
 
     def __len__(self):
-        return len(self.P)
+        return len(self.codes)
 
     def __array__(self, dtype=None, copy=None):
         return np.asarray(self.P, dtype)
@@ -301,5 +329,6 @@ class CodedProbs:
         # site-axis slices keep the code plane (the streamed loops cut
         # [start:stop] chunks); anything fancier decays to the tensor
         if isinstance(key, slice):
-            return CodedProbs(self.P[key], self.codes[key], self.lut)
+            return CodedProbs(None if self._P is None else self._P[key],
+                              self.codes[key], self.lut)
         return self.P[key]

@@ -71,6 +71,13 @@ def _configure(lib: ctypes.CDLL) -> None:
         ctypes.c_int64, ctypes.POINTER(ctypes.c_int),
     ]
     lib.nd_read_geno_pack23.restype = ctypes.c_int
+    lib.nd_read_geno_codes.argtypes = [
+        ctypes.c_char_p, ctypes.c_int, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int64, ctypes.c_int64, ctypes.POINTER(ctypes.c_uint8),
+        ctypes.POINTER(ctypes.c_int), ctypes.c_char_p, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int),
+    ]
+    lib.nd_read_geno_codes.restype = ctypes.c_int
     lib.nd_format_matrix10f.argtypes = [
         _c_dp, ctypes.c_int64, ctypes.c_int64, ctypes.c_char_p,
         ctypes.c_int64, _c_i64p,
@@ -118,6 +125,11 @@ def as_double_ptr(a: np.ndarray):
 def as_float_ptr(a: np.ndarray):
     assert a.dtype == np.float32 and a.flags["C_CONTIGUOUS"]
     return a.ctypes.data_as(_c_fp)
+
+
+def as_uint8_ptr(a: np.ndarray):
+    assert a.dtype == np.uint8 and a.flags["C_CONTIGUOUS"]
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
 
 
 def as_i64_ptr(a: np.ndarray):

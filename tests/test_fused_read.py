@@ -195,3 +195,159 @@ def test_runner_end_to_end_fused(tmp_path, monkeypatch, f32_engine):
             return fh.read()
 
     assert run("fused", "auto") == run("staged", "0")
+
+
+# ------------------------------------------------------------------ #
+# Fused CODES reader (default-threshold --call_geno, nd_read_geno_codes)
+# ------------------------------------------------------------------ #
+
+def _write_gp_calls(tmp_path, S, N, seed=9, miss=True, name="gpm.bin"):
+    """Binary GP whose default-threshold call_geno output exercises all
+    codes: clear one-hots, near-ties (first-argmax order), and (when
+    miss=True) exactly all-equal triples -> the uniform missing code."""
+    rng = np.random.default_rng(seed)
+    g = rng.exponential(size=(S, N, 3))
+    g /= g.sum(-1, keepdims=True)
+    g[1 % S, 0] = [0.4, 0.4, 0.2]       # tie on the max: first argmax
+    g[2 % S, 1 % N] = [1, 0, 0]
+    if miss:
+        g[7 % S, 2 % N] = [0.25, 0.25, 0.25]   # all-equal -> missing
+        g[S - 1, N - 1] = [1 / 3, 1 / 3, 1 / 3]
+    path = os.path.join(tmp_path, name)
+    g.astype(np.float64).tofile(path)
+    return path, g
+
+
+def _staged_codes(path, in_logscale, N, S):
+    from ngsdist_tpu.utils.hostmem import derive_codes
+
+    P = preprocess(readers.read_geno(path, True, True, in_logscale, N, S),
+                   True, 0.0, 0.0)
+    got = derive_codes(P)
+    assert got is not None
+    return P, got
+
+
+@pytest.mark.parametrize("miss", [True, False])
+def test_codes_bit_equal_staged(tmp_path, miss):
+    """codes + lut + lazy-P reconstruction all bit-equal to the staged
+    read -> call_geno -> exp -> derive_codes pipeline."""
+    from ngsdist_tpu.utils.hostmem import CodedProbs, coded_call_lut
+
+    S, N = 257, 13
+    path, g = _write_gp_calls(str(tmp_path), S, N, miss=miss)
+    P, (codes_s, lut_s) = _staged_codes(path, False, N, S)
+    got = readers.read_geno_codes(path, False, N, S)
+    assert got is not None
+    codes_f, any_missing = got
+    assert any_missing == miss
+    np.testing.assert_array_equal(codes_s, codes_f)
+    lut_f = coded_call_lut(any_missing)
+    np.testing.assert_array_equal(lut_s, lut_f)
+    # lazy CodedProbs: slicing stays lazy; materialization reconstructs
+    # the exact staged f64 tensor
+    lazy = CodedProbs(None, codes_f, lut_f)
+    assert lazy.shape == (S, N, 3) and lazy.dtype == np.float64
+    sl = lazy[40:90]
+    assert sl._P is None and lazy._P is None
+    np.testing.assert_array_equal(sl.codes, codes_f[40:90])
+    np.testing.assert_array_equal(np.asarray(sl), P[40:90])
+    np.testing.assert_array_equal(np.asarray(lazy), P)
+
+    # log-scale input and ranged reads
+    logp = os.path.join(str(tmp_path), "glm.bin")
+    np.log(np.maximum(g, 1e-300)).tofile(logp)
+    _, (codes_ls, _) = _staged_codes(logp, True, N, S)
+    got_l = readers.read_geno_codes(logp, True, N, S)
+    np.testing.assert_array_equal(codes_ls, got_l[0])
+    ranged = readers.read_geno_codes(path, False, N, S, site_range=(30, 200))
+    np.testing.assert_array_equal(codes_f[30:200], ranged[0])
+
+
+def test_codes_error_surface_and_gz(tmp_path):
+    import gzip
+    import shutil
+
+    S, N = 48, 4
+    path, g = _write_gp_calls(str(tmp_path), S, N)
+    with open(path, "rb") as fh:
+        buf = fh.read()
+    trunc = os.path.join(str(tmp_path), "ctrunc.bin")
+    with open(trunc, "wb") as fh:
+        fh.write(buf[:-40])
+    with pytest.raises(NgsDistError, match="premature EOF"):
+        readers.read_geno_codes(trunc, False, N, S)
+
+    gn = g.copy()
+    gn[3, 1] = np.nan
+    nanp = os.path.join(str(tmp_path), "cnan.bin")
+    gn.tofile(nanp)
+    with pytest.raises(NgsDistError, match="NaN found"):
+        readers.read_geno_codes(nanp, False, N, S)
+
+    gz = os.path.join(str(tmp_path), "cgz.bin")
+    with open(path, "rb") as s, gzip.open(gz, "wb") as d:
+        shutil.copyfileobj(s, d)
+    assert readers.read_geno_codes(gz, False, N, S) is None
+
+
+def test_fused_coded_gating(tmp_path, monkeypatch, f32_engine):
+    """_fused_coded_wanted: on only for raw-binary f32 jax runs with
+    DEFAULT-threshold call_geno, coded uploads on, codes under the
+    host budget."""
+    from ngsdist_tpu import runner
+
+    S, N = 16, 3
+    path, _ = _write_gp_calls(str(tmp_path), S, N, seed=2)
+    base = dict(in_geno=path, in_bin=True, in_probs=True, n_ind=N,
+                n_sites=S, indep_geno=True, call_geno=True, verbose=0)
+    assert runner._fused_coded_wanted(Params(**base), "jax")
+    assert not runner._fused_coded_wanted(Params(**base), "exact")
+    assert not runner._fused_coded_wanted(
+        Params(**{**base, "call_geno": False}), "jax")
+    assert not runner._fused_coded_wanted(
+        Params(**{**base, "call_thresh": 0.9}), "jax")
+    assert not runner._fused_coded_wanted(
+        Params(**{**base, "in_geno": "-"}), "jax")
+    assert not runner._fused_coded_wanted(
+        Params(**{**base, "evol_model": 4}), "jax")
+    assert not runner._fused_coded_wanted(
+        Params(**{**base, "verbose": 8}), "jax")
+    monkeypatch.setenv("NGSDIST_CODED_UPLOAD", "0")
+    assert not runner._fused_coded_wanted(Params(**base), "jax")
+    monkeypatch.delenv("NGSDIST_CODED_UPLOAD")
+    monkeypatch.setenv("NGSDIST_FUSED_READ", "0")
+    assert not runner._fused_coded_wanted(Params(**base), "jax")
+    monkeypatch.delenv("NGSDIST_FUSED_READ")
+    # code plane over the host budget: stay on the lazy stream
+    monkeypatch.setenv("NGSDIST_HOST_BUDGET", str(S * N))
+    assert not runner._fused_coded_wanted(Params(**base), "jax")
+
+
+def test_runner_end_to_end_coded(tmp_path, monkeypatch, f32_engine):
+    """Full runner.run through the fused codes path == the staged
+    call_geno pipeline's output file, resident and chunked."""
+    from ngsdist_tpu import runner
+
+    S, N = 220, 6
+    path, _ = _write_gp_calls(str(tmp_path), S, N, seed=7)
+    monkeypatch.setenv("NGSDIST_CODED_UPLOAD", "1")
+
+    def run(tag, fused_env, budget=None):
+        monkeypatch.setenv("NGSDIST_FUSED_READ", fused_env)
+        if budget is not None:
+            monkeypatch.setenv("NGSDIST_DEVICE_BUDGET", str(budget))
+        else:
+            monkeypatch.delenv("NGSDIST_DEVICE_BUDGET", raising=False)
+        out = os.path.join(str(tmp_path), f"{tag}.dist")
+        pars = Params(in_geno=path, in_bin=True, in_probs=True, n_ind=N,
+                      n_sites=S, indep_geno=True, pairwise_del=True,
+                      call_geno=True, evol_model=0, seed=1, verbose=0,
+                      out=out)
+        runner.run(pars, engine="jax")
+        with open(out) as fh:
+            return fh.read()
+
+    want = run("staged", "0")
+    assert run("coded", "auto") == want
+    assert run("coded_chunk", "auto", budget=40000) == want
