@@ -596,9 +596,12 @@ def main_indep() -> dict:
                    "cpu64_updates_per_sec")
 
 
+# e2e1m goes LAST: it is the budget hog (25.8 GB input gen + >4 min
+# samples) and routinely overruns NGSDIST_BENCH_BUDGET — any mode after
+# it gets skipped, which starved e2e_cg out of early round-4 artifacts.
 _MODES = [("indep", main_indep), ("em", main_em), ("e2e", main_e2e),
-          ("e2e_em", main_e2e_em), ("boot", main_boot),
-          ("e2e1m", main_e2e_1m), ("e2e_cg", main_e2e_cg)]
+          ("e2e_em", main_e2e_em), ("e2e_cg", main_e2e_cg),
+          ("boot", main_boot), ("e2e1m", main_e2e_1m)]
 
 # Soft deadline shared with modes that can trim optional extra trials
 # (set by main_all from NGSDIST_BENCH_BUDGET; single-mode runs have none).
