@@ -24,8 +24,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..config import Params
 from ..core.preprocess import preprocess
 from ..io import readers
-from ..utils.hostmem import (PAD23, CodedProbs, coded_pad_lut,
-                             coded_upload_enabled, pack23,
+from ..utils.hostmem import (PAD23, CodedProbs, coded_call_lut,
+                             coded_pad_lut, coded_upload_enabled, pack23,
                              parallel_cast_pad, upload23_enabled)
 from .mesh import AXIS, _round_up
 
@@ -315,6 +315,29 @@ class SiteStream:
                     and not pars.in_geno.endswith(".gz"))
 
     @classmethod
+    def wants_coded_lazy(cls, pars: Params, np_dtype) -> bool:
+        """True when LAZY rounds can read uint8 call_geno codes straight
+        from the raw f64 binary source or the decompressed binary spill
+        (readers.read_geno_codes): default-threshold --call_geno fully
+        determines every triple from its code, so each round stages
+        1 byte/triple instead of read -> preprocess -> pack (24x less
+        round staging, 8x fewer host-link bytes — and bootstrap
+        replicates re-read rounds under lazy, multiplying the win).
+        Text inputs stay staged: their spill rows are already log-
+        normalized and a second normalize could flip exact argmax ties.
+        Gates mirror runner._fused_coded_wanted."""
+        if not pars.in_bin:
+            return False
+        if os.environ.get("NGSDIST_FUSED_READ", "auto") == "0":
+            return False
+        if (not pars.call_geno or pars.N_thresh != 0.0
+                or pars.call_thresh != 0.0):
+            return False
+        if pars.evol_model >= 3 or pars.verbose >= 8:
+            return False
+        return coded_upload_enabled(np_dtype)
+
+    @classmethod
     def wants_lazy(cls, pars: Params, np_dtype, n_rows: int) -> bool:
         """True when eagerly loading n_rows sites (the f64 read tensor
         plus the cast shard) would exceed the host budget.  EVERY input
@@ -362,8 +385,17 @@ class SiteStream:
             spill = {}
             if not cls.seekable_binary(pars):
                 spill = cls._build_spill(pars, start, stop)
+            coded = {}
+            if cls.wants_coded_lazy(pars, np_dtype):
+                # lut row 3 (uniform missing) must be chosen before any
+                # round is read, so it is ALWAYS the exp(log(1/3))
+                # value here — unused rows are never gathered, and the
+                # pad row appends after it, identically on every
+                # process (static, no broadcast needed).
+                lut, pad_code = coded_pad_lut(coded_call_lut(True))
+                coded = dict(lut=lut, pad_code=pad_code)
             return cls(pars, mesh, np_dtype, None, s_pad, chunk, start, stop,
-                       **spill)
+                       **spill, **coded)
         read_start = min(start, pars.n_sites)
         read_stop = min(stop, pars.n_sites)
         if read_stop > read_start:
@@ -491,6 +523,29 @@ class SiteStream:
             site_range=(g_lo - self.spill_base, g_hi - self.spill_base),
         )
 
+    def _read_codes(self, g_lo: int, g_hi: int) -> np.ndarray:
+        """uint8 call_geno codes for rows [g_lo, g_hi) of a lazy CODED
+        round: one fused native pass over the raw f64 binary source or
+        the decompressed binary spill (wants_coded_lazy gates out every
+        other input style)."""
+        p = self.pars
+        if self.spill_path is None:
+            got = readers.read_geno_codes(
+                p.in_geno, p.in_logscale, p.n_ind, p.n_sites,
+                site_range=(g_lo, g_hi))
+        else:
+            rows = min(self.stop, p.n_sites) - self.spill_base
+            got = readers.read_geno_codes(
+                self.spill_path, p.in_logscale, p.n_ind, rows,
+                site_range=(g_lo - self.spill_base,
+                            g_hi - self.spill_base))
+        if got is None:  # not raw binary after all (TOCTOU): hard error
+            from ..config import NgsDistError
+
+            raise NgsDistError("read_geno", "cannot read binary GENO "
+                               "file. Check GENO file and number of sites!")
+        return got[0]
+
     # ------------------------- resident path ------------------------- #
 
     def _put(self, local: np.ndarray, spec, global_shape):
@@ -542,11 +597,23 @@ class SiteStream:
         """Global sharded [chunk*n_dev, N, 3] array for round r."""
         lo = r * self.chunk
         hi = min(lo + self.chunk, self.s_loc)
-        if self.coded:  # never lazy: coded shards come from_array
+        if self.coded:
             out = np.full((self.n_local_dev, self.chunk, self.N),
                           self.pad_code, np.uint8)
-            l3 = self.local.reshape(self.n_local_dev, self.s_loc, self.N)
-            out[:, : hi - lo] = l3[:, lo:hi]
+            if self.lazy:
+                # coded rounds read uint8 codes straight from disk
+                # (one fused native pass, _read_codes); pad rows keep
+                # pad_code — inert exactly like the staged PAD23 rows
+                d0 = self.start // self.s_loc
+                for d in range(self.n_local_dev):
+                    g_lo = min((d0 + d) * self.s_loc + lo, self.S)
+                    g_hi = min((d0 + d) * self.s_loc + hi, self.S)
+                    if g_hi > g_lo:
+                        out[d, : g_hi - g_lo] = self._read_codes(g_lo, g_hi)
+            else:
+                l3 = self.local.reshape(
+                    self.n_local_dev, self.s_loc, self.N)
+                out[:, : hi - lo] = l3[:, lo:hi]
             return self._put_probs(out.reshape(-1, self.N),
                                    self.round_sites)
         out = np.zeros((self.n_local_dev, self.chunk, self.N, self.K),

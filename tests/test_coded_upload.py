@@ -252,3 +252,142 @@ class TestMesh:
         # an existing zero row is reused
         lut3, pc3 = coded_pad_lut(lut2)
         assert lut3.shape == (5, 3) and pc3 == 4
+
+
+class TestLazyCoded:
+    """LAZY coded rounds: over-host-budget default-threshold --call_geno
+    binary runs read uint8 codes straight from disk per round
+    (SiteStream._read_codes via the fused nd_read_geno_codes) — 24x
+    less round staging and 8x fewer link bytes than the staged
+    read -> preprocess -> pack round path, with BIT-identical results
+    (the lut expansion IS the staged f64 triple)."""
+
+    @pytest.fixture()
+    def mesh8(self):
+        from ngsdist_tpu.parallel import mesh as pm
+
+        return pm.make_mesh(n_devices=8)
+
+    def _gp(self, tmp_path, S, N, seed=21, gz=False):
+        rng = np.random.default_rng(seed)
+        g = rng.dirichlet(np.ones(3), size=(S, N))
+        g[5 % S, 1 % N] = [0.25, 0.25, 0.25]     # all-equal -> missing
+        g[9 % S, 0] = [0.4, 0.4, 0.2]            # max tie: first argmax
+        path = os.path.join(str(tmp_path), "gp.bin")
+        g.astype(np.float64).tofile(path)
+        if gz:
+            import gzip
+            import shutil
+
+            gzp = os.path.join(str(tmp_path), "gp.bin.gz")
+            with open(path, "rb") as s, gzip.open(gzp, "wb") as d:
+                shutil.copyfileobj(s, d)
+            return gzp
+        return path
+
+    def _pars(self, path, S, N):
+        from ngsdist_tpu.config import Params
+
+        pars = Params(in_geno=path, in_bin=True, in_probs=True, n_ind=N,
+                      n_sites=S, out="y", seed=3, indep_geno=True,
+                      call_geno=True, pairwise_del=True, evol_model=1,
+                      n_boot_rep=2, boot_block_size=4, verbose=0)
+        return pars
+
+    def _mats(self, pars, stream, mesh):
+        from ngsdist_tpu.core import bootstrap as bt
+
+        n_trunc, maps = bt.site_maps(
+            pars.seed, pars.n_boot_rep, pars.n_sites, pars.boot_block_size)
+        return list(dist.iter_replicates(pars, stream, maps, n_trunc,
+                                         mesh=mesh))
+
+    @pytest.mark.parametrize("gz", [False, True])
+    def test_lazy_coded_matches_staged_lazy(self, mesh8, tmp_path,
+                                            monkeypatch, gz):
+        from ngsdist_tpu.parallel.multihost import SiteStream
+
+        S, N = 120, 5
+        path = self._gp(tmp_path, S, N, gz=gz)
+        pars = self._pars(path, S, N)
+        monkeypatch.setenv("NGSDIST_CODED_UPLOAD", "1")
+        monkeypatch.setenv("NGSDIST_HOST_BUDGET", "2000")
+        monkeypatch.setenv("NGSDIST_DEVICE_BUDGET", "100000000")
+
+        monkeypatch.setenv("NGSDIST_FUSED_READ", "0")
+        staged = SiteStream.from_reader(pars, mesh8, np.float64)
+        assert staged.lazy and not staged.coded and staged.n_rounds > 1
+        want = self._mats(pars, staged, mesh8)
+        staged.close()
+
+        monkeypatch.setenv("NGSDIST_FUSED_READ", "auto")
+        coded = SiteStream.from_reader(pars, mesh8, np.float64)
+        assert coded.lazy and coded.coded and coded.local is None
+        assert coded.chunk == staged.chunk  # same plan -> same grouping
+        got = self._mats(pars, coded, mesh8)
+        coded.close()
+        assert len(want) == len(got) == 3
+        for a, b in zip(want, got):
+            np.testing.assert_array_equal(b, a)
+
+    def test_gates(self, monkeypatch, tmp_path):
+        from ngsdist_tpu.parallel.multihost import SiteStream
+
+        S, N = 16, 3
+        path = self._gp(tmp_path, S, N)
+        base = self._pars(path, S, N)
+        monkeypatch.setenv("NGSDIST_CODED_UPLOAD", "1")
+        assert SiteStream.wants_coded_lazy(base, np.float64)
+
+        import dataclasses
+
+        assert not SiteStream.wants_coded_lazy(
+            dataclasses.replace(base, call_geno=False), np.float64)
+        assert not SiteStream.wants_coded_lazy(
+            dataclasses.replace(base, call_thresh=0.9), np.float64)
+        assert not SiteStream.wants_coded_lazy(
+            dataclasses.replace(base, in_bin=False), np.float64)
+        assert not SiteStream.wants_coded_lazy(
+            dataclasses.replace(base, evol_model=4), np.float64)
+        assert not SiteStream.wants_coded_lazy(
+            dataclasses.replace(base, verbose=8), np.float64)
+        monkeypatch.setenv("NGSDIST_FUSED_READ", "0")
+        assert not SiteStream.wants_coded_lazy(base, np.float64)
+        monkeypatch.delenv("NGSDIST_FUSED_READ")
+        monkeypatch.setenv("NGSDIST_CODED_UPLOAD", "0")
+        assert not SiteStream.wants_coded_lazy(base, np.float64)
+
+    def test_runner_lazy_coded_end_to_end(self, tmp_path, monkeypatch):
+        """runner.run under a tiny host budget routes --call_geno binary
+        runs through lazy CODED rounds and reproduces the eager file."""
+        from ngsdist_tpu import runner
+
+        from ngsdist_tpu.parallel.multihost import SiteStream
+
+        S, N = 90, 5
+        path = self._gp(tmp_path, S, N, seed=4)
+        monkeypatch.setenv("NGSDIST_CODED_UPLOAD", "1")
+        calls = []
+        orig = SiteStream._read_codes
+        monkeypatch.setattr(
+            SiteStream, "_read_codes",
+            lambda self, lo, hi: calls.append((lo, hi)) or orig(self, lo, hi))
+
+        def run(tag, budget):
+            if budget is None:
+                monkeypatch.delenv("NGSDIST_HOST_BUDGET", raising=False)
+            else:
+                # under the S*N*2 code plane too: the EAGER fused-coded
+                # gate must decline and the LAZY coded stream engage
+                monkeypatch.setenv("NGSDIST_HOST_BUDGET", str(budget))
+            pars = self._pars(path, S, N)
+            pars.out = os.path.join(str(tmp_path), f"{tag}.dist")
+            pars.validate()
+            pars.finalize()
+            runner.run(pars, engine="jax")
+            with open(pars.out) as fh:
+                return fh.read()
+
+        lazy = run("lazy", 400)
+        assert calls, "lazy coded rounds never read codes"
+        assert lazy == run("eager", None)
