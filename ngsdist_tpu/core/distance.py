@@ -157,6 +157,8 @@ def _host_pack(P_slice: np.ndarray, dtype, may_zero: bool = True) -> np.ndarray:
     run it on a thread that is NOT the one holding the device link
     (_pipelined_chunks)."""
     npdt = np.dtype(np.float64 if dtype == jnp.float64 else np.float32)
+    if isinstance(P_slice, CodedSlab):  # deferred coded chunk: cast lut
+        return CodedSlab(P_slice.codes, P_slice.lut.astype(npdt))
     if isinstance(P_slice, CodedProbs):
         if coded_upload_enabled(npdt):
             return CodedSlab(np.ascontiguousarray(P_slice.codes),
@@ -234,29 +236,38 @@ def _pipelined_chunks(ranges, read_fn, send_fn):
 PIPE_UPLOAD_BYTES = 128 << 20
 
 
-def _upload_packed_pipelined(src, n_used: int) -> jnp.ndarray:
-    """Resident upload of a fused-read source (readers.PackedBinInput):
-    read packed [chunk, N, 2] slabs from disk and dispatch each async
-    upload immediately, then assemble and expand ON DEVICE.  One pass
-    over the file, no resident f64 tensor.  The NEXT chunk's fused read
-    runs in a prefetch thread because device_put applies backpressure
-    (it blocks until the in-flight transfer drains) — without the
-    thread, disk reads and host-link copies ping-pong serially."""
+def _upload_packed_pipelined(src, n_used: int, dtype=None) -> jnp.ndarray:
+    """Resident upload of a fused-read source (readers.PackedBinInput
+    packed f32 slabs, or readers.CodedBinInput uint8 CodedSlab chunks):
+    read slabs from disk and dispatch each async upload immediately,
+    then assemble and expand ON DEVICE.  One pass over the file, no
+    resident f64 tensor.  The NEXT chunk's fused read runs in a
+    prefetch thread because device_put applies backpressure (it blocks
+    until the in-flight transfer drains) — without the thread, disk
+    reads and host-link copies ping-pong serially."""
     from concurrent.futures import ThreadPoolExecutor
 
     N = src.n_ind
     step = max(1, PIPE_UPLOAD_BYTES // max(1, N * 8))
     ranges = [(lo, min(lo + step, n_used)) for lo in range(0, n_used, step)]
     parts = []
+    lut = None
     with ThreadPoolExecutor(1) as ex:
         fut = ex.submit(src.read_packed, *ranges[0])
         for k in range(len(ranges)):
             buf = fut.result()
             if k + 1 < len(ranges):
                 fut = ex.submit(src.read_packed, *ranges[k + 1])
-            parts.append(jnp.asarray(buf))
+            if isinstance(buf, CodedSlab):
+                lut = buf.lut
+                parts.append(jnp.asarray(buf.codes))
+            else:
+                parts.append(jnp.asarray(buf))
     P2 = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
     del parts
+    if lut is not None:
+        npdt = np.float64 if dtype == jnp.float64 else np.float32
+        return expand_codes(P2, jnp.asarray(lut.astype(npdt)))
     return expand23(P2)
 
 
@@ -644,7 +655,7 @@ def iter_replicates(
     # from disk straight to the device — no resident host f64 tensor.
     packed_src = hasattr(P_host, "read_packed")
     if not chunked:
-        P = (_upload_packed_pipelined(P_host, S) if packed_src
+        P = (_upload_packed_pipelined(P_host, S, dtype) if packed_src
              else put_probs(P_host, dtype, may_zero=not pars.in_bin))
 
     def stats_stream(site_weights=None, n_used=S, rep=0):

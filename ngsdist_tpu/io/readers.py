@@ -244,6 +244,44 @@ class PackedBinInput:
         return out
 
 
+class CodedBinInput:
+    """Deferred fused-read handle for raw binary GP inputs under
+    DEFAULT-THRESHOLD --call_geno (runner fast path, f32 coded
+    uploads).
+
+    read_packed chunks are hostmem.CodedSlab uint8 code planes straight
+    off the fused native reader (read_geno_codes) — 1 byte per
+    (site, individual) on the host link, no resident tensor OR code
+    plane at any size (the engine's pipelined/chunked streams pull
+    ranges on demand), with the chunk read overlapping the in-flight
+    device copy.  The lut is statically coded_call_lut(True): unused
+    rows are never gathered on device, so it needs no global
+    any-missing scan.  Same content-error deferral as PackedBinInput
+    (NaN/EOF fatals surface when the affected chunk reads — see
+    docs/PARITY.md)."""
+
+    def __init__(self, pars) -> None:
+        from ..utils.hostmem import coded_call_lut
+
+        self.path = pars.in_geno
+        self.in_logscale = bool(pars.in_logscale)
+        self.n_ind = int(pars.n_ind)
+        self.n_sites = int(pars.n_sites)
+        self.shape = (self.n_sites, self.n_ind, 3)  # logical tensor shape
+        self.lut = coded_call_lut(True)
+
+    def read_packed(self, lo: int, hi: int):
+        """Upload-ready CodedSlab for sites [lo, hi)."""
+        from ..utils.hostmem import CodedSlab
+
+        got = read_geno_codes(self.path, self.in_logscale, self.n_ind,
+                              self.n_sites, site_range=(lo, hi))
+        if got is None:  # not raw binary after all (TOCTOU): hard error
+            raise NgsDistError("read_geno", "cannot read binary GENO file. "
+                               "Check GENO file and number of sites!")
+        return CodedSlab(got[0], self.lut)
+
+
 def _postprob_py(tri: np.ndarray) -> np.ndarray:
     """Log-normalize triples along the last axis (post_prob semantics)."""
     m = np.max(tri, axis=-1, keepdims=True)

@@ -59,19 +59,25 @@ def _fused_packed_wanted(pars: Params, engine: str, mesh) -> bool:
             and upload23_enabled(np.float32))
 
 
-def _fused_coded_wanted(pars: Params, engine: str) -> bool:
-    """True when the genotype read can collapse to the fused native
-    CODES reader (readers.read_geno_codes): raw binary GP under
-    DEFAULT-THRESHOLD --call_geno hard-calls every triple to a one-hot
-    or the uniform missing value, so ONE native pass writes the uint8
-    code plane (1 byte/triple) and the [S, N, 3] f64 tensor is never
-    materialized — the staged read -> call_geno -> exp -> derive_codes
-    chain was four full passes and a 24-bytes/triple resident tensor.
-    Because the eager footprint drops ~24x this also OVERRIDES the
-    lazy-stream decision whenever the code plane itself fits the host
-    budget.  Gates mirror the staged coded-upload block (models 0-2,
-    verbose < 8, f32 coded uploads on); NGSDIST_FUSED_READ=0 forces
-    the staged pipeline."""
+def _fused_coded_wanted(pars: Params, engine: str, mesh):
+    """Route for the fused native CODES reader (readers.read_geno_codes):
+    raw binary GP under DEFAULT-THRESHOLD --call_geno hard-calls every
+    triple to a one-hot or the uniform missing value, so ONE native
+    pass yields the uint8 code plane (1 byte/triple) and the staged
+    read -> call_geno -> exp -> derive_codes chain (four full passes, a
+    24-bytes/triple resident tensor) never runs.  Returns:
+
+    - "handle" — defer reads to a readers.CodedBinInput: the engine
+      pulls code chunks on demand, overlapping disk reads with the
+      in-flight device copy, and NO plane is ever host-resident (also
+      supersedes the lazy stream at any size).  Single-device runs.
+    - "eager"  — read the resident code plane up front (mesh runs shard
+      it via SiteStream.from_array; also chunked+bootstrap runs, where
+      a resident plane avoids per-replicate disk re-reads).
+    - False    — staged pipeline (gates mirror the staged coded-upload
+      block: models 0-2, verbose < 8, f32 coded uploads on;
+      NGSDIST_FUSED_READ=0 forces staged; over-host-budget mesh runs
+      fall through to LAZY coded rounds instead)."""
     if engine != "jax":
         return False
     if os.environ.get("NGSDIST_FUSED_READ", "auto") == "0":
@@ -91,12 +97,21 @@ def _fused_coded_wanted(pars: Params, engine: str) -> bool:
 
     if default_dtype() != jnp.float32 or not coded_upload_enabled(np.float32):
         return False
-    # The point is a RESIDENT code plane (global codes + the sharded
-    # local copy ~ 2 bytes/triple); stay lazy when even that blows the
-    # host budget.
+    from .core.distance import _device_budget_bytes
     from .parallel.multihost import SiteStream
 
-    return pars.n_sites * pars.n_ind * 2 <= SiteStream._host_budget_bytes()
+    plane_fits = (pars.n_sites * pars.n_ind * 2
+                  <= SiteStream._host_budget_bytes())
+    if mesh is not None:
+        # sharded runs need the plane (or lazy coded rounds, their own
+        # gate) — global codes + the local shard copy ~ 2 bytes/triple
+        return "eager" if plane_fits else False
+    chunked = pars.n_sites * pars.n_ind * 3 * 4 > _device_budget_bytes()
+    if chunked and pars.n_boot_rep and plane_fits:
+        # chunked bootstrap re-reads every chunk per replicate through
+        # a handle; a resident plane slices from RAM instead
+        return "eager"
+    return "handle"
 
 
 def load_inputs(pars: Params, geno: bool = True, fused: bool = False,
@@ -130,7 +145,9 @@ def load_inputs(pars: Params, geno: bool = True, fused: bool = False,
     _log(pars, 1, "==> Reading genotype data")
     if fused:
         return labels, pos_rows, readers.PackedBinInput(pars)
-    if coded:
+    if coded == "handle":
+        return labels, pos_rows, readers.CodedBinInput(pars)
+    if coded:  # "eager": resident code plane
         got = readers.read_geno_codes(
             pars.in_geno, pars.in_logscale, pars.n_ind, pars.n_sites)
         if got is not None:
@@ -374,7 +391,7 @@ def run(
             print(msg, file=sys.stderr)
 
     engine = resolve_engine(engine)
-    coded = _fused_coded_wanted(pars, engine)
+    coded = _fused_coded_wanted(pars, engine, mesh)
     lazy = not coded and _lazy_stream_wanted(pars, engine)
     fused = not lazy and not coded and _fused_packed_wanted(pars, engine, mesh)
     labels, pos_rows, P = load_inputs(pars, geno=not lazy, fused=fused,

@@ -357,9 +357,12 @@ class TestLazyCoded:
         monkeypatch.setenv("NGSDIST_CODED_UPLOAD", "0")
         assert not SiteStream.wants_coded_lazy(base, np.float64)
 
-    def test_runner_lazy_coded_end_to_end(self, tmp_path, monkeypatch):
-        """runner.run under a tiny host budget routes --call_geno binary
-        runs through lazy CODED rounds and reproduces the eager file."""
+    def test_runner_lazy_coded_end_to_end(self, mesh8, tmp_path,
+                                          monkeypatch):
+        """runner.run on a MESH under a tiny host budget routes
+        --call_geno binary runs through lazy CODED rounds (single-device
+        runs take the deferred CodedBinInput handle instead) and
+        reproduces the full-budget file."""
         from ngsdist_tpu import runner
 
         from ngsdist_tpu.parallel.multihost import SiteStream
@@ -384,7 +387,7 @@ class TestLazyCoded:
             pars.out = os.path.join(str(tmp_path), f"{tag}.dist")
             pars.validate()
             pars.finalize()
-            runner.run(pars, engine="jax")
+            runner.run(pars, engine="jax", mesh=mesh8)
             with open(pars.out) as fh:
                 return fh.read()
 

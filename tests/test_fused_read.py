@@ -292,36 +292,49 @@ def test_codes_error_surface_and_gz(tmp_path):
 
 
 def test_fused_coded_gating(tmp_path, monkeypatch, f32_engine):
-    """_fused_coded_wanted: on only for raw-binary f32 jax runs with
-    DEFAULT-threshold call_geno, coded uploads on, codes under the
-    host budget."""
+    """_fused_coded_wanted: deferred handle for single-device raw-binary
+    f32 jax runs with DEFAULT-threshold call_geno and coded uploads on;
+    eager resident plane for mesh runs (plane under the host budget)
+    and chunked bootstrap; False otherwise."""
     from ngsdist_tpu import runner
 
     S, N = 16, 3
     path, _ = _write_gp_calls(str(tmp_path), S, N, seed=2)
     base = dict(in_geno=path, in_bin=True, in_probs=True, n_ind=N,
                 n_sites=S, indep_geno=True, call_geno=True, verbose=0)
-    assert runner._fused_coded_wanted(Params(**base), "jax")
-    assert not runner._fused_coded_wanted(Params(**base), "exact")
+    assert runner._fused_coded_wanted(Params(**base), "jax", None) == "handle"
+    assert not runner._fused_coded_wanted(Params(**base), "exact", None)
     assert not runner._fused_coded_wanted(
-        Params(**{**base, "call_geno": False}), "jax")
+        Params(**{**base, "call_geno": False}), "jax", None)
     assert not runner._fused_coded_wanted(
-        Params(**{**base, "call_thresh": 0.9}), "jax")
+        Params(**{**base, "call_thresh": 0.9}), "jax", None)
     assert not runner._fused_coded_wanted(
-        Params(**{**base, "in_geno": "-"}), "jax")
+        Params(**{**base, "in_geno": "-"}), "jax", None)
     assert not runner._fused_coded_wanted(
-        Params(**{**base, "evol_model": 4}), "jax")
+        Params(**{**base, "evol_model": 4}), "jax", None)
     assert not runner._fused_coded_wanted(
-        Params(**{**base, "verbose": 8}), "jax")
+        Params(**{**base, "verbose": 8}), "jax", None)
     monkeypatch.setenv("NGSDIST_CODED_UPLOAD", "0")
-    assert not runner._fused_coded_wanted(Params(**base), "jax")
+    assert not runner._fused_coded_wanted(Params(**base), "jax", None)
     monkeypatch.delenv("NGSDIST_CODED_UPLOAD")
     monkeypatch.setenv("NGSDIST_FUSED_READ", "0")
-    assert not runner._fused_coded_wanted(Params(**base), "jax")
+    assert not runner._fused_coded_wanted(Params(**base), "jax", None)
     monkeypatch.delenv("NGSDIST_FUSED_READ")
-    # code plane over the host budget: stay on the lazy stream
+    # mesh runs need the resident plane; over the host budget they
+    # fall through to LAZY coded rounds (wants_coded_lazy) instead
+    mesh = object()
+    assert runner._fused_coded_wanted(Params(**base), "jax", mesh) == "eager"
     monkeypatch.setenv("NGSDIST_HOST_BUDGET", str(S * N))
-    assert not runner._fused_coded_wanted(Params(**base), "jax")
+    assert not runner._fused_coded_wanted(Params(**base), "jax", mesh)
+    # single-device handle needs NO plane: any budget is fine
+    assert runner._fused_coded_wanted(Params(**base), "jax", None) == "handle"
+    monkeypatch.delenv("NGSDIST_HOST_BUDGET")
+    # chunked bootstrap prefers the resident plane over per-replicate
+    # disk re-reads through the handle
+    monkeypatch.setenv("NGSDIST_DEVICE_BUDGET", "10")
+    boot = Params(**{**base, "n_boot_rep": 2, "boot_block_size": 4})
+    assert runner._fused_coded_wanted(boot, "jax", None) == "eager"
+    assert runner._fused_coded_wanted(Params(**base), "jax", None) == "handle"
 
 
 def test_runner_end_to_end_coded(tmp_path, monkeypatch, f32_engine):
@@ -351,3 +364,32 @@ def test_runner_end_to_end_coded(tmp_path, monkeypatch, f32_engine):
     want = run("staged", "0")
     assert run("coded", "auto") == want
     assert run("coded_chunk", "auto", budget=40000) == want
+
+
+@pytest.mark.parametrize("budget", [None, 40000])
+def test_engine_matches_staged_coded_handle(tmp_path, monkeypatch,
+                                            f32_engine, budget):
+    """CodedBinInput (deferred coded chunks) vs the staged call_geno
+    pipeline: identical matrices on the resident (pipelined coded
+    upload) and chunked (per-chunk fused code reads) streams,
+    including bootstrap replicates."""
+    monkeypatch.setenv("NGSDIST_CODED_UPLOAD", "1")
+    if budget is not None:
+        monkeypatch.setenv("NGSDIST_DEVICE_BUDGET", str(budget))
+    S, N = 600, 8
+    path, _ = _write_gp_calls(str(tmp_path), S, N, seed=13)
+    pars = Params(in_geno=path, in_bin=True, in_probs=True, n_ind=N,
+                  n_sites=S, indep_geno=True, pairwise_del=True,
+                  call_geno=True, evol_model=1, seed=5, n_boot_rep=2,
+                  boot_block_size=10, verbose=0,
+                  out=os.path.join(str(tmp_path), "o.dist"))
+    pars.validate()
+    pars.finalize()
+
+    staged_P = preprocess(
+        readers.read_geno(path, True, True, False, N, S), True, 0.0, 0.0)
+    want = _run_engine(pars, staged_P)
+    got = _run_engine(pars, readers.CodedBinInput(pars))
+    assert len(want) == len(got) == 3
+    for w, g in zip(want, got):
+        np.testing.assert_array_equal(w, g)
