@@ -248,7 +248,8 @@ def _upload_packed_pipelined(src, n_used: int, dtype=None) -> jnp.ndarray:
     from concurrent.futures import ThreadPoolExecutor
 
     N = src.n_ind
-    step = max(1, PIPE_UPLOAD_BYTES // max(1, N * 8))
+    bps = getattr(src, "bytes_per_site", N * 8)  # uint8 codes: N
+    step = max(1, PIPE_UPLOAD_BYTES // max(1, bps))
     ranges = [(lo, min(lo + step, n_used)) for lo in range(0, n_used, step)]
     parts = []
     lut = None

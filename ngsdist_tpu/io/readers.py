@@ -19,6 +19,7 @@ fed to the TPU engine, where sites are the sharded axis.
 from __future__ import annotations
 
 import gzip
+import os
 import re
 import sys
 from typing import List, Optional, Tuple
@@ -165,6 +166,29 @@ def read_geno_pack23(
     return out
 
 
+def is_raw_seekable_binary(path: str) -> bool:
+    """True when `path` is a regular, seekable, NON-gzip file — the
+    precondition of the fused native readers (their own sniff returns
+    None otherwise).  Checked by the fused-path gates so that a
+    gz-magic file behind a non-.gz name routes to the staged pipeline
+    instead of a mid-run fused-reader fatal; magic-based like the
+    reference's gzopen (gen_func.cpp), so a raw file that happens to
+    start with 1f 8b is treated as gzip CONSISTENTLY with it."""
+    import stat
+
+    if path == "-":
+        return False
+    try:
+        st = os.stat(path)
+        if not stat.S_ISREG(st.st_mode):
+            return False
+        with open(path, "rb") as fh:
+            magic = fh.read(2)
+    except OSError:
+        return False
+    return magic != b"\x1f\x8b"
+
+
 def read_geno_codes(
     path: str,
     in_logscale: bool,
@@ -233,6 +257,7 @@ class PackedBinInput:
         self.n_ind = int(pars.n_ind)
         self.n_sites = int(pars.n_sites)
         self.shape = (self.n_sites, self.n_ind, 3)  # logical tensor shape
+        self.bytes_per_site = self.n_ind * 8  # packed f32 2-comp
 
     def read_packed(self, lo: int, hi: int) -> np.ndarray:
         """Upload-ready f32 [hi-lo, n_ind, 2] slab for sites [lo, hi)."""
@@ -268,6 +293,7 @@ class CodedBinInput:
         self.n_ind = int(pars.n_ind)
         self.n_sites = int(pars.n_sites)
         self.shape = (self.n_sites, self.n_ind, 3)  # logical tensor shape
+        self.bytes_per_site = self.n_ind  # one uint8 code per individual
         self.lut = coded_call_lut(True)
 
     def read_packed(self, lo: int, hi: int):

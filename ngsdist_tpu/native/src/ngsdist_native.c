@@ -106,13 +106,17 @@ ND_EXPORT void nd_exp_array(double *x, int64_t n) {
   nd_exp_job jobs[16];
   pthread_t tids[16];
   int64_t chunk = (n + nt - 1) / nt;
+  long nw = 0; /* created threads only: a failed create runs inline */
   for (long w = 0; w < nt; w++) {
     int64_t lo = w * chunk, hi = (w + 1) * chunk;
     if (hi > n) hi = n;
     jobs[w] = (nd_exp_job){x, lo, hi};
-    pthread_create(&tids[w], NULL, nd_exp_worker, &jobs[w]);
+    if (pthread_create(&tids[nw], NULL, nd_exp_worker, &jobs[w]))
+      nd_exp_worker(&jobs[w]);
+    else
+      nw++;
   }
-  for (long w = 0; w < nt; w++) pthread_join(tids[w], NULL);
+  for (long w = 0; w < nw; w++) pthread_join(tids[w], NULL);
 }
 
 typedef struct {
@@ -144,13 +148,17 @@ ND_EXPORT void nd_fill_array(double *x, int64_t n, double v) {
   nd_fill_job jobs[16];
   pthread_t tids[16];
   int64_t chunk = (n + nt - 1) / nt;
+  long nw = 0;
   for (long w = 0; w < nt; w++) {
     int64_t lo = w * chunk, hi = (w + 1) * chunk;
     if (hi > n) hi = n;
     jobs[w] = (nd_fill_job){x, lo, hi, v};
-    pthread_create(&tids[w], NULL, nd_fill_worker, &jobs[w]);
+    if (pthread_create(&tids[nw], NULL, nd_fill_worker, &jobs[w]))
+      nd_fill_worker(&jobs[w]);
+    else
+      nw++;
   }
-  for (long w = 0; w < nt; w++) pthread_join(tids[w], NULL);
+  for (long w = 0; w < nw; w++) pthread_join(tids[w], NULL);
 }
 
 ND_EXPORT void nd_log_array(double *x, int64_t n) {
@@ -472,13 +480,17 @@ static int nd_normalize_rows(double *out, int64_t n_triples, int in_logscale,
   nd_norm_job *jobs = (nd_norm_job *)malloc((size_t)nt * sizeof(nd_norm_job));
   pthread_t *tids = (pthread_t *)malloc((size_t)nt * sizeof(pthread_t));
   int64_t chunk = (n_triples + nt - 1) / nt;
+  long nw = 0;
   for (long w = 0; w < nt; w++) {
     int64_t lo = w * chunk, hi = (w + 1) * chunk;
     if (hi > n_triples) hi = n_triples;
     jobs[w] = (nd_norm_job){out, lo, hi, in_logscale, &nan_flag, 0};
-    pthread_create(&tids[w], NULL, nd_norm_worker, &jobs[w]);
+    if (pthread_create(&tids[nw], NULL, nd_norm_worker, &jobs[w]))
+      nd_norm_worker(&jobs[w]);
+    else
+      nw++;
   }
-  for (long w = 0; w < nt; w++) pthread_join(tids[w], NULL);
+  for (long w = 0; w < nw; w++) pthread_join(tids[w], NULL);
   /* libm errno semantics: the LAST non-zero call wins (errno is only
    * ever set, never cleared) — workers partition triples in order */
   for (long w = 0; w < nt; w++)
@@ -768,15 +780,19 @@ static int nd_read_geno_impl(const char *path, int in_bin, int in_probs,
         nd_text_job jobs[16];
         pthread_t tids[16];
         int64_t per = (n_lines + nw - 1) / nw;
+        long nc = 0;
         for (long w = 0; w < nw; w++) {
           int64_t lo = w * per, hi = (w + 1) * per;
           if (hi > n_lines) hi = n_lines;
           jobs[w] = (nd_text_job){cslots, lo,       hi,
                                   n_ind,  in_probs, in_logscale,
                                   rings + w * n_ind * n_geno};
-          pthread_create(&tids[w], NULL, nd_text_worker, &jobs[w]);
+          if (pthread_create(&tids[nc], NULL, nd_text_worker, &jobs[w]))
+            nd_text_worker(&jobs[w]);
+          else
+            nc++;
         }
-        for (long w = 0; w < nw; w++) pthread_join(tids[w], NULL);
+        for (long w = 0; w < nc; w++) pthread_join(tids[w], NULL);
       }
       int64_t k = 0;
       for (; k < n_lines && rc == 0 && s < site_stop; k++) {
@@ -1009,17 +1025,19 @@ ND_EXPORT int nd_format_matrix10f(const double *m, int64_t n_rows,
   nd_fmt_job jobs[16];
   pthread_t tids[16];
   int64_t per = (n_rows + nt - 1) / nt;
-  long nw = 0;
+  long nw = 0, nj = 0;
   for (long w = 0; w < nt && w * per < n_rows; w++) {
     int64_t lo = w * per, hi = lo + per < n_rows ? lo + per : n_rows;
     jobs[w] = (nd_fmt_job){m, n_cols, lo, hi, out, stride, lens, 0};
-    if (pthread_create(&tids[w], NULL, nd_fmt_worker, &jobs[w]))
-      nd_fmt_worker(&jobs[w]);
-    nw = w + 1;
+    if (pthread_create(&tids[nw], NULL, nd_fmt_worker, &jobs[w]))
+      nd_fmt_worker(&jobs[w]); /* degraded: run inline, no tid to join */
+    else
+      nw++;
+    nj = w + 1;
   }
   for (long w = 0; w < nw; w++) pthread_join(tids[w], NULL);
   int ov = 0;
-  for (long w = 0; w < nw; w++) ov |= jobs[w].overflow;
+  for (long w = 0; w < nj; w++) ov |= jobs[w].overflow;
   return ov;
 }
 
@@ -1187,22 +1205,21 @@ static int nd_fused_read_impl(const char *path, int in_logscale,
   nd_pack_job jobs[16];
   pthread_t tids[16];
   int64_t per = (have + nt - 1) / nt;
-  long nw = 0;
+  long nw = 0, nj = 0; /* created threads vs jobs run (incl. inline) */
   for (long w = 0; w < nt && w * per < have; w++) {
     int64_t lo = w * per, hi = lo + per < have ? lo + per : have;
     jobs[w] = (nd_pack_job){fd, base_off, lo, hi, out2, outc, mode,
                             in_logscale, 0, 0, 0, 0};
-    if (pthread_create(&tids[w], NULL, nd_pack_worker, &jobs[w])) {
-      nd_pack_worker(&jobs[w]);
-      nw = w + 1;
-      continue;
-    }
-    nw = w + 1;
+    if (pthread_create(&tids[nw], NULL, nd_pack_worker, &jobs[w]))
+      nd_pack_worker(&jobs[w]); /* degraded: run inline, no tid to join */
+    else
+      nw++;
+    nj = w + 1;
   }
   for (long w = 0; w < nw; w++) pthread_join(tids[w], NULL);
   int rc = 0;
   int nan = 0, read_err = 0, any_missing = 0;
-  for (long w = 0; w < nw; w++) {
+  for (long w = 0; w < nj; w++) {
     nan |= jobs[w].nan_flag;
     read_err |= jobs[w].read_err;
     any_missing |= jobs[w].any_missing;
@@ -1449,9 +1466,14 @@ ND_EXPORT int nd_pair_dists(const double *P, int64_t n_ind, int64_t n_sites,
   if (n_threads == 1) {
     nd_pair_worker(&jobs[0]);
   } else {
-    for (int w = 0; w < n_threads; w++)
-      pthread_create(&tids[w], NULL, nd_pair_worker, &jobs[w]);
-    for (int w = 0; w < n_threads; w++) pthread_join(tids[w], NULL);
+    int nw = 0;
+    for (int w = 0; w < n_threads; w++) {
+      if (pthread_create(&tids[nw], NULL, nd_pair_worker, &jobs[w]))
+        nd_pair_worker(&jobs[w]);
+      else
+        nw++;
+    }
+    for (int w = 0; w < nw; w++) pthread_join(tids[w], NULL);
   }
   int bad = 0;
   for (int w = 0; w < n_threads; w++) bad |= jobs[w].bad_model;

@@ -315,19 +315,18 @@ class SiteStream:
                     and not pars.in_geno.endswith(".gz"))
 
     @classmethod
-    def wants_coded_lazy(cls, pars: Params, np_dtype) -> bool:
-        """True when LAZY rounds can read uint8 call_geno codes straight
-        from the raw f64 binary source or the decompressed binary spill
-        (readers.read_geno_codes): default-threshold --call_geno fully
-        determines every triple from its code, so each round stages
-        1 byte/triple instead of read -> preprocess -> pack (24x less
-        round staging, 8x fewer host-link bytes — and bootstrap
-        replicates re-read rounds under lazy, multiplying the win).
-        Text inputs stay staged: their spill rows are already log-
-        normalized and a second normalize could flip exact argmax ties.
-        Gates mirror runner._fused_coded_wanted."""
-        if not pars.in_bin:
-            return False
+    def coded_call_eligible(cls, pars: Params, np_dtype) -> bool:
+        """The SHARED gate for every fused-codes route (the eager plane,
+        the deferred CodedBinInput handle, lazy coded rounds): raw
+        DEFAULT-THRESHOLD --call_geno semantics fully determine each
+        triple from a uint8 code.  One predicate so the runner and
+        from_reader can never disagree (same rule as wants_lazy).
+        Requires the native reader (read_geno_codes returns None
+        without it), models 0-2 (the coded-upload contract), no
+        per-site debug replay, and coded uploads on for the engine
+        dtype; NGSDIST_FUSED_READ=0 forces the staged chain."""
+        from ..utils import native as _native
+
         if os.environ.get("NGSDIST_FUSED_READ", "auto") == "0":
             return False
         if (not pars.call_geno or pars.N_thresh != 0.0
@@ -335,7 +334,29 @@ class SiteStream:
             return False
         if pars.evol_model >= 3 or pars.verbose >= 8:
             return False
-        return coded_upload_enabled(np_dtype)
+        return coded_upload_enabled(np_dtype) and _native.have_native()
+
+    @classmethod
+    def wants_coded_lazy(cls, pars: Params, np_dtype) -> bool:
+        """True when LAZY rounds can read uint8 call_geno codes straight
+        from the raw f64 binary source or the decompressed binary spill
+        (readers.read_geno_codes): each round then stages 1 byte/triple
+        instead of read -> preprocess -> pack (24x less round staging,
+        8x fewer host-link bytes — and bootstrap replicates re-read
+        rounds under lazy, multiplying the win).  Text inputs stay
+        staged: their spill rows are already log-normalized and a
+        second normalize could flip exact argmax ties.  Direct seekable
+        reads also require the raw-magic sniff (a gz-magic file behind
+        a non-.gz name reads through read_geno's gz path, which the
+        fused reader refuses); gz/stdin binary goes through the
+        verbatim decompressed spill, raw by construction."""
+        if not pars.in_bin:
+            return False
+        if not cls.coded_call_eligible(pars, np_dtype):
+            return False
+        if cls.seekable_binary(pars):
+            return readers.is_raw_seekable_binary(pars.in_geno)
+        return True
 
     @classmethod
     def wants_lazy(cls, pars: Params, np_dtype, n_rows: int) -> bool:

@@ -45,10 +45,13 @@ def _fused_packed_wanted(pars: Params, engine: str, mesh) -> bool:
         return False
     if os.environ.get("NGSDIST_FUSED_READ", "auto") == "0":
         return False
-    if (not pars.in_bin or pars.in_geno == "-"
-            or pars.in_geno.endswith(".gz")):
-        return False
+    if not pars.in_bin or not readers.is_raw_seekable_binary(pars.in_geno):
+        return False  # fused readers need a raw regular file (magic sniff)
     if pars.call_geno or pars.evol_model >= 3 or pars.verbose >= 8:
+        return False
+    from .utils import native as _native
+
+    if not _native.have_native():
         return False
     import jax.numpy as jnp
 
@@ -80,25 +83,17 @@ def _fused_coded_wanted(pars: Params, engine: str, mesh):
       fall through to LAZY coded rounds instead)."""
     if engine != "jax":
         return False
-    if os.environ.get("NGSDIST_FUSED_READ", "auto") == "0":
-        return False
-    if (not pars.in_bin or pars.in_geno == "-"
-            or pars.in_geno.endswith(".gz")):
-        return False
-    if (not pars.call_geno or pars.N_thresh != 0.0
-            or pars.call_thresh != 0.0):
-        return False
-    if pars.evol_model >= 3 or pars.verbose >= 8:
-        return False
+    if not pars.in_bin or not readers.is_raw_seekable_binary(pars.in_geno):
+        return False  # fused readers need a raw regular file (magic sniff)
     import jax.numpy as jnp
 
     from .core.distance import default_dtype
-    from .utils.hostmem import coded_upload_enabled
+    from .parallel.multihost import SiteStream
 
-    if default_dtype() != jnp.float32 or not coded_upload_enabled(np.float32):
+    if (default_dtype() != jnp.float32
+            or not SiteStream.coded_call_eligible(pars, np.float32)):
         return False
     from .core.distance import _device_budget_bytes
-    from .parallel.multihost import SiteStream
 
     plane_fits = (pars.n_sites * pars.n_ind * 2
                   <= SiteStream._host_budget_bytes())
@@ -106,6 +101,15 @@ def _fused_coded_wanted(pars: Params, engine: str, mesh):
         # sharded runs need the plane (or lazy coded rounds, their own
         # gate) — global codes + the local shard copy ~ 2 bytes/triple
         return "eager" if plane_fits else False
+    if _lazy_stream_wanted(pars, engine):
+        import jax
+
+        if len(jax.devices()) > 1:
+            # a lazy run auto-meshes over ALL local devices
+            # (run(): make_mesh) — a single-device handle would trade
+            # that N-way sharded compute for overlap; take LAZY CODED
+            # rounds on the mesh instead
+            return False
     chunked = pars.n_sites * pars.n_ind * 3 * 4 > _device_budget_bytes()
     if chunked and pars.n_boot_rep and plane_fits:
         # chunked bootstrap re-reads every chunk per replicate through

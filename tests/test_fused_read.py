@@ -326,8 +326,10 @@ def test_fused_coded_gating(tmp_path, monkeypatch, f32_engine):
     assert runner._fused_coded_wanted(Params(**base), "jax", mesh) == "eager"
     monkeypatch.setenv("NGSDIST_HOST_BUDGET", str(S * N))
     assert not runner._fused_coded_wanted(Params(**base), "jax", mesh)
-    # single-device handle needs NO plane: any budget is fine
-    assert runner._fused_coded_wanted(Params(**base), "jax", None) == "handle"
+    # over-budget with NO mesh on a MULTI-device host (8 virtual test
+    # devices): defer to the lazy stream's auto-mesh (lazy coded
+    # rounds shard compute) rather than a single-device handle
+    assert not runner._fused_coded_wanted(Params(**base), "jax", None)
     monkeypatch.delenv("NGSDIST_HOST_BUDGET")
     # chunked bootstrap prefers the resident plane over per-replicate
     # disk re-reads through the handle
