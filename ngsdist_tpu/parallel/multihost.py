@@ -338,20 +338,19 @@ class SiteStream:
 
     @classmethod
     def wants_coded_lazy(cls, pars: Params, np_dtype) -> bool:
-        """True when LAZY rounds can read uint8 call_geno codes straight
-        from the raw f64 binary source or the decompressed binary spill
-        (readers.read_geno_codes): each round then stages 1 byte/triple
-        instead of read -> preprocess -> pack (24x less round staging,
-        8x fewer host-link bytes — and bootstrap replicates re-read
-        rounds under lazy, multiplying the win).  Text inputs stay
-        staged: their spill rows are already log-normalized and a
-        second normalize could flip exact argmax ties.  Direct seekable
-        reads also require the raw-magic sniff (a gz-magic file behind
-        a non-.gz name reads through read_geno's gz path, which the
-        fused reader refuses); gz/stdin binary goes through the
-        verbatim decompressed spill, raw by construction."""
-        if not pars.in_bin:
-            return False
+        """True when LAZY rounds can derive uint8 call_geno codes per
+        round: each round then ships 1 byte/triple over the host link
+        instead of the packed slab (8x fewer link bytes; binary sources
+        also skip the read -> preprocess -> pack staging entirely — and
+        bootstrap replicates re-read rounds under lazy, multiplying the
+        win).  Three round sources: raw seekable binary and the
+        decompressed binary spill go through the fused native reader
+        (readers.read_geno_codes); the TEXT spill's already-normalized
+        log rows classify in-place (first-argmax / all-equal — the
+        exact nd_call_geno3 decision on the exact stored values, no
+        re-normalize).  Direct seekable reads also require the
+        raw-magic sniff (a gz-magic file behind a non-.gz name reads
+        through read_geno's gz path, which the fused reader refuses)."""
         if not cls.coded_call_eligible(pars, np_dtype):
             return False
         if cls.seekable_binary(pars):
@@ -412,8 +411,14 @@ class SiteStream:
                 # round is read, so it is ALWAYS the exp(log(1/3))
                 # value here — unused rows are never gathered, and the
                 # pad row appends after it, identically on every
-                # process (static, no broadcast needed).
-                lut, pad_code = coded_pad_lut(coded_call_lut(True))
+                # process (static, no broadcast needed).  Row 4 is the
+                # all-NaN triple: TEXT rounds classify literal-nan
+                # fields to it (the staged call leaves NaN rows NaN,
+                # reference-consistent); binary sources never emit it
+                # (the native reader fatals on NaN like the reference).
+                lut = np.vstack([coded_call_lut(True),
+                                 np.full((1, 3), np.nan)])
+                lut, pad_code = coded_pad_lut(lut)
                 coded = dict(lut=lut, pad_code=pad_code)
             return cls(pars, mesh, np_dtype, None, s_pad, chunk, start, stop,
                        **spill, **coded)
@@ -547,9 +552,26 @@ class SiteStream:
     def _read_codes(self, g_lo: int, g_hi: int) -> np.ndarray:
         """uint8 call_geno codes for rows [g_lo, g_hi) of a lazy CODED
         round: one fused native pass over the raw f64 binary source or
-        the decompressed binary spill (wants_coded_lazy gates out every
-        other input style)."""
+        the decompressed binary spill; the TEXT spill's stored
+        log-normalized rows classify directly (the default-threshold
+        nd_call_geno3 decision — one-hot at the FIRST argmax, exactly
+        all-equal rows missing — applied to the exact values the
+        staged round would call, so the expansion through
+        coded_call_lut is bit-identical to preprocess+exp)."""
         p = self.pars
+        if self.spill_norm:  # text spill: log rows, already normalized
+            rows = readers.read_spill_rows(
+                self.spill_path, p.n_ind, g_lo, g_hi, base=self.spill_base)
+            am = np.argmax(rows, axis=-1).astype(np.uint8)
+            all_eq = ((rows[..., 0] == rows[..., 1])
+                      & (rows[..., 1] == rows[..., 2]))
+            codes = np.where(all_eq, np.uint8(3), am)
+            # literal-nan text fields: normalize makes the whole row
+            # NaN; the staged call leaves it NaN -> lut row 4
+            nan_rows = np.isnan(rows[..., 0])
+            if nan_rows.any():
+                codes = np.where(nan_rows, np.uint8(4), codes)
+            return codes
         if self.spill_path is None:
             got = readers.read_geno_codes(
                 p.in_geno, p.in_logscale, p.n_ind, p.n_sites,

@@ -345,7 +345,8 @@ class TestLazyCoded:
             dataclasses.replace(base, call_geno=False), np.float64)
         assert not SiteStream.wants_coded_lazy(
             dataclasses.replace(base, call_thresh=0.9), np.float64)
-        assert not SiteStream.wants_coded_lazy(
+        # text inputs are eligible too (spill rows classify in place)
+        assert SiteStream.wants_coded_lazy(
             dataclasses.replace(base, in_bin=False), np.float64)
         assert not SiteStream.wants_coded_lazy(
             dataclasses.replace(base, evol_model=4), np.float64)
@@ -394,3 +395,62 @@ class TestLazyCoded:
         lazy = run("lazy", 400)
         assert calls, "lazy coded rounds never read codes"
         assert lazy == run("eager", None)
+
+    def test_lazy_coded_text_spill(self, mesh8, tmp_path, monkeypatch):
+        """TEXT GP (gz) under --call_geno defaults: lazy rounds classify
+        the spill's stored log rows to codes (no re-normalize) —
+        results identical to the staged lazy rounds, including empty
+        lines (all -BIGNEG -> missing), argmax ties and literal-nan
+        fields (NaN lut row)."""
+        import gzip
+
+        from ngsdist_tpu.parallel.multihost import SiteStream
+
+        S, N = 96, 4
+        rng = np.random.default_rng(33)
+        g = rng.dirichlet(np.ones(3), size=(S, N))
+        g[9, 0] = [0.4, 0.4, 0.2]
+        g[11, 1] = [0.25, 0.25, 0.25]
+        lines = []
+        for s in range(S):
+            if s in (5, 40):
+                lines.append("")  # empty line: site consumed as missing
+                continue
+            fields = []
+            for i in range(N):
+                t = [f"{v:.17g}" for v in g[s, i]]
+                if s == 20 and i == 2:
+                    t[1] = "nan"
+                fields.extend(t)
+            lines.append("\t".join(fields))
+        path = os.path.join(str(tmp_path), "gp.geno.gz")
+        with gzip.open(path, "wt") as fh:
+            fh.write("\n".join(lines) + "\n")
+
+        from ngsdist_tpu.config import Params
+
+        pars = Params(in_geno=path, in_bin=False, in_probs=True, n_ind=N,
+                      n_sites=S, out="y", seed=3, indep_geno=True,
+                      call_geno=True, pairwise_del=True, evol_model=1,
+                      n_boot_rep=2, boot_block_size=4, verbose=0)
+        monkeypatch.setenv("NGSDIST_CODED_UPLOAD", "1")
+        monkeypatch.setenv("NGSDIST_HOST_BUDGET", "2000")
+        monkeypatch.setenv("NGSDIST_DEVICE_BUDGET", "100000000")
+
+        monkeypatch.setenv("NGSDIST_FUSED_READ", "0")
+        staged = SiteStream.from_reader(pars, mesh8, np.float64)
+        assert staged.lazy and not staged.coded and staged.spill_norm
+        want = self._mats(pars, staged, mesh8)
+        staged.close()
+
+        monkeypatch.setenv("NGSDIST_FUSED_READ", "auto")
+        coded = SiteStream.from_reader(pars, mesh8, np.float64)
+        assert coded.lazy and coded.coded and coded.spill_norm
+        got = self._mats(pars, coded, mesh8)
+        coded.close()
+        assert len(want) == len(got) == 3
+        for a, b in zip(want, got):
+            np.testing.assert_array_equal(b, a)
+        # the nan site must actually have produced NaN somewhere or the
+        # NaN lane is untested
+        assert any(np.isnan(a).any() for a in want)
