@@ -46,6 +46,33 @@ def bring_up(
     )
 
 
+def _classify_call_rows(rows: np.ndarray) -> np.ndarray:
+    """Default-threshold call_geno codes for LOG-NORMALIZED rows
+    [.., 3]: one-hot at the FIRST argmax (np.argmax first-max == the
+    strict-> scan of nd_call_geno3), exactly all-equal rows missing
+    (code 3 -> exp(log(1/3)) lut row), all-NaN rows (literal-nan text
+    fields; normalize infects the whole row) code 4 -> NaN lut row.
+    Applied to stored values as-is — NO re-normalize, which could flip
+    exact argmax ties."""
+    am = np.argmax(rows, axis=-1).astype(np.uint8)
+    all_eq = ((rows[..., 0] == rows[..., 1])
+              & (rows[..., 1] == rows[..., 2]))
+    codes = np.where(all_eq, np.uint8(3), am)
+    nan_rows = np.isnan(rows[..., 0])
+    if nan_rows.any():
+        codes = np.where(nan_rows, np.uint8(4), codes)
+    return codes
+
+
+def _call_lut_padded() -> Tuple[np.ndarray, int]:
+    """The STATIC (lut, pad_code) every coded from_reader stream uses:
+    one-hot rows, exp(log(1/3)) missing, NaN (text literal-nan), and
+    the appended all-zero pad row — decided before any data is read,
+    identically on every process (no broadcast)."""
+    lut = np.vstack([coded_call_lut(True), np.full((1, 3), np.nan)])
+    return coded_pad_lut(lut)
+
+
 def host_site_range(n_sites_pad: int, mesh: Mesh) -> Tuple[int, int]:
     """This process's contiguous site range under the mesh's sites axis.
 
@@ -407,23 +434,40 @@ class SiteStream:
                 spill = cls._build_spill(pars, start, stop)
             coded = {}
             if cls.wants_coded_lazy(pars, np_dtype):
-                # lut row 3 (uniform missing) must be chosen before any
-                # round is read, so it is ALWAYS the exp(log(1/3))
-                # value here — unused rows are never gathered, and the
-                # pad row appends after it, identically on every
-                # process (static, no broadcast needed).  Row 4 is the
-                # all-NaN triple: TEXT rounds classify literal-nan
-                # fields to it (the staged call leaves NaN rows NaN,
-                # reference-consistent); binary sources never emit it
-                # (the native reader fatals on NaN like the reference).
-                lut = np.vstack([coded_call_lut(True),
-                                 np.full((1, 3), np.nan)])
-                lut, pad_code = coded_pad_lut(lut)
+                # the lut must be chosen before any round is read —
+                # _call_lut_padded is static, so every process agrees
+                # without a broadcast.  Binary sources never emit the
+                # NaN row (the native reader fatals on NaN like the
+                # reference); text rounds classify literal-nan to it.
+                lut, pad_code = _call_lut_padded()
                 coded = dict(lut=lut, pad_code=pad_code)
             return cls(pars, mesh, np_dtype, None, s_pad, chunk, start, stop,
                        **spill, **coded)
         read_start = min(start, pars.n_sites)
         read_stop = min(stop, pars.n_sites)
+        if cls.wants_coded_lazy(pars, np_dtype):
+            # RESIDENT coded shard (the multi-host analogue of the
+            # runner's eager code plane): raw seekable binary reads
+            # codes in one fused native pass; every other source reads
+            # its log-normalized rows and classifies in place.  24x
+            # less shard RAM and 8x fewer upload bytes than the staged
+            # slab, bit-identical expansion.
+            lut, pad_code = _call_lut_padded()
+            local = np.full((stop - start, pars.n_ind), pad_code, np.uint8)
+            if read_stop > read_start:
+                got = None
+                if cls.seekable_binary(pars):  # raw-magic sniffed in gate
+                    got = readers.read_geno_codes(
+                        pars.in_geno, pars.in_logscale, pars.n_ind,
+                        pars.n_sites, site_range=(read_start, read_stop))
+                codes = got[0] if got is not None else _classify_call_rows(
+                    readers.read_geno(
+                        pars.in_geno, pars.in_bin, pars.in_probs,
+                        pars.in_logscale, pars.n_ind, pars.n_sites,
+                        site_range=(read_start, read_stop)))
+                local[: read_stop - read_start] = codes
+            return cls(pars, mesh, np_dtype, local, s_pad, chunk, start,
+                       stop, lut=lut, pad_code=pad_code)
         if read_stop > read_start:
             geno_log = readers.read_geno(
                 pars.in_geno, pars.in_bin, pars.in_probs, pars.in_logscale,
@@ -560,18 +604,8 @@ class SiteStream:
         coded_call_lut is bit-identical to preprocess+exp)."""
         p = self.pars
         if self.spill_norm:  # text spill: log rows, already normalized
-            rows = readers.read_spill_rows(
-                self.spill_path, p.n_ind, g_lo, g_hi, base=self.spill_base)
-            am = np.argmax(rows, axis=-1).astype(np.uint8)
-            all_eq = ((rows[..., 0] == rows[..., 1])
-                      & (rows[..., 1] == rows[..., 2]))
-            codes = np.where(all_eq, np.uint8(3), am)
-            # literal-nan text fields: normalize makes the whole row
-            # NaN; the staged call leaves it NaN -> lut row 4
-            nan_rows = np.isnan(rows[..., 0])
-            if nan_rows.any():
-                codes = np.where(nan_rows, np.uint8(4), codes)
-            return codes
+            return _classify_call_rows(readers.read_spill_rows(
+                self.spill_path, p.n_ind, g_lo, g_hi, base=self.spill_base))
         if self.spill_path is None:
             got = readers.read_geno_codes(
                 p.in_geno, p.in_logscale, p.n_ind, p.n_sites,

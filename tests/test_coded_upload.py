@@ -454,3 +454,40 @@ class TestLazyCoded:
         # the nan site must actually have produced NaN somewhere or the
         # NaN lane is untested
         assert any(np.isnan(a).any() for a in want)
+
+    def test_2d_pairs_mesh_coded(self, tmp_path, monkeypatch):
+        """Coded shards compose with the 2-D (sites, pairs) mesh: the
+        code plane shards over 'sites' and replicates over 'pairs'
+        (resident AND lazy rounds), matching the 1-D mesh bit-for-bit."""
+        from ngsdist_tpu.parallel import mesh as pm
+
+        S, N = 120, 5
+        path = self._gp(tmp_path, S, N, seed=6)
+        pars = self._pars(path, S, N)
+        monkeypatch.setenv("NGSDIST_CODED_UPLOAD", "1")
+        monkeypatch.setenv("NGSDIST_DEVICE_BUDGET", "100000000")
+        monkeypatch.delenv("NGSDIST_HOST_BUDGET", raising=False)
+
+        from ngsdist_tpu.parallel.multihost import SiteStream
+
+        mesh1 = pm.make_mesh(n_devices=8)
+        mesh2 = pm.make_mesh(n_devices=8, pairs=4)
+
+        def mats(mesh):
+            st = SiteStream.from_reader(pars, mesh, np.float64)
+            try:
+                return self._mats(pars, st, mesh), st.coded, st.lazy
+            finally:
+                st.close()
+
+        want, coded1, lazy1 = mats(mesh1)
+        got, coded2, lazy2 = mats(mesh2)
+        assert coded1 and coded2 and not lazy1 and not lazy2
+        for a, b in zip(want, got):
+            np.testing.assert_array_equal(b, a)
+
+        monkeypatch.setenv("NGSDIST_HOST_BUDGET", "2000")
+        lazy_mats, codedl, lazyl = mats(mesh2)
+        assert codedl and lazyl
+        for a, b in zip(want, lazy_mats):
+            np.testing.assert_array_equal(b, a)

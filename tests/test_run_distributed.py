@@ -58,6 +58,7 @@ pars = Params(in_geno=os.path.join(workdir, geno),
               in_probs=True, n_ind=6, n_sites=57, seed=9,
               n_boot_rep=3, boot_block_size=5, pairwise_del=pdel,
               evol_model=evol, in_pos=pos, indep_geno=indep,
+              call_geno=os.environ.get("NGSDIST_TEST_CALL_GENO", "0") == "1",
               out=os.path.join(workdir, "mh.dist"), verbose=0)
 mats = run_distributed(pars, coordinator="127.0.0.1:" + port,
                        num_processes=nproc, process_id=pid, resume=resume)
@@ -382,3 +383,54 @@ def test_run_distributed_f32_round_ckpt_crash_resume(tmp_path):
         list(tmp_path.iterdir())
     launch(resume=True)
     assert (tmp_path / "mh.dist").read_bytes() == full
+
+
+@pytest.mark.slow
+def test_run_distributed_coded(tmp_path):
+    """2-process --call_geno CODED paths — the resident from_reader
+    uint8 code plane and lazy coded rounds — are byte-identical to the
+    staged 2-process runs (f64: the lut expansion IS the staged
+    post-call tensor, and chunking/reduction order match)."""
+    rng = np.random.default_rng(21)
+    gp = rng.dirichlet(np.ones(3), size=(57, 6))
+    gp[rng.random((57, 6)) < 0.15] = 1 / 3
+    gp[3, 0] = [0.4, 0.4, 0.2]  # argmax tie
+
+    worker = str(tmp_path / "worker.py")
+    with open(worker, "w") as fh:
+        fh.write(_WORKER.format(repo=REPO))
+    base_env = {k: v for k, v in os.environ.items()
+                if k not in ("XLA_FLAGS", "NGSDIST_DEVICE_BUDGET",
+                             "NGSDIST_HOST_BUDGET")}
+
+    def run(tag, extra_env):
+        wd = tmp_path / tag
+        wd.mkdir()
+        gp.tofile(str(wd / "gp.bin"))
+        port = str(_free_port())
+        env = dict(base_env)
+        env["NGSDIST_TEST_CALL_GENO"] = "1"
+        env["NGSDIST_CODED_UPLOAD"] = "1"
+        env.update(extra_env)
+        procs = [
+            subprocess.Popen(
+                [sys.executable, worker, str(pid), "2", port, str(wd),
+                 "1", "1", "-", "0", "0", "gp.bin"],
+                stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+                env=env, text=True,
+            )
+            for pid in range(2)
+        ]
+        outs = [p.communicate(timeout=300)[0] for p in procs]
+        for p, out in zip(procs, outs):
+            assert p.returncode == 0, out[-2000:]
+        with open(wd / "mh.dist") as fh:
+            return fh.read()
+
+    staged = run("staged", {"NGSDIST_FUSED_READ": "0"})
+    assert run("coded", {}) == staged
+
+    lazy_env = {"NGSDIST_HOST_BUDGET": "1000",
+                "NGSDIST_DEVICE_BUDGET": str(5 * 6 * 3 * 8)}
+    lazy_staged = run("lazy_staged", {**lazy_env, "NGSDIST_FUSED_READ": "0"})
+    assert run("lazy_coded", dict(lazy_env)) == lazy_staged
