@@ -41,9 +41,18 @@ probe window (seconds, default 600, 0 = skip): the probe RETRIES a
 dead device tunnel with backoff until the window expires — a flaky
 tunnel at capture time must not cost the round's perf evidence
 (BENCH_r02 lesson) — and reports the failing stage when it gives up.
-NGSDIST_BENCH_BUDGET (seconds, default 1500) bounds the default
+NGSDIST_BENCH_BUDGET (seconds, default 1100 — sized to the driver's
+observed ~1200s capture window, BENCH_r04 lesson) bounds the default
 invocation's total wall time: modes still pending when it trips are
-recorded as skipped rather than run.
+recorded as skipped rather than run, and a mode whose ESTIMATED cost
+exceeds the remaining budget is skipped up front rather than started.
+NGSDIST_BENCH_CACHE points at the generated-input cache directory
+(default /dev/shm/ngsdist_bench_cache): inputs are keyed by
+(N, S, seed) and reused across modes AND invocations, so the ~690s of
+input generation that starved the round-4 driver capture (rc 124,
+parsed null) is paid at most once per machine boot.  The combined JSON
+line is ALSO emitted incrementally after every mode (last line wins),
+so a captured-under-timeout run still leaves a parseable record.
 """
 
 from __future__ import annotations
@@ -51,6 +60,7 @@ from __future__ import annotations
 import json
 import os
 import sys
+import tempfile
 import time
 
 import numpy as np
@@ -126,6 +136,36 @@ def main_em() -> dict:
           f"{dev.platform}:{dev.device_kind}", file=sys.stderr)
     return _record("em_pair_site_updates_per_sec", ups, "updates/s",
                    "cpu64_em_updates_per_sec")
+
+
+def _cache_dir() -> str:
+    """Generated-input cache.  /dev/shm by default: this rig's virtual
+    disk writes at ~25 MB/s with writeback stalls, and the cache is
+    what keeps the driver's capture window affordable — inputs persist
+    across bench invocations until reboot."""
+    d = os.environ.get("NGSDIST_BENCH_CACHE")
+    if not d:
+        d = ("/dev/shm/ngsdist_bench_cache"
+             if os.access("/dev/shm", os.W_OK) else
+             os.path.join(tempfile.gettempdir(), "ngsdist_bench_cache"))
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
+def _get_gp_bin(N: int, S: int, seed: int = 7) -> tuple[str, float]:
+    """Return (path, gen_seconds) for the [S, N, 3] binary GP input at
+    this shape, generating into the cache only on a miss.  Generation
+    is deterministic in (N, S, seed), so a cached file is byte-exact
+    for every mode sharing the shape (e2e and e2e_cg share 1024x64k).
+    Written via tmp+rename so a killed run never caches a short file."""
+    path = os.path.join(_cache_dir(), f"gp_{N}x{S}_s{seed}.bin")
+    want = S * N * 24
+    if os.path.exists(path) and os.path.getsize(path) == want:
+        return path, 0.0
+    tmp = path + ".tmp"
+    dt = _gen_gp_bin(tmp, N, S, seed)
+    os.replace(tmp, path)
+    return path, dt
 
 
 def _gen_gp_bin(path: str, N: int, S: int, seed: int = 7) -> float:
@@ -249,7 +289,6 @@ def main_e2e() -> dict:
     NGSDIST_BENCH_N_IND/N_SITES.
     """
     import shutil
-    import tempfile
 
     sys.path.insert(0, REPO)
     from ngsdist_tpu import runner
@@ -257,10 +296,9 @@ def main_e2e() -> dict:
     N = int(os.environ.get("NGSDIST_BENCH_N_IND", 1024))
     S = int(os.environ.get("NGSDIST_BENCH_N_SITES", 1 << 16))
     base = "/dev/shm" if os.access("/dev/shm", os.W_OK) else None
+    geno, gen_time = _get_gp_bin(N, S)
     td = tempfile.mkdtemp(dir=base)
     try:
-        geno = os.path.join(td, "gp.bin")
-        gen_time = _gen_gp_bin(geno, N, S)
         times = []
         for it in range(5):
             pars = _e2e_pars(geno, N, S, os.path.join(td, f"out{it}.dist"))
@@ -298,7 +336,6 @@ def main_e2e_cg() -> dict:
     8-byte packed f32 slab (hostmem.derive_codes, NGSDIST_CODED_UPLOAD).
     Same shape as the headline e2e; 3 runs (cold + 2), min reported."""
     import shutil
-    import tempfile
 
     sys.path.insert(0, REPO)
     from ngsdist_tpu import runner
@@ -306,10 +343,9 @@ def main_e2e_cg() -> dict:
     N = int(os.environ.get("NGSDIST_BENCH_N_IND", 1024))
     S = int(os.environ.get("NGSDIST_BENCH_N_SITES", 1 << 16))
     base = "/dev/shm" if os.access("/dev/shm", os.W_OK) else None
+    geno, gen_time = _get_gp_bin(N, S)
     td = tempfile.mkdtemp(dir=base)
     try:
-        geno = os.path.join(td, "gp.bin")
-        gen_time = _gen_gp_bin(geno, N, S)
         times = []
         for it in range(3):
             pars = _e2e_pars(geno, N, S, os.path.join(td, f"out{it}.dist"),
@@ -343,7 +379,6 @@ def main_e2e_1m() -> dict:
     budget allows; min reported) — the compile cache makes reruns
     equivalent to warm runs at this chunk shape."""
     import shutil
-    import tempfile
 
     sys.path.insert(0, REPO)
     from ngsdist_tpu import runner
@@ -351,10 +386,9 @@ def main_e2e_1m() -> dict:
     N = int(os.environ.get("NGSDIST_BENCH_N_IND", 1024))
     S = int(os.environ.get("NGSDIST_BENCH_1M_SITES", 1 << 20))
     base = "/dev/shm" if os.access("/dev/shm", os.W_OK) else None
+    geno, gen_time = _get_gp_bin(N, S)
     td = tempfile.mkdtemp(dir=base)
     try:
-        geno = os.path.join(td, "gp.bin")
-        gen_time = _gen_gp_bin(geno, N, S)
         print(f"# e2e-1M: input ready ({gen_time:.0f}s), starting runs",
               file=sys.stderr, flush=True)
         runs = int(os.environ.get("NGSDIST_BENCH_1M_RUNS", "2"))
@@ -366,7 +400,10 @@ def main_e2e_1m() -> dict:
             times.append(time.perf_counter() - t0)
             print(f"# e2e-1M: run {it} {times[-1]:.0f}s", file=sys.stderr,
                   flush=True)
-            if _deadline_passed():
+            # A repeat run costs ~the first (compile cache makes run 0
+            # warm); only take it when it clearly fits what's left.
+            if _DEADLINE is not None and \
+                    time.perf_counter() + 1.1 * times[-1] > _DEADLINE:
                 break
     finally:
         shutil.rmtree(td, ignore_errors=True)
@@ -395,7 +432,6 @@ def main_boot() -> dict:
     updates/s counts the reference-equivalent work: n_pairs * (S +
     100 * n_trunc)."""
     import shutil
-    import tempfile
 
     sys.path.insert(0, REPO)
     from ngsdist_tpu import runner
@@ -404,10 +440,9 @@ def main_boot() -> dict:
     S = int(os.environ.get("NGSDIST_BENCH_BOOT_SITES", 1 << 18))
     reps, bs = 100, 5
     base = "/dev/shm" if os.access("/dev/shm", os.W_OK) else None
+    geno, gen_time = _get_gp_bin(N, S)
     td = tempfile.mkdtemp(dir=base)
     try:
-        geno = os.path.join(td, "gp.bin")
-        gen_time = _gen_gp_bin(geno, N, S)
         pars = _e2e_pars(geno, N, S, os.path.join(td, "out.dist"),
                          n_boot_rep=reps, boot_block_size=bs, seed=5)
         t0 = time.perf_counter()
@@ -439,7 +474,6 @@ def main_e2e_em() -> dict:
     upload.  Reference path: ngsDist.cpp:348-349 (em2 per site) under
     the default !indep_geno."""
     import shutil
-    import tempfile
 
     sys.path.insert(0, REPO)
     from ngsdist_tpu import runner
@@ -447,10 +481,9 @@ def main_e2e_em() -> dict:
     N = int(os.environ.get("NGSDIST_BENCH_N_IND", 1024))
     S = int(os.environ.get("NGSDIST_BENCH_EM_E2E_SITES", 1 << 14))
     base = "/dev/shm" if os.access("/dev/shm", os.W_OK) else None
+    geno, gen_time = _get_gp_bin(N, S)
     td = tempfile.mkdtemp(dir=base)
     try:
-        geno = os.path.join(td, "gp.bin")
-        gen_time = _gen_gp_bin(geno, N, S)
         times = []
         for it in range(5):
             pars = _e2e_pars(geno, N, S, os.path.join(td, f"out{it}.dist"),
@@ -612,6 +645,54 @@ def _deadline_passed() -> bool:
     return _DEADLINE is not None and time.perf_counter() > _DEADLINE
 
 
+# Per-mode wall-time estimates (seconds) with a WARM input cache,
+# observed on this rig (round-4/5 captures).  Input-generation cost is
+# added separately on a cache miss.  Used only to decide whether a mode
+# still fits the remaining budget — starting a ~600 s mode with 100 s
+# left is how round 4 blew the driver's window.
+_EST_WARM = {"indep": 90, "em": 40, "e2e": 90, "e2e_em": 100,
+             "e2e_cg": 50, "boot": 230, "e2e1m": 300}
+_SHAPES = {  # (N_env_default, S for the mode) — mirrors each main_*
+    "e2e": 1 << 16, "e2e_em": 1 << 14, "e2e_cg": 1 << 16,
+    "boot": 1 << 18, "e2e1m": 1 << 20,
+}
+_S_ENV = {"e2e": "NGSDIST_BENCH_N_SITES", "e2e_cg": "NGSDIST_BENCH_N_SITES",
+          "e2e_em": "NGSDIST_BENCH_EM_E2E_SITES",
+          "boot": "NGSDIST_BENCH_BOOT_SITES", "e2e1m": "NGSDIST_BENCH_1M_SITES"}
+
+
+def _mode_estimate(name: str) -> float:
+    est = float(_EST_WARM.get(name, 120))
+    if name in _SHAPES:  # add generation cost on a cache miss (~65 MB/s)
+        N = int(os.environ.get("NGSDIST_BENCH_N_IND", 1024))
+        S = int(os.environ.get(_S_ENV[name], _SHAPES[name]))
+        path = os.path.join(_cache_dir(), f"gp_{N}x{S}_s7.bin")
+        if not (os.path.exists(path) and
+                os.path.getsize(path) == S * N * 24):
+            est += S * N * 24 / 65e6
+    return est
+
+
+def _emit(results: dict, final: bool = False) -> int:
+    """Print the combined JSON line for the modes captured SO FAR.
+    Called after every mode (and once at the end): the driver keeps the
+    last stdout JSON line, so a run killed at its timeout still leaves
+    a parseable record of everything that finished (BENCH_r04 lesson —
+    the round-4 record was rc 124 / parsed null)."""
+    head = next((results[n] for n, _ in _MODES
+                 if "value" in results.get(n, {})), None)
+    if head is None:
+        print(json.dumps({"metrics": results}), flush=True)
+        return 1
+    out = dict(head)
+    out["metrics"] = {n: r for n, r in results.items()
+                      if r.get("metric") != head.get("metric")}
+    if not final:
+        out["partial"] = True
+    print(json.dumps(out), flush=True)
+    return 0
+
+
 def main_all() -> int:
     """Default invocation: every headline metric, one combined JSON line.
 
@@ -620,34 +701,28 @@ def main_all() -> int:
     single-metric format keep working; the other modes land under
     "metrics".  A failing mode is recorded and skipped, not fatal —
     BENCH artifacts should carry whatever the chip gave us."""
-    budget = float(os.environ.get("NGSDIST_BENCH_BUDGET", "1500"))
+    budget = float(os.environ.get("NGSDIST_BENCH_BUDGET", "1100"))
     t_start = time.perf_counter()
     global _DEADLINE
     _DEADLINE = t_start + budget
     results: dict = {}
     for name, fn in _MODES:
         spent = time.perf_counter() - t_start
-        if spent > budget:
-            results[name] = {"skipped": f"time budget ({budget:.0f}s) spent"}
-            print(f"# bench: skipping {name} — {spent:.0f}s of "
-                  f"{budget:.0f}s budget spent", file=sys.stderr)
+        est = _mode_estimate(name)
+        if spent + est > budget:
+            results[name] = {"skipped": f"estimated {est:.0f}s exceeds "
+                             f"remaining budget ({budget - spent:.0f}s "
+                             f"of {budget:.0f}s)"}
+            print(f"# bench: skipping {name} — est {est:.0f}s vs "
+                  f"{budget - spent:.0f}s left", file=sys.stderr)
             continue
         try:
             results[name] = fn()
         except Exception as ex:  # isolate: one dead mode != no artifact
             results[name] = {"error": f"{type(ex).__name__}: {ex}"}
             print(f"# bench: {name} mode failed: {ex}", file=sys.stderr)
-    head = next((results[n] for n, _ in _MODES
-                 if "value" in results.get(n, {})), None)
-    if head is None:
-        print("# bench: every mode failed", file=sys.stderr)
-        print(json.dumps({"metrics": results}))
-        return 1
-    out = dict(head)
-    out["metrics"] = {n: r for n, r in results.items()
-                      if r.get("metric") != head["metric"]}
-    print(json.dumps(out))
-    return 0
+        _emit(results)
+    return _emit(results, final=True)
 
 
 def _apply_platform() -> None:
