@@ -111,7 +111,7 @@ def read_geno(
 
         lib = _native.get_lib()
         out = np.empty((n_sites, n_ind, N_GENO), dtype=np.float64)
-        errbuf = bytes(256)
+        errbuf = ctypes.create_string_buffer(256)
         # the reference's fatal reader errors carry strerror(errno) from
         # the perror suffix; the native reader aggregates the libm errno
         # (ERANGE underflow from one-hot/missing triples) its parse saw
@@ -122,7 +122,7 @@ def read_geno(
             ctypes.byref(err),
         )
         if rc != 0:
-            raise NgsDistError("read_geno", errbuf.split(b"\0")[0].decode(),
+            raise NgsDistError("read_geno", errbuf.value.decode(),
                                err=err.value)
         return out
     return _read_geno_py(path, in_bin, in_probs, in_logscale, n_ind, n_sites)
@@ -152,7 +152,7 @@ def read_geno_pack23(
     start, stop = site_range if site_range is not None else (0, n_sites)
     lib = _native.get_lib()
     out = np.empty((stop - start, n_ind, 2), dtype=np.float32)
-    errbuf = bytes(256)
+    errbuf = ctypes.create_string_buffer(256)
     err = ctypes.c_int(0)
     rc = lib.nd_read_geno_pack23(
         path.encode(), int(in_logscale), n_ind, n_sites, start, stop,
@@ -161,7 +161,7 @@ def read_geno_pack23(
     if rc == 2:
         return None
     if rc != 0:
-        raise NgsDistError("read_geno", errbuf.split(b"\0")[0].decode(),
+        raise NgsDistError("read_geno", errbuf.value.decode(),
                            err=err.value)
     return out
 
@@ -216,7 +216,7 @@ def read_geno_codes(
     start, stop = site_range if site_range is not None else (0, n_sites)
     lib = _native.get_lib()
     out = np.empty((stop - start, n_ind), dtype=np.uint8)
-    errbuf = bytes(256)
+    errbuf = ctypes.create_string_buffer(256)
     err = ctypes.c_int(0)
     any_missing = ctypes.c_int(0)
     rc = lib.nd_read_geno_codes(
@@ -227,7 +227,7 @@ def read_geno_codes(
     if rc == 2:
         return None
     if rc != 0:
-        raise NgsDistError("read_geno", errbuf.split(b"\0")[0].decode(),
+        raise NgsDistError("read_geno", errbuf.value.decode(),
                            err=err.value)
     return out, bool(any_missing.value)
 
@@ -474,7 +474,7 @@ def spill_text_geno(
         import ctypes
 
         lib = _native.get_lib()
-        errbuf = bytes(256)
+        errbuf = ctypes.create_string_buffer(256)
         err = ctypes.c_int(0)
         rc = lib.nd_spill_text_geno(
             path.encode(), int(in_probs), int(in_logscale), n_ind, n_sites,
@@ -482,7 +482,7 @@ def spill_text_geno(
             ctypes.byref(err),
         )
         if rc != 0:
-            raise NgsDistError("read_geno", errbuf.split(b"\0")[0].decode(),
+            raise NgsDistError("read_geno", errbuf.value.decode(),
                                err=err.value)
         return
     miss = np.full((n_ind, N_GENO), -BIGNEG, dtype=np.float64)

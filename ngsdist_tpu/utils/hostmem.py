@@ -211,6 +211,19 @@ def derive_codes(P3: np.ndarray, chunk_rows: int = 1 << 21):
     temporaries stay bounded on multi-GB tensors."""
     S, N = P3.shape[0], P3.shape[1]
     flat = P3.reshape(-1, 3)
+    # Pre-sample a few spread-out row blocks before the full pass: a
+    # large non-codeable tensor whose FIRST chunks happen to be
+    # codeable would otherwise pay a multi-GB scan for nothing
+    # (ADVICE r04).  Soft-GP triples fail the probe immediately.
+    probe = 1 << 12
+    if flat.shape[0] > 4 * chunk_rows:
+        for frac in (0.5, 0.99):
+            lo = int(flat.shape[0] * frac) // N * N
+            b = flat[lo:lo + probe]
+            miss = (b[:, 0] == b[:, 1]) & (b[:, 1] == b[:, 2])
+            hot = (np.max(b, axis=1) == 1.0) & ((b != 0).sum(axis=1) == 1)
+            if not np.all(miss | hot):
+                return None
     codes = np.empty(flat.shape[0], np.uint8)
     uniform_vals: list = []
     for lo in range(0, flat.shape[0], chunk_rows):
@@ -323,6 +336,11 @@ class CodedProbs:
         return len(self.codes)
 
     def __array__(self, dtype=None, copy=None):
+        # copy=True must not hand back the cached self._P: a caller
+        # mutating the "copy" would corrupt the tensor shared with
+        # later fallback paths (ADVICE r04).
+        if copy:
+            return np.array(self.P, dtype=dtype, copy=True)
         return np.asarray(self.P, dtype)
 
     def __getitem__(self, key):
