@@ -149,6 +149,66 @@ def make_data():
             fh.write(src.read())
 
 
+# Reference-scale workload: the exact shape of the reference's own test
+# suite (examples/test.sh:9-10 — 24 individuals x 10,000 sites, seed
+# 12345, Beagle header) with its label edge cases (examples/testA.labels:
+# bare numerics 1/22/333/4444 and #/*/+/./- punctuation that must ride
+# through the label reader verbatim).
+N_IND24 = 24
+N_SITES24 = 10000
+
+
+def make_refscale_data():
+    rng = np.random.default_rng(20260820)
+    freqs = rng.uniform(0.05, 0.95, size=N_SITES24)
+    geno = np.zeros((N_SITES24, N_IND24), dtype=int)
+    for i in range(N_IND24):
+        geno[:, i] = rng.binomial(2, freqs)
+    miss = rng.random((N_SITES24, N_IND24)) < 0.03
+
+    hdr = "marker\tallele1\tallele2\t" + "\t".join(
+        f"Ind{i}\tInd{i}\tInd{i}" for i in range(N_IND24)
+    )
+    lines = [hdr]
+    # Vectorized Beagle triples (max-normalized, like ANGSD -doGlf 2):
+    # per-element loops at 240k triples would dominate fixture regen.
+    like = np.full((N_SITES24, N_IND24, 3), 0.08)
+    np.put_along_axis(like, geno[..., None], 1.0, axis=2)
+    like *= rng.uniform(0.5, 1.5, like.shape)
+    like[miss] = 1.0
+    like /= like.max(axis=2, keepdims=True)
+    for s in range(N_SITES24):
+        cols = [f"chrSIM_{s + 1}", "0", "1"]
+        cols += [f"{v:.6f}" for v in like[s].reshape(-1)]
+        lines.append("\t".join(cols))
+    write_gz(os.path.join(DATA, "gl24.beagle.gz"), "\n".join(lines) + "\n")
+
+    with open(os.path.join(DATA, "labels24.txt"), "w") as fh:
+        for suf in ("", "Sp_", "Sp-", "Sp#", "Sp.", None):
+            if suf is None:
+                fh.write("Sp*1\nSp+22\nSp*333\nSp+4444\n")
+            else:
+                for n in ("1", "22", "333", "4444"):
+                    fh.write(f"{suf}{n}\n")
+
+
+# Reference-scale config matrix: common args mirror examples/test.sh
+# (--n_threads 10 --seed 12345), bootstrap at block 1 and block 10.
+CONFIGS24 = [
+    ("REF24", []),
+    ("REF24_B5", ["--n_boot_rep", "5"]),
+    ("REF24_B5B10", ["--n_boot_rep", "5", "--boot_block_size", "10"]),
+]
+
+
+def build_args24(extra, outpath):
+    return (["--geno", "gl24.beagle.gz", "--probs",
+             "--labels", "labels24.txt"] + list(extra) +
+            ["--n_ind", str(N_IND24), "--n_sites", str(N_SITES24),
+             "--n_threads", "10", "--seed", "12345", "--verbose", "1",
+             "--out", outpath])
+
+
 # Config matrix: (name, extra args). Common: --n_threads 4 --seed 4242
 # --verbose 1 --n_ind 20 --n_sites 1200.
 CONFIGS = [
@@ -199,13 +259,18 @@ def build_args(name, extra, outpath):
 
 def main():
     make_data()
+    make_refscale_data()
     os.makedirs(GOLD, exist_ok=True)
     if not os.path.exists(REF_BIN):
         subprocess.run(["bash", os.path.join(HERE, "build_ref.sh")], check=True)
     manifest = {}
-    for name, extra in CONFIGS:
+    jobs = [(name, lambda out, e=extra, n=name: build_args(n, e, out))
+            for name, extra in CONFIGS]
+    jobs += [(name, lambda out, e=extra: build_args24(e, out))
+             for name, extra in CONFIGS24]
+    for name, mk in jobs:
         outpath = os.path.join(GOLD, f"{name}.dist")
-        args = build_args(name, extra, outpath)
+        args = mk(outpath)
         r = subprocess.run(
             [REF_BIN] + args, cwd=DATA, capture_output=True, text=True
         )
@@ -213,7 +278,7 @@ def main():
             print(f"FAILED {name}: {r.stderr[-2000:]}", file=sys.stderr)
             sys.exit(1)
         md5 = hashlib.md5(open(outpath, "rb").read()).hexdigest()
-        manifest[name] = {"args": build_args(name, extra, "{OUT}"), "md5": md5}
+        manifest[name] = {"args": mk("{OUT}"), "md5": md5}
         print(f"{name}: {md5}")
     with open(os.path.join(FIX, "manifest.json"), "w") as fh:
         json.dump(manifest, fh, indent=1, sort_keys=True)
