@@ -31,6 +31,21 @@ def pytest_configure(config):
     config.addinivalue_line(
         "markers", "slow: multi-process / long-running end-to-end tests"
     )
+    config.addinivalue_line(
+        "markers", "refab: randomized CLI A/B vs the locally built "
+        "reference binary (opt-in: pytest -m refab)"
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    # refab drives ~200 reference-binary + engine runs; keep it out of
+    # the default suite unless explicitly requested via -m.
+    if "refab" in (config.getoption("-m") or ""):
+        return
+    skip = pytest.mark.skip(reason="opt-in: run with -m refab")
+    for item in items:
+        if "refab" in item.keywords:
+            item.add_marker(skip)
 
 
 @pytest.fixture(scope="session")
