@@ -36,8 +36,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import Params
-from ..utils.hostmem import (CodedProbs, CodedSlab, coded_upload_enabled,
-                             pack23, parallel_astype, upload23_enabled)
+from ..utils.hostmem import (PAD16, U16_ONE, CodedProbs, CodedSlab,
+                             coded_upload_enabled, pack23, parallel_astype,
+                             upload23_enabled)
 from . import bootstrap as bt
 from . import models
 from .em import em_pair_site_contribs
@@ -125,7 +126,30 @@ def expand23(P2: jnp.ndarray) -> jnp.ndarray:
     input propagates.  Triples whose p0 carries the hostmem.PAD23
     sentinel expand to ALL-ZERO — mesh padding rows and data-borne
     (0,0,0) missing triples (empty-line text sites), which would
-    otherwise reconstruct as confident (0,0,1) hom-alt genotypes."""
+    otherwise reconstruct as confident (0,0,1) hom-alt genotypes.
+
+    uint16 slabs (hostmem.pack16, NGSDIST_UPLOAD16) dequantize to f32
+    as q * (1/65534) — one multiply, at most 1 ulp off at the q=65534
+    endpoint (9.3e-10, four orders below the 7.6e-6 quantization
+    half-step; the same ulp class as the documented coded-vs-pack23
+    routing note).  Do NOT "fix" the endpoint with
+    jnp.where(q == U16_ONE, 1.0, r): on the CPU backend that exact
+    subtract-of-select-of-eq shape miscompiles inside a single-output
+    loop fusion (the select silently yields its false branch;
+    reproduced on jax 0.9.0 — tests/test_upload16.py pins the safe
+    form).  Rows with p0 == PAD16 expand to the all-zero triple when
+    p1 == 0 (pad tails + host-decided missing — the only rows
+    missing_mask can flag, by the U16_ONE grid argument) and to the
+    all-NaN triple when p1 == 1 (literal-nan input rows keep poisoning
+    their pair accumulations, like the f32 lane)."""
+    if P2.dtype == jnp.uint16:
+        pad = P2[..., 0:1] == PAD16
+        r = P2.astype(jnp.float32) * np.float32(1.0 / U16_ONE)
+        p2 = 1.0 - r[..., 0] - r[..., 1]
+        P3 = jnp.concatenate([r, p2[..., None]], axis=-1)
+        P3 = jnp.where(pad, jnp.zeros((), jnp.float32), P3)
+        nan_row = pad & (P2[..., 1:2] == 1)
+        return jnp.where(nan_row, jnp.float32(jnp.nan), P3)
     pad = P2[..., 0:1] > 1.5
     p2 = 1.0 - P2[..., 0] - P2[..., 1]
     P3 = jnp.concatenate([P2, p2[..., None]], axis=-1)

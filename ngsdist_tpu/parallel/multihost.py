@@ -24,9 +24,10 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..config import Params
 from ..core.preprocess import preprocess
 from ..io import readers
-from ..utils.hostmem import (PAD23, CodedProbs, coded_call_lut,
+from ..utils.hostmem import (PAD16, PAD23, CodedProbs, coded_call_lut,
                              coded_pad_lut, coded_upload_enabled, pack23,
-                             parallel_cast_pad, upload23_enabled)
+                             parallel_cast_pad, upload16_enabled,
+                             upload23_enabled)
 from .mesh import AXIS, _round_up
 
 
@@ -205,6 +206,18 @@ class SiteStream:
             self.K = int(local_rows.shape[-1])
         else:
             self.K = 2 if upload23_enabled(np_dtype) else 3
+        # K=2 slab element type: f32 (pack23) or uint16 fixed point
+        # (pack16, NGSDIST_UPLOAD16) — round staging buffers and pad
+        # sentinels must match, or a dtype-mismatched assignment would
+        # value-convert quantized codes.
+        if not self.coded and self.K == 2:
+            self.slab_dtype = (local_rows.dtype if local_rows is not None
+                               else (np.uint16
+                                     if upload16_enabled(np_dtype)
+                                     else np_dtype))
+        else:
+            self.slab_dtype = np_dtype
+        self.slab_pad = PAD16 if self.slab_dtype == np.uint16 else PAD23
         self.lazy = local_rows is None  # rounds read from disk on demand
         self.chunk = int(min(chunk, self.s_loc))
         # lazy shards always iterate rounds (there is no host tensor to
@@ -694,7 +707,7 @@ class SiteStream:
             return self._put_probs(out.reshape(-1, self.N),
                                    self.round_sites)
         out = np.zeros((self.n_local_dev, self.chunk, self.N, self.K),
-                       self.np_dtype)
+                       self.slab_dtype if self.K == 2 else self.np_dtype)
         # 2-component rounds: rows without real data (round tails) get
         # the PAD23 sentinel so the on-device expansion restores the
         # all-zero padded triples the unweighted reductions (streamed
@@ -724,13 +737,13 @@ class SiteStream:
                     else:
                         out[d, : g_hi - g_lo] = pre
                 elif self.K == 2:
-                    out[d, :, :, 0] = PAD23
+                    out[d, :, :, 0] = self.slab_pad
         else:
             l3 = self.local.reshape(
                 self.n_local_dev, self.s_loc, self.N, self.K)
             out[:, : hi - lo] = l3[:, lo:hi]
             if self.K == 2 and hi - lo < self.chunk:
-                out[:, hi - lo:, :, 0] = PAD23
+                out[:, hi - lo:, :, 0] = self.slab_pad
         return self._put_probs(out.reshape(-1, self.N, self.K),
                                self.round_sites)
 

@@ -83,6 +83,107 @@ def upload23_enabled(dtype) -> bool:
 # block partials) rely on padded rows being inert.
 PAD23 = 2.0
 
+# uint16 fixed-point upload lane (NGSDIST_UPLOAD16): probabilities
+# quantize to q = rint(p * U16_ONE) with q = PAD16 (= 65535) reserved
+# as the row sentinel.  The scale is 65534 — NOT 65535 — for two load-
+# bearing reasons: it frees the sentinel code, and it makes the
+# device-side missing test (missing_mask: |p0-p1| < 1e-5 and
+# |p1-p2| < 1e-5, EPSILON gen_func.hpp:16) EXACT on the grid.  One
+# quantization step is 1/65534 = 1.526e-5 > EPSILON, so |r0-r1| < eps
+# iff q0 == q1, and |r1 - (1-r0-r1)| < eps iff q0 + 2*q1 == 65534;
+# combined they require 3*q0 == 65534, which has no integer solution
+# (65534 = 2 mod 3).  Hence NO quantized data triple can ever be
+# classified missing on device — missingness is decided on the host at
+# full f64 precision (the exact engine's decision) and carried
+# exclusively by the sentinel.  Sentinel rows: (PAD16, 0) expands to
+# the all-zero triple (pad tails, f64-missing triples, data-borne
+# zeros — all inert exactly like PAD23); (PAD16, 1) expands to the
+# all-NaN triple (literal-nan text rows must keep poisoning results).
+U16_ONE = 65534
+PAD16 = 65535
+_MISS_EPS = 1e-5  # EPSILON (core.distance.EPSILON, gen_func.hpp:16)
+
+
+def upload16_enabled(dtype) -> bool:
+    """True when 2-component uploads should quantize to uint16 fixed
+    point — 4 bytes/triple over the host link instead of pack23's 8.
+    Accuracy: the quantization error (half-step 7.6e-6 per component)
+    averages over the site axis inside raw/cnt, so measured distance
+    deltas vs the f32 pack23 route are ~8e-7 at S=4k-65k — below both
+    the f32 engine's own error vs f64 (3-6e-6) and the Pallas bf16x3
+    kernel floor (1.5e-6).  f32 engines only, even when forced: the
+    x64 md5 contract and the f64 accumulation class both exclude a
+    quantized upload even when forced.  auto follows NGSDIST_PALLAS's
+    backend rule: ON for real device backends (where the host link is
+    the e2e floor the lane exists to halve), OFF on the cpu backend
+    (where there is no link and the f32 lane keeps CPU f32 runs in
+    lockstep with the golden tolerances).  NGSDIST_UPLOAD16=0/1
+    forces.  The master switch for ANY 2-component upload remains
+    upload23_enabled; this picks the lane width."""
+    if np.dtype(dtype) != np.float32:
+        return False
+    mode = os.environ.get("NGSDIST_UPLOAD16", "auto")
+    if mode == "0":
+        return False
+    if mode == "1":
+        return True
+    import jax
+
+    return jax.default_backend() != "cpu"
+
+
+def pack16(P3: np.ndarray, n_rows: int | None = None,
+           max_threads: int = 16) -> np.ndarray:
+    """Quantize a [S, ..., 3] normal-space probability tensor into the
+    uint16 2-component upload slab [n_rows, ..., 2] (one threaded
+    pass: quantize + missing scan + pad).  See the U16_ONE note for
+    the sentinel/accuracy contract; hostmem.pack23 routes here when
+    upload16_enabled, so every 2-component call site (chunk loops,
+    mesh shards, SiteStream rounds, multihost locals) inherits the
+    lane without new routing."""
+    S = P3.shape[0]
+    rows = S if n_rows is None else n_rows
+    out = np.empty((rows,) + P3.shape[1:-1] + (2,), np.uint16)
+
+    def block(lo: int, hi: int) -> None:
+        cp = min(hi, S)
+        if lo < cp:
+            b = P3[lo:cp]
+            blk = out[lo:cp]
+            with np.errstate(invalid="ignore"):  # NaN rows sentinel below
+                np.copyto(blk, np.rint(b[..., :2] * U16_ONE),
+                          casting="unsafe")
+            # host-side miss_data at source precision (gen_func.cpp:
+            # 862-868): sentinel these rows — the grid arithmetic
+            # guarantees no other row tests missing on device
+            miss = (np.abs(b[..., 0] - b[..., 1]) < _MISS_EPS) \
+                & (np.abs(b[..., 1] - b[..., 2]) < _MISS_EPS)
+            if miss.any():
+                blk[..., 0][miss] = PAD16
+                blk[..., 1][miss] = 0
+            nan = np.isnan(b[..., 0]) | np.isnan(b[..., 1]) \
+                | np.isnan(b[..., 2])
+            if nan.any():
+                blk[..., 0][nan] = PAD16
+                blk[..., 1][nan] = 1
+        if cp < hi:
+            pad = out[max(lo, S):hi]
+            pad[...] = 0
+            pad[..., 0] = PAD16
+
+    nt = min(max_threads, os.cpu_count() or 1, max(1, rows))
+    if P3.nbytes < _MIN_PARALLEL_BYTES or nt == 1:
+        block(0, rows)
+        return out
+    bounds = [(w * rows) // nt for w in range(nt + 1)]
+    ts = [threading.Thread(target=block, args=(bounds[w], bounds[w + 1]))
+          for w in range(nt)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    return out
+
 
 def pack23(P3: np.ndarray, dtype, n_rows: int | None = None,
            max_threads: int = 16, may_zero: bool = True) -> np.ndarray:
@@ -98,8 +199,16 @@ def pack23(P3: np.ndarray, dtype, n_rows: int | None = None,
     triples exist ONLY in text-read genomes (the -BIGNEG prefill of
     empty-line missing sites) — every parsed row log-normalizes to
     sum 1, so binary inputs cannot produce one (callers pass
-    `not pars.in_bin`).  See upload23_enabled for when callers pack."""
+    `not pars.in_bin`).  See upload23_enabled for when callers pack.
+
+    When upload16_enabled(dtype), the slab is uint16 fixed point
+    instead (pack16) — half the bytes again; expand23 dispatches on
+    the slab dtype, so call sites are oblivious.  pack16 always runs
+    its missing scan (which subsumes the zero-triple scan: an all-zero
+    triple is all-equal), so may_zero is moot there."""
     dtype = np.dtype(dtype)
+    if upload16_enabled(dtype):
+        return pack16(P3, n_rows, max_threads)
     S = P3.shape[0]
     rows = S if n_rows is None else n_rows
     out = np.empty((rows,) + P3.shape[1:-1] + (2,), dtype)
