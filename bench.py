@@ -321,11 +321,19 @@ def main_e2e() -> dict:
     rec["warm_s"] = round(warm, 3)
     rec["warm_median_s"] = round(med, 3)
     rec["samples_s"] = [round(t, 3) for t in times]
-    from ngsdist_tpu.utils.hostmem import upload23_enabled
-
-    _floor_fields(rec, warm,
-                  S * N * (8 if upload23_enabled(np.float32) else 12))
+    _floor_fields(rec, warm, S * N * _bytes_per_triple())
     return rec
+
+
+def _bytes_per_triple() -> int:
+    """Host-link bytes per genotype triple on the f32 engine path:
+    4 (uint16 fixed-point lane, NGSDIST_UPLOAD16 auto-on for device
+    backends), 8 (packed f32 2-component) or 12 (full f32 triple)."""
+    from ngsdist_tpu.utils.hostmem import upload16_enabled, upload23_enabled
+
+    if upload16_enabled(np.float32):
+        return 4
+    return 8 if upload23_enabled(np.float32) else 12
 
 
 def main_e2e_cg() -> dict:
@@ -416,7 +424,7 @@ def main_e2e_1m() -> dict:
                   "cpu64_updates_per_sec")
     rec["elapsed_s"] = round(warm, 3)
     rec["samples_s"] = [round(t, 3) for t in times]
-    _floor_fields(rec, warm, S * N * 8)
+    _floor_fields(rec, warm, S * N * _bytes_per_triple())
     return rec
 
 
@@ -508,10 +516,7 @@ def main_e2e_em() -> dict:
     rec["warm_s"] = round(warm, 3)
     rec["warm_median_s"] = round(med, 3)
     rec["samples_s"] = [round(t, 3) for t in times]
-    from ngsdist_tpu.utils.hostmem import upload23_enabled
-
-    _floor_fields(rec, warm,
-                  S * N * (8 if upload23_enabled(np.float32) else 12))
+    _floor_fields(rec, warm, S * N * _bytes_per_triple())
     return rec
 
 

@@ -166,6 +166,42 @@ def read_geno_pack23(
     return out
 
 
+def read_geno_pack16(
+    path: str,
+    in_logscale: bool,
+    n_ind: int,
+    n_sites: int,
+    site_range: Optional[Tuple[int, int]] = None,
+) -> Optional[np.ndarray]:
+    """Fused one-pass read of a RAW binary GP file into the uint16
+    fixed-point upload slab [rows, n_ind, 2] (hostmem.pack16 layout:
+    q = rint(p * 65534), sentinel 65535 for host-missing rows) —
+    4 bytes/triple on the host link vs read_geno_pack23's 8, bit-equal
+    to the staged read_geno -> preprocess -> pack16 route (same libm
+    calls, llrint == np.rint round-half-even).  Returns None when the
+    file is not raw seekable binary.  Reference arithmetic:
+    read_data.cpp:29-47 + gen_func.cpp:123-130."""
+    import ctypes
+
+    if path == "-" or not _native.have_native():
+        return None
+    start, stop = site_range if site_range is not None else (0, n_sites)
+    lib = _native.get_lib()
+    out = np.empty((stop - start, n_ind, 2), dtype=np.uint16)
+    errbuf = ctypes.create_string_buffer(256)
+    err = ctypes.c_int(0)
+    rc = lib.nd_read_geno_pack16(
+        path.encode(), int(in_logscale), n_ind, n_sites, start, stop,
+        _native.as_uint16_ptr(out), errbuf, len(errbuf), ctypes.byref(err),
+    )
+    if rc == 2:
+        return None
+    if rc != 0:
+        raise NgsDistError("read_geno", errbuf.value.decode(),
+                           err=err.value)
+    return out
+
+
 def is_raw_seekable_binary(path: str) -> bool:
     """True when `path` is a regular, seekable, NON-gzip file — the
     precondition of the fused native readers (their own sniff returns
@@ -252,17 +288,24 @@ class PackedBinInput:
     """
 
     def __init__(self, pars) -> None:
+        from ..utils.hostmem import upload16_enabled
+
         self.path = pars.in_geno
         self.in_logscale = bool(pars.in_logscale)
         self.n_ind = int(pars.n_ind)
         self.n_sites = int(pars.n_sites)
         self.shape = (self.n_sites, self.n_ind, 3)  # logical tensor shape
-        self.bytes_per_site = self.n_ind * 8  # packed f32 2-comp
+        # lane picked once at construction: uint16 fixed point
+        # (read_geno_pack16, 4 bytes/triple) or f32 (8 bytes/triple)
+        self.u16 = upload16_enabled(np.float32)
+        self.bytes_per_site = self.n_ind * (4 if self.u16 else 8)
 
     def read_packed(self, lo: int, hi: int) -> np.ndarray:
-        """Upload-ready f32 [hi-lo, n_ind, 2] slab for sites [lo, hi)."""
-        out = read_geno_pack23(self.path, self.in_logscale, self.n_ind,
-                               self.n_sites, site_range=(lo, hi))
+        """Upload-ready [hi-lo, n_ind, 2] slab (u16 or f32 lane) for
+        sites [lo, hi)."""
+        rd = read_geno_pack16 if self.u16 else read_geno_pack23
+        out = rd(self.path, self.in_logscale, self.n_ind,
+                 self.n_sites, site_range=(lo, hi))
         if out is None:  # not raw binary after all (TOCTOU): hard error
             raise NgsDistError("read_geno", "cannot read binary GENO file. "
                                "Check GENO file and number of sites!")

@@ -1067,7 +1067,8 @@ typedef struct {
   int64_t t_lo, t_hi; /* this worker's triple range within the range */
   float *out2;       /* MODE_PACK23: packed output, triple t -> out2[2*t] */
   unsigned char *outc; /* MODE_CODES: one code per triple */
-  int mode;          /* ND_FUSED_PACK23 | ND_FUSED_CODES */
+  unsigned short *out16; /* MODE_PACK16: quantized pair per triple */
+  int mode;          /* ND_FUSED_PACK23 | ND_FUSED_CODES | ND_FUSED_PACK16 */
   int in_logscale;
   int nan_flag;
   int read_err;
@@ -1077,6 +1078,15 @@ typedef struct {
 
 #define ND_FUSED_PACK23 0
 #define ND_FUSED_CODES 1
+#define ND_FUSED_PACK16 2
+
+/* uint16 fixed-point lane (hostmem.pack16 semantics): q = rint(p*65534)
+ * with 65535 the all-zero-triple sentinel for host-decided missing
+ * rows.  llrint under the default rounding mode matches np.rint
+ * (round-half-to-even), so fused output is bit-equal to the staged
+ * read -> preprocess -> pack16 route. */
+#define ND_U16_ONE 65534.0
+#define ND_PAD16 65535u
 
 #define ND_PACK_SCRATCH_TRIPLES 65536 /* 1.5 MB f64 scratch per worker */
 
@@ -1123,6 +1133,24 @@ static void *nd_pack_worker(void *arg) {
         o[0] = (float)exp(p[0]);
         o[1] = (float)exp(p[1]);
       }
+    } else if (j->mode == ND_FUSED_PACK16) {
+      /* quantized lane: exp to normal space (same libm order as the
+       * staged preprocess), host-side miss_data (gen_func.cpp:862-868)
+       * -> sentinel, else rint-quantize the first two components */
+      for (int64_t t = 0; t < nt; t++) {
+        double *p = scratch + 3 * t;
+        double e0 = exp(p[0]), e1 = exp(p[1]), e2 = exp(p[2]);
+        unsigned short *o = j->out16 + 2 * (t0 + t);
+        double d01 = e0 > e1 ? e0 - e1 : e1 - e0;
+        double d12 = e1 > e2 ? e1 - e2 : e2 - e1;
+        if (d01 < ND_EPSILON && d12 < ND_EPSILON) {
+          o[0] = (unsigned short)ND_PAD16;
+          o[1] = 0;
+        } else {
+          o[0] = (unsigned short)llrint(e0 * ND_U16_ONE);
+          o[1] = (unsigned short)llrint(e1 * ND_U16_ONE);
+        }
+      }
     } else {
       /* ND_FUSED_CODES: default-threshold call_geno (nd_call_geno3 with
        * N_thresh = call_thresh = 0, gen_func.cpp:886-914) maps EVERY
@@ -1168,7 +1196,8 @@ static void *nd_pack_worker(void *arg) {
 static int nd_fused_read_impl(const char *path, int in_logscale,
                               int64_t n_ind, int64_t n_sites,
                               int64_t site_start, int64_t site_stop,
-                              float *out2, unsigned char *outc, int mode,
+                              float *out2, unsigned char *outc,
+                              unsigned short *out16, int mode,
                               int *any_missing_out, char *errbuf,
                               int64_t errbuf_cap, int *err_out) {
   *err_out = 0;
@@ -1208,7 +1237,7 @@ static int nd_fused_read_impl(const char *path, int in_logscale,
   long nw = 0, nj = 0; /* created threads vs jobs run (incl. inline) */
   for (long w = 0; w < nt && w * per < have; w++) {
     int64_t lo = w * per, hi = lo + per < have ? lo + per : have;
-    jobs[w] = (nd_pack_job){fd, base_off, lo, hi, out2, outc, mode,
+    jobs[w] = (nd_pack_job){fd, base_off, lo, hi, out2, outc, out16, mode,
                             in_logscale, 0, 0, 0, 0};
     if (pthread_create(&tids[nw], NULL, nd_pack_worker, &jobs[w]))
       nd_pack_worker(&jobs[w]); /* degraded: run inline, no tid to join */
@@ -1258,8 +1287,25 @@ ND_EXPORT int nd_read_geno_pack23(const char *path, int in_logscale,
                                   float *out2, char *errbuf,
                                   int64_t errbuf_cap, int *err_out) {
   return nd_fused_read_impl(path, in_logscale, n_ind, n_sites, site_start,
-                            site_stop, out2, NULL, ND_FUSED_PACK23, NULL,
-                            errbuf, errbuf_cap, err_out);
+                            site_stop, out2, NULL, NULL, ND_FUSED_PACK23,
+                            NULL, errbuf, errbuf_cap, err_out);
+}
+
+/* Fused ranged uint16-quantized reader for RAW binary GP files
+ * (hostmem.pack16 lane, NGSDIST_UPLOAD16): fills
+ * out16[(site_stop-site_start)][n_ind][2] with rint(p * 65534)
+ * quantized 2-component triples (sentinel 65535 for host-missing rows)
+ * in ONE threaded pass — 4 bytes/triple on the host link vs pack23's
+ * 8.  Bit-equal to the staged read -> preprocess -> pack16 route.
+ * Same return/error contract as nd_read_geno_pack23. */
+ND_EXPORT int nd_read_geno_pack16(const char *path, int in_logscale,
+                                  int64_t n_ind, int64_t n_sites,
+                                  int64_t site_start, int64_t site_stop,
+                                  unsigned short *out16, char *errbuf,
+                                  int64_t errbuf_cap, int *err_out) {
+  return nd_fused_read_impl(path, in_logscale, n_ind, n_sites, site_start,
+                            site_stop, NULL, NULL, out16, ND_FUSED_PACK16,
+                            NULL, errbuf, errbuf_cap, err_out);
 }
 
 /* Fused ranged CODES reader for RAW binary GP files under
@@ -1277,7 +1323,7 @@ ND_EXPORT int nd_read_geno_codes(const char *path, int in_logscale,
                                  char *errbuf, int64_t errbuf_cap,
                                  int *err_out) {
   return nd_fused_read_impl(path, in_logscale, n_ind, n_sites, site_start,
-                            site_stop, NULL, outc, ND_FUSED_CODES,
+                            site_stop, NULL, outc, NULL, ND_FUSED_CODES,
                             any_missing_out, errbuf, errbuf_cap, err_out);
 }
 

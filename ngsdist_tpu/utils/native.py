@@ -71,6 +71,12 @@ def _configure(lib: ctypes.CDLL) -> None:
         ctypes.c_int64, ctypes.POINTER(ctypes.c_int),
     ]
     lib.nd_read_geno_pack23.restype = ctypes.c_int
+    lib.nd_read_geno_pack16.argtypes = [
+        ctypes.c_char_p, ctypes.c_int, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int64, ctypes.c_int64, ctypes.POINTER(ctypes.c_uint16),
+        ctypes.c_char_p, ctypes.c_int64, ctypes.POINTER(ctypes.c_int),
+    ]
+    lib.nd_read_geno_pack16.restype = ctypes.c_int
     lib.nd_read_geno_codes.argtypes = [
         ctypes.c_char_p, ctypes.c_int, ctypes.c_int64, ctypes.c_int64,
         ctypes.c_int64, ctypes.c_int64, ctypes.POINTER(ctypes.c_uint8),
@@ -130,6 +136,11 @@ def as_float_ptr(a: np.ndarray):
 def as_uint8_ptr(a: np.ndarray):
     assert a.dtype == np.uint8 and a.flags["C_CONTIGUOUS"]
     return a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+
+
+def as_uint16_ptr(a: np.ndarray):
+    assert a.dtype == np.uint16 and a.flags["C_CONTIGUOUS"]
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16))
 
 
 def as_i64_ptr(a: np.ndarray):

@@ -395,3 +395,115 @@ def test_engine_matches_staged_coded_handle(tmp_path, monkeypatch,
     assert len(want) == len(got) == 3
     for w, g in zip(want, got):
         np.testing.assert_array_equal(w, g)
+
+
+# ------------------------------------------------------------------ #
+# Fused uint16-quantized reader (NGSDIST_UPLOAD16, nd_read_geno_pack16)
+# ------------------------------------------------------------------ #
+
+def _write_gp_u16(tmp_path, S, N, seed=13, name="gpu.bin"):
+    rng = np.random.default_rng(seed)
+    g = rng.exponential(size=(S, N, 3))
+    g /= g.sum(-1, keepdims=True)
+    g[5 % S, 3 % N] = [1, 0, 0]
+    g[S - 1, N - 1] = [0, 0, 1]
+    g[7 % S, 2 % N] = [0.25, 0.25, 0.25]      # all-equal -> sentinel
+    g[11 % S, 0] = [1 / 3, 1 / 3, 1 / 3]
+    path = os.path.join(tmp_path, name)
+    g.astype(np.float64).tofile(path)
+    return path, g
+
+
+def test_pack16_fused_bit_equal_staged(tmp_path, monkeypatch):
+    """One native pass == staged read -> preprocess -> pack16 (same
+    libm order; llrint == np.rint round-half-even), incl. the
+    host-missing sentinel rows and ranged reads."""
+    monkeypatch.setenv("NGSDIST_UPLOAD16", "1")
+    S, N = 301, 17
+    path, _ = _write_gp_u16(str(tmp_path), S, N)
+    fused = readers.read_geno_pack16(path, False, N, S)
+    assert fused is not None and fused.dtype == np.uint16
+    staged = pack23(preprocess(
+        readers.read_geno(path, True, True, False, N, S), False, 0.0, 0.0),
+        np.float32, may_zero=False)
+    assert staged.dtype == np.uint16
+    np.testing.assert_array_equal(staged, fused)
+    # sentinel on the all-equal triples
+    assert fused[7 % S, 2 % N, 0] == 65535
+    assert fused[11 % S, 0, 0] == 65535
+    ranged = readers.read_geno_pack16(path, False, N, S,
+                                      site_range=(40, 190))
+    np.testing.assert_array_equal(staged[40:190], ranged)
+
+
+def test_pack16_handle_lane_and_bytes(tmp_path, monkeypatch):
+    S, N = 32, 5
+    path, _ = _write_gp_u16(str(tmp_path), S, N)
+    pars = Params(in_geno=path, in_bin=True, in_probs=True, n_ind=N,
+                  n_sites=S, indep_geno=True, verbose=0,
+                  out=os.path.join(str(tmp_path), "o.dist"))
+    monkeypatch.setenv("NGSDIST_UPLOAD16", "1")
+    h16 = readers.PackedBinInput(pars)
+    assert h16.u16 and h16.bytes_per_site == N * 4
+    assert h16.read_packed(0, 4).dtype == np.uint16
+    monkeypatch.setenv("NGSDIST_UPLOAD16", "0")
+    h32 = readers.PackedBinInput(pars)
+    assert not h32.u16 and h32.bytes_per_site == N * 8
+    assert h32.read_packed(0, 4).dtype == np.float32
+
+
+@pytest.mark.parametrize("budget", [None, 40000])
+def test_engine_matches_staged_u16(tmp_path, monkeypatch, f32_engine,
+                                   budget):
+    """u16 fused handle vs u16 staged tensor path: identical matrices
+    (both routes quantize identically), resident and chunked, incl.
+    bootstrap replicates."""
+    monkeypatch.setenv("NGSDIST_UPLOAD16", "1")
+    if budget is not None:
+        monkeypatch.setenv("NGSDIST_DEVICE_BUDGET", str(budget))
+    S, N = 600, 8
+    path, _ = _write_gp_u16(str(tmp_path), S, N, seed=21)
+    pars = Params(in_geno=path, in_bin=True, in_probs=True, n_ind=N,
+                  n_sites=S, indep_geno=True, pairwise_del=True,
+                  evol_model=1, seed=5, n_boot_rep=2, boot_block_size=10,
+                  verbose=0, out=os.path.join(str(tmp_path), "o.dist"))
+    pars.validate()
+    pars.finalize()
+    staged_P = preprocess(
+        readers.read_geno(path, True, True, False, N, S), False, 0.0, 0.0)
+    want = _run_engine(pars, staged_P)
+    got = _run_engine(pars, readers.PackedBinInput(pars))
+    assert len(want) == len(got) == 3
+    for w, g in zip(want, got):
+        np.testing.assert_array_equal(w, g)
+
+
+def test_runner_end_to_end_u16(tmp_path, monkeypatch, f32_engine):
+    """runner.run: fused u16 == staged u16 byte-for-byte; u16 vs the
+    f32 lane stays within the documented quantization class."""
+    from ngsdist_tpu import runner
+
+    S, N = 200, 6
+    path, _ = _write_gp_u16(str(tmp_path), S, N, seed=8)
+
+    def run(tag, fused_env, u16_env):
+        monkeypatch.setenv("NGSDIST_FUSED_READ", fused_env)
+        monkeypatch.setenv("NGSDIST_UPLOAD16", u16_env)
+        out = os.path.join(str(tmp_path), f"{tag}.dist")
+        pars = Params(in_geno=path, in_bin=True, in_probs=True, n_ind=N,
+                      n_sites=S, indep_geno=True, pairwise_del=True,
+                      evol_model=0, seed=1, verbose=0, out=out)
+        runner.run(pars, engine="jax")
+        with open(out) as fh:
+            return fh.read()
+
+    fused_u16 = run("fused16", "auto", "1")
+    assert fused_u16 == run("staged16", "0", "1")
+
+    def mat(txt):
+        rows = [ln.split() for ln in txt.splitlines() if ln.strip()]
+        return np.array([[float(v) for v in r[1:]] for r in rows
+                         if len(r) > 2])
+
+    f32 = run("staged32", "0", "0")
+    assert np.abs(mat(fused_u16) - mat(f32)).max() < 5e-5
