@@ -137,18 +137,20 @@ def expand23(P2: jnp.ndarray) -> jnp.ndarray:
     subtract-of-select-of-eq shape miscompiles inside a single-output
     loop fusion (the select silently yields its false branch;
     reproduced on jax 0.9.0 — tests/test_upload16.py pins the safe
-    form).  Rows with p0 == PAD16 expand to the all-zero triple when
-    p1 == 0 (pad tails + host-decided missing — the only rows
-    missing_mask can flag, by the U16_ONE grid argument) and to the
-    all-NaN triple when p1 == 1 (literal-nan input rows keep poisoning
-    their pair accumulations, like the f32 lane)."""
+    form).  Sentinel rows (p0 == PAD16) expand to the VALUE-PRESERVING
+    uniform triple (v, v, v), v = p1/65534 — host-decided missing rows
+    whose values still feed the non-pairwise-deletion unmasked sums
+    (see the hostmem.U16_ONE note); pad tails ship p1 = 0 (all-zero,
+    inert) and literal-nan rows p1 = PAD16 (all-NaN, keeps
+    poisoning)."""
     if P2.dtype == jnp.uint16:
         pad = P2[..., 0:1] == PAD16
         r = P2.astype(jnp.float32) * np.float32(1.0 / U16_ONE)
         p2 = 1.0 - r[..., 0] - r[..., 1]
         P3 = jnp.concatenate([r, p2[..., None]], axis=-1)
-        P3 = jnp.where(pad, jnp.zeros((), jnp.float32), P3)
-        nan_row = pad & (P2[..., 1:2] == 1)
+        u = r[..., 1:2]  # sentinel rows: uniform value from the q1 lane
+        P3 = jnp.where(pad, jnp.concatenate([u, u, u], axis=-1), P3)
+        nan_row = pad & (P2[..., 1:2] == PAD16)
         return jnp.where(nan_row, jnp.float32(jnp.nan), P3)
     pad = P2[..., 0:1] > 1.5
     p2 = 1.0 - P2[..., 0] - P2[..., 1]

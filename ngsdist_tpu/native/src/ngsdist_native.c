@@ -1144,8 +1144,12 @@ static void *nd_pack_worker(void *arg) {
         double d01 = e0 > e1 ? e0 - e1 : e1 - e0;
         double d12 = e1 > e2 ? e1 - e2 : e2 - e1;
         if (d01 < ND_EPSILON && d12 < ND_EPSILON) {
+          /* value-preserving sentinel: (PAD16, quantized mean) — the
+           * non-pairwise-deletion sums USE missing values (hostmem
+           * U16_ONE note).  Same f64 arithmetic as the staged pack16:
+           * ((e0 + e1) + e2) / 3. */
           o[0] = (unsigned short)ND_PAD16;
-          o[1] = 0;
+          o[1] = (unsigned short)llrint(((e0 + e1 + e2) / 3.0) * ND_U16_ONE);
         } else {
           o[0] = (unsigned short)llrint(e0 * ND_U16_ONE);
           o[1] = (unsigned short)llrint(e1 * ND_U16_ONE);

@@ -95,10 +95,23 @@ PAD23 = 2.0
 # (65534 = 2 mod 3).  Hence NO quantized data triple can ever be
 # classified missing on device — missingness is decided on the host at
 # full f64 precision (the exact engine's decision) and carried
-# exclusively by the sentinel.  Sentinel rows: (PAD16, 0) expands to
-# the all-zero triple (pad tails, f64-missing triples, data-borne
-# zeros — all inert exactly like PAD23); (PAD16, 1) expands to the
-# all-NaN triple (literal-nan text rows must keep poisoning results).
+# exclusively by the sentinel.
+#
+# The sentinel is VALUE-PRESERVING, (PAD16, q) -> the uniform triple
+# (v, v, v) with v = q/65534: in the non-pairwise-deletion mode the
+# reference USES missing triples' values (a uniform prior contributes
+# its score expectation to the unmasked sum, ngsDist.cpp:333-364 via
+# the soft probabilities), so a sentinel that zeroed them shifted
+# distances by ~3e-3 at 5% missing (round-5 TPU A/B).  q is the
+# quantized MEAN of the three components — exactly-uniform triples
+# (the only missing kind binary/normalized inputs produce) land on
+# rint(65534/3) with ~5e-6 value error, inside the lane's
+# quantization class.  Special q values: 0 -> the all-zero triple
+# (pad tails and data-borne empty-line zeros fall out naturally:
+# mean 0); PAD16 -> the all-NaN triple (literal-nan text rows must
+# keep poisoning results).  Expanded sentinel rows are all-equal, so
+# the device missing test classifies them missing — exactly the
+# host's f64 decision.
 U16_ONE = 65534
 PAD16 = 65535
 _MISS_EPS = 1e-5  # EPSILON (core.distance.EPSILON, gen_func.hpp:16)
@@ -154,18 +167,20 @@ def pack16(P3: np.ndarray, n_rows: int | None = None,
                 np.copyto(blk, np.rint(b[..., :2] * U16_ONE),
                           casting="unsafe")
             # host-side miss_data at source precision (gen_func.cpp:
-            # 862-868): sentinel these rows — the grid arithmetic
-            # guarantees no other row tests missing on device
+            # 862-868): sentinel these rows with their quantized mean
+            # (value-preserving, see the U16_ONE note) — the grid
+            # arithmetic guarantees no other row tests missing on device
             miss = (np.abs(b[..., 0] - b[..., 1]) < _MISS_EPS) \
                 & (np.abs(b[..., 1] - b[..., 2]) < _MISS_EPS)
             if miss.any():
+                m = (b[..., 0] + b[..., 1] + b[..., 2])[miss] / 3.0
                 blk[..., 0][miss] = PAD16
-                blk[..., 1][miss] = 0
+                blk[..., 1][miss] = np.rint(m * U16_ONE).astype(np.uint16)
             nan = np.isnan(b[..., 0]) | np.isnan(b[..., 1]) \
                 | np.isnan(b[..., 2])
             if nan.any():
                 blk[..., 0][nan] = PAD16
-                blk[..., 1][nan] = 1
+                blk[..., 1][nan] = PAD16
         if cp < hi:
             pad = out[max(lo, S):hi]
             pad[...] = 0

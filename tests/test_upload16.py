@@ -63,12 +63,14 @@ def test_pack16_sentinels_and_accuracy(monkeypatch):
     P[13, 2] = np.nan  # literal-nan row
     Q = hostmem.pack23(P, np.float32, n_rows=640)
     assert Q.dtype == np.uint16 and Q.shape == (640, 8, 2)
-    # pad tail + missing + zero rows carry the sentinel
+    # pad tail: all-zero sentinel; missing rows: quantized-mean sentinel
     assert (Q[600:, :, 0] == hostmem.PAD16).all()
     assert (Q[600:, :, 1] == 0).all()
     miss = _host_miss(P)
     assert (Q[:600][miss][:, 0] == hostmem.PAD16).all()
-    assert (Q[13, 2] == [hostmem.PAD16, 1]).all()
+    mean_q = np.rint(P.sum(-1)[:600][miss] / 3.0 * hostmem.U16_ONE)
+    np.testing.assert_array_equal(Q[:600][miss][:, 1], mean_q)
+    assert (Q[13, 2] == [hostmem.PAD16, hostmem.PAD16]).all()
     # non-missing rows quantize within a half step
     ok = ~miss & ~np.isnan(P[..., 0])
     r = Q[:600].astype(np.float64) / hostmem.U16_ONE
@@ -82,9 +84,16 @@ def test_expand_matches_sentinel_contract(monkeypatch):
     P3 = np.asarray(dist.put_probs(P, jnp.float32))
     assert P3.dtype == np.float32
     miss = _host_miss(P)
-    # sentinel rows -> all-zero triple; device missing_mask flags
-    # exactly the host decision (grid argument: nothing else can)
-    assert (P3[miss & ~np.isnan(P[..., 0])] == 0).all()
+    # sentinel rows -> value-preserving uniform triples (the reference
+    # USES missing values in the non-pairwise-deletion unmasked sums);
+    # device missing_mask flags exactly the host decision (grid
+    # argument: no quantized data row can test missing)
+    mm = miss & ~np.isnan(P[..., 0])
+    means = P.sum(-1)[mm][:, None] / 3.0
+    assert (P3[mm] == P3[mm][:, :1]).all()  # all-equal -> dev-missing
+    assert np.abs(P3[mm] - means).max() <= 0.5 / hostmem.U16_ONE + 1e-7
+    zero = mm & (P.sum(-1) == 0)
+    assert (P3[zero] == 0).all()  # empty-line rows stay exactly inert
     dev_miss = np.asarray(dist.missing_mask(jnp.asarray(P3)))
     nan_rows = np.isnan(P[..., 0]) | np.isnan(P[..., 1]) | np.isnan(P[..., 2])
     np.testing.assert_array_equal(dev_miss, miss & ~nan_rows)
@@ -120,19 +129,27 @@ def test_borderline_rows_cannot_flip(monkeypatch):
     np.testing.assert_array_equal(dev, host)
 
 
-def test_suffstats_parity_vs_f32(monkeypatch):
+@pytest.mark.parametrize("pairwise_del", [True, False])
+def test_suffstats_parity_vs_f32(monkeypatch, pairwise_del):
+    """Both deletion modes: the non-pairwise mode is the one a zeroing
+    sentinel silently broke (missing values feed the unmasked sum)."""
     P = _probs(4096, 12, seed=1)
+    S = P.shape[0]
     score = jnp.asarray(SCORE, jnp.float32)
     out = {}
     for mode in ("0", "1"):
         monkeypatch.setenv("NGSDIST_UPLOAD16", mode)
         Pd = dist.put_probs(P, jnp.float32)
-        raw, cnt = dist.indep_suffstats(Pd, score, True)
-        out[mode] = (np.asarray(raw), np.asarray(cnt))
-    # identical valid-pair counts (missing decisions are the same)
-    np.testing.assert_array_equal(out["0"][1], out["1"][1])
+        raw, cnt = dist.indep_suffstats(Pd, score, pairwise_del)
+        out[mode] = (np.asarray(raw),
+                     None if cnt is None else np.asarray(cnt))
+    if pairwise_del:
+        # identical valid-pair counts (missing decisions are the same)
+        np.testing.assert_array_equal(out["0"][1], out["1"][1])
+        denom = np.maximum(out["0"][1], 1)
+    else:
+        denom = float(S)
     # raw deltas stay in the f32 engine's own error class
-    denom = np.maximum(out["0"][1], 1)
     d = np.abs(out["0"][0] - out["1"][0]) / denom
     assert d.max() < 3e-6, d.max()
 
