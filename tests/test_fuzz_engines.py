@@ -9,6 +9,7 @@ goldens don't enumerate.
 """
 
 import gzip
+import os
 
 import numpy as np
 import pytest
@@ -47,7 +48,7 @@ def _write_inputs(tmp_path, rng, S, N, kind):
     return path, dict(in_probs=True)
 
 
-@pytest.mark.parametrize("trial", range(12))
+@pytest.mark.parametrize("trial", range(24))
 def test_random_config_engines_agree(tmp_path, trial):
     rng = np.random.default_rng(1000 + trial)
     S = int(rng.integers(20, 150))
@@ -83,7 +84,7 @@ def test_random_config_engines_agree(tmp_path, trial):
         np.testing.assert_allclose(mb, ma, rtol=0, atol=1e-10, err_msg=str(kw))
 
 
-@pytest.mark.parametrize("trial", range(8))
+@pytest.mark.parametrize("trial", range(16))
 def test_random_config_sharded_streamed_agree(tmp_path, trial, monkeypatch):
     """Same cross-engine contract under randomized SCALE-OUT shapes:
     random 1-D/2-D meshes and random (sometimes tiny) device budgets, so
@@ -143,7 +144,7 @@ def test_random_config_sharded_streamed_agree(tmp_path, trial, monkeypatch):
         )
 
 
-@pytest.mark.parametrize("trial", range(6))
+@pytest.mark.parametrize("trial", range(10))
 def test_random_config_upload23_agree(tmp_path, trial, monkeypatch):
     """f32 (x64-off) fuzz of the 2-of-3-component upload lane: random
     configs/inputs (incl. empty-line text sites, the all-zero-triple
@@ -194,3 +195,85 @@ def test_random_config_upload23_agree(tmp_path, trial, monkeypatch):
     for ma, mb in zip(out["0"], out["1"]):
         np.testing.assert_allclose(mb, ma, rtol=0, atol=5e-6,
                                    err_msg=f"{kw} mesh={mesh is not None}")
+
+
+@pytest.mark.parametrize("trial", range(12))
+def test_random_routing_gates_agree(tmp_path, trial, monkeypatch):
+    """Fuzz of the ROUTING gates themselves (VERDICT r04 item 7): raw
+    binary inputs drawn with host/device budgets randomly ABOVE and
+    BELOW the tensor footprint, fused reads on/off, the uint16 lane
+    on/off, coded (--call_geno) and packed routes, resident / chunked /
+    lazy / mesh streams — every draw must produce the same matrices as
+    the staged resident f32 baseline (atol covers the documented uint16
+    quantization class; coded and f32 routes sit at ~1e-7).  This is
+    the randomized coverage of runner._fused_packed_wanted /
+    _fused_coded_wanted / _lazy_stream_wanted and
+    SiteStream.coded_call_eligible at shapes on both sides of each
+    threshold."""
+    import jax
+
+    from ngsdist_tpu.parallel import mesh as pm
+
+    rng = np.random.default_rng(9000 + trial)
+    S = int(rng.integers(40, 200))
+    N = int(rng.integers(3, 9))
+    path, extra = _write_inputs(tmp_path, rng, S, N, "bin")
+
+    kw = dict(extra)
+    if rng.random() < 0.5:
+        kw["indep_geno"] = True
+    if rng.random() < 0.4:
+        kw["call_geno"] = True  # default thresholds -> coded-eligible
+    kw["pairwise_del"] = bool(rng.random() < 0.5)
+    kw["evol_model"] = int(rng.integers(0, 3))
+    if rng.random() < 0.4:
+        kw["n_boot_rep"] = int(rng.integers(1, 3))
+        kw["boot_block_size"] = int(rng.integers(1, max(2, S // 5)))
+    base = dict(in_geno=path, n_ind=N, n_sites=S,
+                seed=int(rng.integers(1, 10000)), verbose=0, **kw)
+
+    tensor_bytes = S * N * 3 * 8
+    jax.config.update("jax_enable_x64", False)
+    try:
+        baseline_env = {"NGSDIST_FUSED_READ": "0", "NGSDIST_UPLOAD16": "0",
+                        "NGSDIST_CODED_UPLOAD": "0"}
+        for k, v in baseline_env.items():
+            monkeypatch.setenv(k, v)
+        monkeypatch.delenv("NGSDIST_HOST_BUDGET", raising=False)
+        monkeypatch.delenv("NGSDIST_DEVICE_BUDGET", raising=False)
+        want = runner.run(Params(out=str(tmp_path / "base.dist"), **base),
+                          engine="jax")
+
+        # the randomized routing draw
+        monkeypatch.setenv("NGSDIST_FUSED_READ",
+                           str(rng.choice(["auto", "0"])))
+        monkeypatch.setenv("NGSDIST_UPLOAD16", str(rng.choice(["0", "1"])))
+        monkeypatch.setenv("NGSDIST_CODED_UPLOAD",
+                           str(rng.choice(["auto", "0", "1"])))
+        if rng.random() < 0.6:  # host budget below/above the footprint
+            lo = rng.random() < 0.5
+            monkeypatch.setenv("NGSDIST_HOST_BUDGET",
+                               str(tensor_bytes // 4 if lo
+                                   else tensor_bytes * 16))
+            monkeypatch.setenv("NGSDIST_SPILL_DIR", str(tmp_path))
+        if rng.random() < 0.6:  # device budget below/above
+            lo = rng.random() < 0.5
+            monkeypatch.setenv("NGSDIST_DEVICE_BUDGET",
+                               str(max(1024, tensor_bytes // 6) if lo
+                                   else tensor_bytes * 16))
+        mesh = (pm.make_mesh(n_devices=int(rng.choice([2, 4, 8])))
+                if rng.random() < 0.4 else None)
+        got = runner.run(Params(out=str(tmp_path / "got.dist"), **base),
+                         engine="jax", mesh=mesh)
+    finally:
+        jax.config.update("jax_enable_x64", True)
+    assert len(want) == len(got)
+    # uint16 quantization noise in raw/cnt is ~1.5e-5/sqrt(S) per pair;
+    # the model-2 (K2P) log transform multiplies it by 1/(1-2P-Q)-style
+    # pole derivatives, so its bound is looser at these tiny fuzz S
+    atol = 3e-4 if kw["evol_model"] == 2 else 5e-5
+    for ma, mb in zip(want, got):
+        np.testing.assert_allclose(
+            mb, ma, rtol=0, atol=atol,
+            err_msg=f"{kw} mesh={mesh is not None} env="
+                    f"{ {k: os.environ.get(k) for k in ('NGSDIST_FUSED_READ', 'NGSDIST_UPLOAD16', 'NGSDIST_CODED_UPLOAD', 'NGSDIST_HOST_BUDGET', 'NGSDIST_DEVICE_BUDGET') } }")
