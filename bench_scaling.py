@@ -126,10 +126,52 @@ def engine_round_best(N):
 
 engine = {N: engine_round_best(N) for N in (256, 1024)}
 
+# COMPUTE-FREE round variant (VERDICT r04 item 6): exactly the engine
+# round's collective op sequence — TWO [N, N] psums (raw + cnt) behind
+# one jitted shard_map with a scalar barrier — but on pre-made device
+# arrays, no einsum.  The N=1024 vs N=256 delta then isolates the
+# payload slope with no N^2 compute riding along.
+def psum_round_best(N):
+    local = np.random.default_rng(2 + pid).random((1, N, N), np.float32)
+    x = jax.make_array_from_process_local_data(
+        NamedSharding(mesh, P("sites", None, None)), local, (2, N, N))
+
+    @jax.jit
+    @partial(shard_map, mesh=mesh, in_specs=P("sites", None, None),
+             out_specs=(P(), P()))
+    def two_psums(v):
+        a = jax.lax.psum(v[0], "sites")
+        b = jax.lax.psum(v[0] * 0.5, "sites")
+        return a, b
+
+    def round_once():
+        a, b = two_psums(x)
+        np.asarray(a[0, 0]); np.asarray(b[0, 0])
+
+    round_once()  # compile
+    best = float("inf")
+    for _ in range(5):
+        t0 = time.perf_counter()
+        for _r in range(10):
+            round_once()
+        best = min(best, (time.perf_counter() - t0) / 10)
+    return best
+
+# five sizes: {128, 512, 896} feed the latency+bandwidth fit, the held
+# out {256, 1024} delta validates it (same op family, no circularity).
+# TWO interleaved passes with a per-size min decorrelate the slow drift
+# of this shared-core localhost transport from the size axis.
+psum_sizes = (128, 256, 512, 896, 1024)
+psum_round = {N: psum_round_best(N) for N in psum_sizes}
+for N in psum_sizes:
+    psum_round[N] = min(psum_round[N], psum_round_best(N))
+
 if pid == 0:
     with open(out, "w") as fh:
         json.dump({"psum": rows,
-                   "engine_round_s": {str(k): v for k, v in engine.items()}},
+                   "engine_round_s": {str(k): v for k, v in engine.items()},
+                   "psum_round_s": {str(k): v
+                                    for k, v in psum_round.items()}},
                   fh)
 print("OK", pid)
 """
@@ -274,7 +316,28 @@ def main_collectives() -> None:
     d_meas = eng[1024] - eng[256]
     d_pred = (payload[1024] - payload[256]) / bw
     slope_err = abs(d_pred - d_meas) / max(d_meas, 1e-12)
-    dispatch = max(0.0, eng[256] - (lat + payload[256] / bw))
+    # Primary validation (VERDICT r04 item 6): COMPUTE-FREE psum rounds
+    # — the round's exact collective op sequence (two [N,N] psums, one
+    # jitted shard_map) with no einsum.  The latency+bandwidth model is
+    # fitted on N in {128, 512, 896} and validated on the HELD-OUT
+    # N=256 -> 1024 payload delta, so fit and validation share the op
+    # family (the single-vector psum fit above mispredicts the paired
+    # round's effective bandwidth by ~25% on this transport) but not
+    # the data points.
+    pr = {int(k): float(v) for k, v in got["psum_round_s"].items()}
+    fitN = [n for n in (128, 512, 896) if n in pr]
+    rb = np.array([2 * n * n * 4 for n in fitN], float)
+    rt = np.array([pr[n] for n in fitN], float)
+    Ar = np.vstack([np.ones_like(rb), rb]).T
+    (r_int, r_inv_bw), *_ = np.linalg.lstsq(Ar, rt, rcond=None)
+    r_bw = 1.0 / r_inv_bw if r_inv_bw > 0 else float("inf")
+    d_meas_cf = pr[1024] - pr[256]
+    d_pred_cf = (payload[1024] - payload[256]) / r_bw
+    slope_err_cf = abs(d_pred_cf - d_meas_cf) / max(d_meas_cf, 1e-12)
+    # the fitted intercept is the whole per-round fixed cost
+    # (dispatch + both psum latencies) — exactly what the crossover
+    # needs as its constant term
+    dispatch = max(0.0, float(r_int))
 
     kernel_rate = 7.2e12  # measured v5e indep kernel (BENCH_r03+)
     n_pairs = 1024 * 1023 / 2
@@ -288,7 +351,9 @@ def main_collectives() -> None:
         # measured CPU-jit dispatch applies to the TCP row; on TPU the
         # per-round launch cost is the tunnel dispatch (~8-15 ms on this
         # rig, ~100 us co-located) — report spec rows with 100 us.
-        "measured_localhost_tcp": (lat, bw, dispatch),
+        # round-fit numbers: the intercept (dispatch incl. latencies)
+        # and the paired-psum effective bandwidth
+        "measured_localhost_tcp": (0.0, r_bw, dispatch),
         # v5e ICI: ~45 GB/s effective all-reduce, ~25 us launch;
         # DCN: ~12.5 GB/s/host, ~100 us (public scaling-book figures)
         "ici_v5e_spec": (25e-6, 45e9, 100e-6),
@@ -298,17 +363,31 @@ def main_collectives() -> None:
         "metric": "collective_overhead_model",
         "psum_fit": {"latency_s": float(lat), "bandwidth_Bps": float(bw)},
         "psum_samples": [[int(n * 4), float(t)] for n, t in got["psum"]],
+        "psum_round_validation": {
+            "round_s_by_N": pr,
+            "fit_on_N": fitN,
+            "round_fit": {"intercept_s": float(r_int),
+                          "bandwidth_Bps": float(r_bw)},
+            "payload_delta_bytes": payload[1024] - payload[256],
+            "predicted_delta_s": float(d_pred_cf),
+            "measured_delta_s": float(d_meas_cf),
+            "slope_rel_error": float(slope_err_cf),
+            "fixed_dispatch_s": float(dispatch),
+            "note": "compute-free variant of the engine round: two "
+                    "[N,N] psums behind one jitted shard_map, no "
+                    "einsum; model fitted on N in fit_on_N, validated "
+                    "on the held-out 256->1024 payload delta",
+        },
         "engine_round_validation": {
             "round_s_by_N": eng,
             "payload_delta_bytes": payload[1024] - payload[256],
             "predicted_delta_s": float(d_pred),
             "measured_delta_s": float(d_meas),
             "slope_rel_error": float(slope_err),
-            "fixed_dispatch_s": float(dispatch),
-            "note": "measured delta also carries the round's own "
-                    "N^2-scaling einsum compute (S=64) on shared CPU "
-                    "cores, so predicted<=measured: the collective model "
-                    "is conservative",
+            "note": "SECONDARY (conservative) check: the real round "
+                    "also carries its N^2-scaling einsum compute "
+                    "(S=64) on shared CPU cores, so predicted <= "
+                    "measured by construction",
         },
         "crossover_sites_per_device_80pct_at_N1024": {
             name: float(crossover(*v)) for name, v in transports.items()
