@@ -43,6 +43,7 @@ NGSDIST_BENCH_N_IND, NGSDIST_BENCH_N_SITES shape knobs]
 
 from __future__ import annotations
 
+import functools
 import json
 import os
 import subprocess
@@ -399,9 +400,111 @@ def main_collectives() -> None:
     print(json.dumps(rec))
 
 
+def main_pairs2d() -> None:
+    """Per-device kernel wall for the 2-D pairs (TP) split at large N
+    (VERDICT r04 item 8): build the greedy-balanced superblock-panel
+    sublists for N=4096 at pairs=2 and 4, verify the split is NOT
+    degenerate (mesh._panel_tables_cached returns real tables), and
+    time each device's sublist kernel on the one real chip — the
+    per-device wall a p-way pairs mesh would run concurrently.  Also
+    times the full 1-device triangle and the einsum row-slice fallback
+    for the same shape, so the BENCH line carries the speedup the
+    panel split buys at this scale."""
+    import jax
+    import jax.numpy as jnp
+
+    from ngsdist_tpu.config import default_score_matrix
+    from ngsdist_tpu.core.distance import missing_mask
+    from ngsdist_tpu.ops.pallas_indep import (indep_raw_cnt_pallas,
+                                              prepare_plane_major)
+    from ngsdist_tpu.parallel.mesh import _panel_tables_cached
+    from ngsdist_tpu.utils import compile_cache
+
+    compile_cache.enable()  # N=4096 Mosaic compiles are minutes each
+
+    N = int(os.environ.get("NGSDIST_BENCH_N_IND", 4096))
+    S = int(os.environ.get("NGSDIST_BENCH_2D_SITES", 1 << 14))
+    dev = jax.devices()[0]
+    key = jax.random.PRNGKey(0)
+    P4 = jax.nn.softmax(jax.random.normal(key, (S, N, 3), jnp.float32), -1)
+    P3, dims = prepare_plane_major(P4)
+    P3 = jax.device_put(P3, dev)
+    score9 = jax.device_put(
+        jnp.asarray(default_score_matrix().reshape(-1), jnp.float32), dev)
+    score = jnp.asarray(default_score_matrix(), jnp.float32)
+
+    def tmin_stream(fn, k1=2, k2=6, reps=3):
+        """Differential dispatch-stream timing (bench.py main_indep
+        pattern): time k2 and k1 queued dispatches with one scalar
+        barrier each; (t2-t1)/(k2-k1) cancels the constant tunnel
+        fetch."""
+        def run(k):
+            acc = None
+            for _ in range(k):
+                r, c = fn()
+                s = jnp.sum(jnp.triu(r, 1))
+                acc = s if acc is None else acc + s
+            return np.asarray(acc)
+        run(1)  # compile
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter(); run(k1); t1 = time.perf_counter()
+            run(k2); t2 = time.perf_counter()
+            best = min(best, ((t2 - t1) - (t1 - t0)) / (k2 - k1))
+        return best
+
+    rec = {"metric": "pairs2d_kernel_wall", "n_ind": N, "sites": S,
+           "device": f"{dev.platform}:{dev.device_kind}", "splits": {}}
+
+    print("# pairs2d: compiling/timing full triangle", file=sys.stderr,
+          flush=True)
+    full_s = tmin_stream(lambda: indep_raw_cnt_pallas(
+        P3, score9, True, plane_major=dims))
+    rec["full_triangle_1dev_s"] = round(full_s, 4)
+
+    P4d = jax.device_put(P4, dev)
+
+    @functools.partial(jax.jit, static_argnames=("rows",))
+    def row_slice(rows):
+        valid = (~missing_mask(P4d)).astype(jnp.float32)
+        Q = P4d * valid[..., None]
+        Y = jnp.einsum("sjh,gh->sjg", Q, score,
+                       precision=jax.lax.Precision.HIGHEST)
+        raw = jnp.einsum("sig,sjg->ij", Q[:, :rows], Y,
+                         precision=jax.lax.Precision.HIGHEST)
+        return raw, raw
+
+    for p in (2, 4):
+        tabs = _panel_tables_cached(N, p)
+        assert tabs is not None, f"degenerate panel split at N={N} p={p}"
+        IS, JS = tabs
+        per_dev = []
+        for d in range(p):
+            print(f"# pairs2d: p={p} dev={d}", file=sys.stderr, flush=True)
+            t = tmin_stream(lambda d=d: indep_raw_cnt_pallas(
+                P3, score9, True, plane_major=dims,
+                panels=(IS[d], JS[d])))
+            per_dev.append(round(t, 4))
+        rows = N // p
+        t_eins = tmin_stream(lambda: row_slice(rows), k1=1, k2=3)
+        rec["splits"][str(p)] = {
+            "sublist_len": int(IS.shape[1]),
+            "per_dev_kernel_s": per_dev,
+            "max_dev_kernel_s": max(per_dev),
+            "einsum_row_slice_s": round(t_eins, 4),
+            "panel_vs_einsum_speedup": round(t_eins / max(per_dev), 2),
+            "vs_1dev_scaling": round(full_s / max(per_dev), 2),
+        }
+        print(f"# pairs2d N={N} p={p}: per-dev {per_dev} s, einsum "
+              f"row-slice {t_eins:.4f} s", file=sys.stderr)
+    print(json.dumps(rec))
+
+
 if __name__ == "__main__":
     if "--collectives" in sys.argv:
         main_collectives()
+    elif "--pairs2d" in sys.argv:
+        main_pairs2d()
     else:
         main()
         main_collectives()
