@@ -433,17 +433,21 @@ def main_pairs2d() -> None:
         jnp.asarray(default_score_matrix().reshape(-1), jnp.float32), dev)
     score = jnp.asarray(default_score_matrix(), jnp.float32)
 
-    def tmin_stream(fn, k1=2, k2=6, reps=3):
+    def tmin_stream(fn, arg, k1=2, k2=6, reps=3):
         """Differential dispatch-stream timing (bench.py main_indep
         pattern): time k2 and k1 queued dispatches with one scalar
         barrier each; (t2-t1)/(k2-k1) cancels the constant tunnel
-        fetch."""
+        fetch.  The whole step (kernel + triu reduction) is jitted
+        ONCE so the reduction's mask constant ships to the device a
+        single time — the eager form re-sent ~67 MB per call, which
+        wedged a 20 MB/s tunnel for minutes per timing."""
+        step = jax.jit(lambda a: jnp.sum(jnp.triu(fn(a)[0], 1)))
+
         def run(k):
             acc = None
             for _ in range(k):
-                r, c = fn()
-                s = jnp.sum(jnp.triu(r, 1))
-                acc = s if acc is None else acc + s
+                # queued in order; the last result is the barrier
+                acc = step(arg)
             return np.asarray(acc)
         run(1)  # compile
         best = float("inf")
@@ -458,16 +462,15 @@ def main_pairs2d() -> None:
 
     print("# pairs2d: compiling/timing full triangle", file=sys.stderr,
           flush=True)
-    full_s = tmin_stream(lambda: indep_raw_cnt_pallas(
-        P3, score9, True, plane_major=dims))
+    full_s = tmin_stream(lambda a: indep_raw_cnt_pallas(
+        a, score9, True, plane_major=dims), P3)
     rec["full_triangle_1dev_s"] = round(full_s, 4)
 
     P4d = jax.device_put(P4, dev)
 
-    @functools.partial(jax.jit, static_argnames=("rows",))
-    def row_slice(rows):
-        valid = (~missing_mask(P4d)).astype(jnp.float32)
-        Q = P4d * valid[..., None]
+    def row_slice(a, rows):
+        valid = (~missing_mask(a)).astype(jnp.float32)
+        Q = a * valid[..., None]
         Y = jnp.einsum("sjh,gh->sjg", Q, score,
                        precision=jax.lax.Precision.HIGHEST)
         raw = jnp.einsum("sig,sjg->ij", Q[:, :rows], Y,
@@ -481,12 +484,13 @@ def main_pairs2d() -> None:
         per_dev = []
         for d in range(p):
             print(f"# pairs2d: p={p} dev={d}", file=sys.stderr, flush=True)
-            t = tmin_stream(lambda d=d: indep_raw_cnt_pallas(
-                P3, score9, True, plane_major=dims,
-                panels=(IS[d], JS[d])))
+            t = tmin_stream(lambda a, d=d: indep_raw_cnt_pallas(
+                a, score9, True, plane_major=dims,
+                panels=(IS[d], JS[d])), P3)
             per_dev.append(round(t, 4))
         rows = N // p
-        t_eins = tmin_stream(lambda: row_slice(rows), k1=1, k2=3)
+        t_eins = tmin_stream(lambda a: row_slice(a, rows), P4d,
+                             k1=1, k2=3)
         rec["splits"][str(p)] = {
             "sublist_len": int(IS.shape[1]),
             "per_dev_kernel_s": per_dev,
