@@ -305,6 +305,8 @@ def main_e2e() -> dict:
             t0 = time.perf_counter()
             runner.run(pars, engine="jax")
             times.append(time.perf_counter() - t0)
+            if it >= 1 and _deadline_passed():
+                break
     finally:
         shutil.rmtree(td, ignore_errors=True)
     cold, post = times[0], sorted(times[1:])
@@ -708,13 +710,21 @@ def _deadline_passed() -> bool:
     return _DEADLINE is not None and time.perf_counter() > _DEADLINE
 
 
-# Per-mode wall-time estimates (seconds) with a WARM input cache,
-# observed on this rig (round-4/5 captures).  Input-generation cost is
-# added separately on a cache miss.  Used only to decide whether a mode
-# still fits the remaining budget — starting a ~600 s mode with 100 s
-# left is how round 4 blew the driver's window.
-_EST_WARM = {"indep": 90, "em": 40, "e2e": 90, "e2e_em": 100,
-             "e2e_cg": 50, "boot": 230, "e2e1m": 300}
+# Per-mode wall-time estimates with a WARM input cache: a fixed
+# non-upload part (compute, dispatch, reads) plus the mode's total
+# host->device upload bytes divided by the link rate MEASURED at
+# invocation start — the tunnel swings 7-45 MB/s on minute timescales,
+# so a fixed estimate under-budgets degraded links by 5x.  Input
+# generation cost is added separately on a cache miss.  Used only to
+# decide whether a mode still fits the remaining budget — starting a
+# ~600 s mode with 100 s left is how round 4 blew the driver's window.
+_EST_FIXED = {"indep": 90, "em": 40, "e2e": 25, "e2e_em": 70,
+              "e2e_cg": 20, "boot": 140, "e2e1m": 140}
+# upload traffic per mode at the uint16 lane's 4 bytes/triple
+# (e2e_cg ships 1-byte codes), summed over the mode's timed runs
+_EST_UPLOAD = {"e2e": 5 * 4, "e2e_em": 6 * 4, "e2e_cg": 3 * 1,
+               "boot": 1 * 4, "e2e1m": 2 * 4}  # bytes/triple x runs
+_LINK_MBPS: float | None = None  # measured once by main_all
 _SHAPES = {  # (N_env_default, S for the mode) — mirrors each main_*
     "e2e": 1 << 16, "e2e_em": 1 << 14, "e2e_cg": 1 << 16,
     "boot": 1 << 18, "e2e1m": 1 << 20,
@@ -725,10 +735,13 @@ _S_ENV = {"e2e": "NGSDIST_BENCH_N_SITES", "e2e_cg": "NGSDIST_BENCH_N_SITES",
 
 
 def _mode_estimate(name: str) -> float:
-    est = float(_EST_WARM.get(name, 120))
-    if name in _SHAPES:  # add generation cost on a cache miss (~65 MB/s)
+    est = float(_EST_FIXED.get(name, 120))
+    if name in _SHAPES:
         N = int(os.environ.get("NGSDIST_BENCH_N_IND", 1024))
         S = int(os.environ.get(_S_ENV[name], _SHAPES[name]))
+        if name in _EST_UPLOAD and _LINK_MBPS:
+            est += S * N * _EST_UPLOAD[name] / (_LINK_MBPS * 1e6)
+        # generation cost on a cache miss (~65 MB/s)
         path = os.path.join(_cache_dir(), f"gp_{N}x{S}_s7.bin")
         if not (os.path.exists(path) and
                 os.path.getsize(path) == S * N * 24):
@@ -766,8 +779,15 @@ def main_all() -> int:
     BENCH artifacts should carry whatever the chip gave us."""
     budget = float(os.environ.get("NGSDIST_BENCH_BUDGET", "1100"))
     t_start = time.perf_counter()
-    global _DEADLINE
+    global _DEADLINE, _LINK_MBPS
     _DEADLINE = t_start + budget
+    try:
+        _LINK_MBPS = _tunnel_probe(32 << 20)
+        print(f"# bench: link probe {_LINK_MBPS:.0f} MB/s (mode cost "
+              "estimates scale with it)", file=sys.stderr)
+    except Exception as ex:
+        print(f"# bench: link probe failed ({ex}); fixed estimates",
+              file=sys.stderr)
     results: dict = {}
     for name, fn in _MODES:
         spent = time.perf_counter() - t_start
