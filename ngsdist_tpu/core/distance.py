@@ -259,7 +259,19 @@ def _pipelined_chunks(ranges, read_fn, send_fn):
 # streamed to the device while the NEXT chunk is read from disk
 # (jax.device_put dispatches asynchronously — the host->device copy of
 # chunk k is in flight while the fused reader parses chunk k+1).
-PIPE_UPLOAD_BYTES = 128 << 20
+PIPE_UPLOAD_BYTES = 32 << 20
+
+
+def _pipe_upload_bytes() -> int:
+    """Fused-upload chunk granularity (NGSDIST_PIPE_UPLOAD_BYTES
+    overrides).  Smaller chunks expose less of the FIRST chunk's fused
+    read before its upload can start (the pipeline's only unoverlapped
+    read) at ~15 ms tunnel dispatch per extra chunk; the round-5 v5e
+    sweep (128/32/16 MB at 64k x 1k, u16 lane) put 32 MB ~0.5 s ahead
+    of 128 MB (residual 1.0 s vs 1.5 s) with 16 MB within noise of
+    32."""
+    v = os.environ.get("NGSDIST_PIPE_UPLOAD_BYTES")
+    return max(1 << 20, int(v)) if v else PIPE_UPLOAD_BYTES
 
 
 def _upload_packed_pipelined(src, n_used: int, dtype=None) -> jnp.ndarray:
@@ -275,7 +287,7 @@ def _upload_packed_pipelined(src, n_used: int, dtype=None) -> jnp.ndarray:
 
     N = src.n_ind
     bps = getattr(src, "bytes_per_site", N * 8)  # uint8 codes: N
-    step = max(1, PIPE_UPLOAD_BYTES // max(1, bps))
+    step = max(1, _pipe_upload_bytes() // max(1, bps))
     ranges = [(lo, min(lo + step, n_used)) for lo in range(0, n_used, step)]
     parts = []
     lut = None
