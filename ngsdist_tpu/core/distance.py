@@ -690,6 +690,20 @@ def iter_replicates(
     budget = _device_budget_bytes()
     chunked = S * N * 3 * itemsize > budget
     chunk = _stream_chunk_sites(S, N, itemsize, budget) if chunked else S
+    if not chunked and not maps and not pars.indep_geno \
+            and dtype == jnp.float32 and S * N >= (1 << 22) \
+            and jax.default_backend() != "cpu":
+        # EM overlap stream: the EM path is COMPUTE-bound (kernel ~4 s
+        # vs 1.5-8 s upload at the link's 7-45 MB/s swings at the
+        # 16k x 1k shape), so even when the tensor fits residency,
+        # streaming ~4 chunks hides each chunk's upload under the
+        # previous chunk's kernel.  f32 device backends only (the x64
+        # md5 contract and CPU-backend golden tolerances keep their
+        # resident accumulation order), and only WITHOUT bootstrap:
+        # replicates reuse the resident device tensor, which chunking
+        # would trade for per-replicate re-reads.
+        chunked = True
+        chunk = -(-S // 4)
     # Fused-read source (runner fast path): packed f32 chunks stream
     # from disk straight to the device — no resident host f64 tensor.
     packed_src = hasattr(P_host, "read_packed")
