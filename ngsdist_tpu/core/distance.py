@@ -92,6 +92,11 @@ def _stream_chunk_sites(S: int, N: int, itemsize: int, budget: int) -> int:
 _WORKING_SET_FACTOR = 3
 
 
+# EM overlap stream floor: below ~4M triples the upload is too small
+# for chunk overlap to beat the extra per-chunk dispatch/fetch.
+EM_OVERLAP_MIN_TRIPLES = 1 << 22
+
+
 def _device_budget_bytes() -> int:
     """Device-memory budget for the engine's per-dispatch working set
     (resident probability tensor PLUS its layout/masked copies); above
@@ -691,7 +696,7 @@ def iter_replicates(
     chunked = S * N * 3 * itemsize > budget
     chunk = _stream_chunk_sites(S, N, itemsize, budget) if chunked else S
     if not chunked and not maps and not pars.indep_geno \
-            and dtype == jnp.float32 and S * N >= (1 << 22) \
+            and dtype == jnp.float32 and S * N >= EM_OVERLAP_MIN_TRIPLES \
             and jax.default_backend() != "cpu":
         # EM overlap stream: the EM path is COMPUTE-bound (kernel ~4 s
         # vs 1.5-8 s upload at the link's 7-45 MB/s swings at the
