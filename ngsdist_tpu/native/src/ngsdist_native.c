@@ -1115,6 +1115,44 @@ static void *nd_pack_worker(void *arg) {
       }
       done += r;
     }
+    if (j->mode == ND_FUSED_CODES && !j->in_logscale) {
+      /* Libm-free fast path: log is strictly monotone on (0, inf),
+       * so the log-normalized argmax / all-equal classification of a
+       * NORMAL-SPACE triple equals the classification of the raw
+       * doubles — the 9 libm calls per triple (log x3, logsumexp,
+       * exp x3) contribute nothing to the code.  Only anomalous
+       * triples (NaN input, a negative component, or an all-zero sum
+       * whose logsumexp would be -inf) need the staged arithmetic to
+       * reproduce the reference's NaN fatal and its errno, so the
+       * slab falls back wholesale when the anomaly scan trips
+       * (anomalies are fatal anyway — cost is irrelevant). */
+      int anomaly = 0;
+      for (int64_t t = 0; t < nt && !anomaly; t++) {
+        double *p = scratch + 3 * t;
+        if (isnan(p[0]) || isnan(p[1]) || isnan(p[2]) ||
+            p[0] < 0 || p[1] < 0 || p[2] < 0 ||
+            p[0] + p[1] + p[2] == 0.0)
+          anomaly = 1;
+      }
+      if (!anomaly) {
+        for (int64_t t = 0; t < nt; t++) {
+          double *p = scratch + 3 * t;
+          int max_pos = 0, min_pos = 0;
+          double mx = -INFINITY, mn = INFINITY;
+          for (int k = 0; k < 3; k++) {
+            if (p[k] > mx) { mx = p[k]; max_pos = k; }
+            if (p[k] < mn) { mn = p[k]; min_pos = k; }
+          }
+          unsigned char c = (unsigned char)max_pos;
+          if (p[min_pos] == p[max_pos]) {
+            c = 3;
+            j->any_missing = 1;
+          }
+          j->outc[t0 + t] = c;
+        }
+        continue;
+      }
+    }
     /* normalize pass: the staged reader's per-triple arithmetic */
     for (int64_t t = 0; t < nt; t++) {
       double *p = scratch + 3 * t;
