@@ -57,6 +57,7 @@ so a captured-under-timeout run still leaves a parseable record.
 
 from __future__ import annotations
 
+import functools
 import json
 import os
 import sys
@@ -650,13 +651,43 @@ def main_indep() -> dict:
         d = -jnp.log1p(-d) * (1 - jnp.eye(N, dtype=dtype))
         return jnp.sum(d)
 
-    def full_matrix(bufs, score, k):
+    def full_matrix_stream(bufs, score, k):
         raw = jnp.zeros((N, N), dtype)
         cnt = jnp.zeros((N, N), dtype)
         for i in range(k):
             r, c = chunk_step(bufs[i % NBUF], score)
             raw, cnt = acc(raw, cnt, r, c)
         return np.asarray(finalize(raw, cnt))  # scalar barrier
+
+    # Default timing harness: the WHOLE k-chunk loop is one
+    # lax.scan dispatch (body indexes a stacked [NBUF, ...] tensor via
+    # the loop counter — runtime-dependent inputs, so XLA cannot CSE
+    # the repeated kernel the way identical-operand calls in one jit
+    # were CSE'd to NBUF executions).  One dispatch + one scalar fetch
+    # per measurement makes the headline insensitive to the tunnel's
+    # dispatch latency: the eager stream form underreported the kernel
+    # 40%+ whenever the link degraded below ~15 MB/s (round-5), since
+    # ~15 ms/dispatch round-trips starved the device.
+    # NGSDIST_BENCH_DISPATCH=stream restores the old form.
+    use_scan = os.environ.get("NGSDIST_BENCH_DISPATCH", "scan") != "stream"
+
+    @functools.partial(jax.jit, static_argnames=("k",))
+    def full_matrix_scan(bufs_t, score, k):
+        # lax.switch over per-buffer closures, NOT a dynamic_index
+        # gather of a stacked tensor: the gather materializes an
+        # 800 MB chunk copy per step (~2 ms of HBM traffic against a
+        # ~5 ms kernel — measured 30% headline loss).
+        def body(carry, i):
+            raw, cnt = carry
+            r, c = jax.lax.switch(
+                i % NBUF,
+                [functools.partial(chunk_step, bufs_t[b], score)
+                 for b in range(NBUF)])
+            return (raw + r, cnt + c), 0
+        (raw, cnt), _ = jax.lax.scan(
+            body, (jnp.zeros((N, N), dtype), jnp.zeros((N, N), dtype)),
+            jnp.arange(k, dtype=jnp.int32))
+        return finalize(raw, cnt)
 
     key = jax.random.PRNGKey(0)
     logits = jax.random.normal(key, (NBUF, chunk, N, 3), dtype=dtype)
@@ -667,10 +698,17 @@ def main_indep() -> dict:
         bufs = [jax.device_put(prepare_plane_major(P4[b])[0], dev)
                 for b in range(NBUF)]
     score = jax.device_put(jnp.asarray(default_score_matrix(), dtype), dev)
+    bufs_t = tuple(bufs) if use_scan else None
+
+    def full_matrix(bufs, score, k):
+        if use_scan:
+            return np.asarray(full_matrix_scan(bufs_t, score, k))
+        return full_matrix_stream(bufs, score, k)
 
     _ = full_matrix(bufs, score, 1)  # warmup / compile
 
     def tmin(k, n=3):
+        full_matrix(bufs, score, k)  # compile this k (scan: static arg)
         ts = []
         for _ in range(n):
             t0 = time.perf_counter()
