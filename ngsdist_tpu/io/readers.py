@@ -128,6 +128,32 @@ def read_geno(
     return _read_geno_py(path, in_bin, in_probs, in_logscale, n_ind, n_sites)
 
 
+def _fused_pack_read(lib_fn_name, out_dtype, ptr_caster, path, in_logscale,
+                     n_ind, n_sites, site_range):
+    """Shared body of the fused packed readers (read_geno_pack23/16):
+    raw-seekable guard, ranged output allocation, native call, and the
+    rc==2 -> None / rc!=0 -> NgsDistError contract."""
+    import ctypes
+
+    if path == "-" or not _native.have_native():
+        return None
+    start, stop = site_range if site_range is not None else (0, n_sites)
+    lib = _native.get_lib()
+    out = np.empty((stop - start, n_ind, 2), dtype=out_dtype)
+    errbuf = ctypes.create_string_buffer(256)
+    err = ctypes.c_int(0)
+    rc = getattr(lib, lib_fn_name)(
+        path.encode(), int(in_logscale), n_ind, n_sites, start, stop,
+        ptr_caster(out), errbuf, len(errbuf), ctypes.byref(err),
+    )
+    if rc == 2:
+        return None
+    if rc != 0:
+        raise NgsDistError("read_geno", errbuf.value.decode(),
+                           err=err.value)
+    return out
+
+
 def read_geno_pack23(
     path: str,
     in_logscale: bool,
@@ -145,25 +171,9 @@ def read_geno_pack23(
     seekable binary (gzip magic, stdin, pipe) — callers fall back to
     the staged path.  Reference arithmetic: read_data.cpp:29-47
     (read+normalize in one pass) + gen_func.cpp:123-130 (conv_space)."""
-    import ctypes
-
-    if path == "-" or not _native.have_native():
-        return None
-    start, stop = site_range if site_range is not None else (0, n_sites)
-    lib = _native.get_lib()
-    out = np.empty((stop - start, n_ind, 2), dtype=np.float32)
-    errbuf = ctypes.create_string_buffer(256)
-    err = ctypes.c_int(0)
-    rc = lib.nd_read_geno_pack23(
-        path.encode(), int(in_logscale), n_ind, n_sites, start, stop,
-        _native.as_float_ptr(out), errbuf, len(errbuf), ctypes.byref(err),
-    )
-    if rc == 2:
-        return None
-    if rc != 0:
-        raise NgsDistError("read_geno", errbuf.value.decode(),
-                           err=err.value)
-    return out
+    return _fused_pack_read("nd_read_geno_pack23", np.float32,
+                            _native.as_float_ptr, path, in_logscale,
+                            n_ind, n_sites, site_range)
 
 
 def read_geno_pack16(
@@ -181,25 +191,9 @@ def read_geno_pack16(
     calls, llrint == np.rint round-half-even).  Returns None when the
     file is not raw seekable binary.  Reference arithmetic:
     read_data.cpp:29-47 + gen_func.cpp:123-130."""
-    import ctypes
-
-    if path == "-" or not _native.have_native():
-        return None
-    start, stop = site_range if site_range is not None else (0, n_sites)
-    lib = _native.get_lib()
-    out = np.empty((stop - start, n_ind, 2), dtype=np.uint16)
-    errbuf = ctypes.create_string_buffer(256)
-    err = ctypes.c_int(0)
-    rc = lib.nd_read_geno_pack16(
-        path.encode(), int(in_logscale), n_ind, n_sites, start, stop,
-        _native.as_uint16_ptr(out), errbuf, len(errbuf), ctypes.byref(err),
-    )
-    if rc == 2:
-        return None
-    if rc != 0:
-        raise NgsDistError("read_geno", errbuf.value.decode(),
-                           err=err.value)
-    return out
+    return _fused_pack_read("nd_read_geno_pack16", np.uint16,
+                            _native.as_uint16_ptr, path, in_logscale,
+                            n_ind, n_sites, site_range)
 
 
 def is_raw_seekable_binary(path: str) -> bool:

@@ -1116,20 +1116,26 @@ static void *nd_pack_worker(void *arg) {
       done += r;
     }
     if (j->mode == ND_FUSED_CODES && !j->in_logscale) {
-      /* Libm-free fast path: log is strictly monotone on (0, inf),
-       * so the log-normalized argmax / all-equal classification of a
+      /* Libm-free fast path: log is strictly monotone on (0, inf), so
+       * the log-normalized argmax / all-equal classification of a
        * NORMAL-SPACE triple equals the classification of the raw
-       * doubles — the 9 libm calls per triple (log x3, logsumexp,
-       * exp x3) contribute nothing to the code.  Only anomalous
-       * triples (NaN input, a negative component, or an all-zero sum
-       * whose logsumexp would be -inf) need the staged arithmetic to
-       * reproduce the reference's NaN fatal and its errno, so the
-       * slab falls back wholesale when the anomaly scan trips
-       * (anomalies are fatal anyway — cost is irrelevant). */
+       * doubles — EXCEPT within rounding distance of a tie: distinct
+       * doubles can share a rounded log (adjacent doubles collide
+       * ~6% of the time around 1/3-0.5), which in the staged path
+       * turns a strict order into a first-argmax tie or a near-
+       * uniform triple into the all-equal missing code.  Per-triple
+       * guard: when the max-min relative spread is below 1e-12
+       * (thousands of ulps above any possible log collision), the
+       * triple takes the staged arithmetic so the emitted code is
+       * bit-identical to the preprocess+derive route.  Anomalous
+       * SLABS (NaN/inf input, negative component, all-zero sum —
+       * log/normalize would produce the reference's NaN fatal) fall
+       * back wholesale (anomalies are fatal anyway). */
       int anomaly = 0;
       for (int64_t t = 0; t < nt && !anomaly; t++) {
         double *p = scratch + 3 * t;
         if (isnan(p[0]) || isnan(p[1]) || isnan(p[2]) ||
+            isinf(p[0]) || isinf(p[1]) || isinf(p[2]) ||
             p[0] < 0 || p[1] < 0 || p[2] < 0 ||
             p[0] + p[1] + p[2] == 0.0)
           anomaly = 1;
@@ -1143,10 +1149,33 @@ static void *nd_pack_worker(void *arg) {
             if (p[k] > mx) { mx = p[k]; max_pos = k; }
             if (p[k] < mn) { mn = p[k]; min_pos = k; }
           }
+          /* second-largest: the argmax can only flip when the TOP-2
+           * collide in log space (and all-equal needs the full spread
+           * to collide, which the top-2 gap subsumes: mx-mn >= mx-p2) */
+          double second = -INFINITY;
+          for (int k = 0; k < 3; k++)
+            if (k != max_pos && p[k] > second) second = p[k];
           unsigned char c = (unsigned char)max_pos;
           if (p[min_pos] == p[max_pos]) {
             c = 3;
             j->any_missing = 1;
+          } else if (mx - second < 1e-12 * mx || mx < 1e-300) {
+            /* near-tie (or near-subnormal, where the guard product
+             * underflows): classify via the exact staged arithmetic */
+            double q[3] = {p[0], p[1], p[2]};
+            nd_log_array(q, ND_NGENO);
+            nd_postprob3(q, 1);
+            int mp = 0, np_ = 0;
+            double qmx = -INFINITY, qmn = INFINITY;
+            for (int k = 0; k < 3; k++) {
+              if (q[k] > qmx) { qmx = q[k]; mp = k; }
+              if (q[k] < qmn) { qmn = q[k]; np_ = k; }
+            }
+            c = (unsigned char)mp;
+            if (q[np_] == q[mp]) {
+              c = 3;
+              j->any_missing = 1;
+            }
           }
           j->outc[t0 + t] = c;
         }

@@ -135,6 +135,11 @@ def upload16_enabled(dtype) -> bool:
     upload23_enabled; this picks the lane width."""
     if np.dtype(dtype) != np.float32:
         return False
+    if not upload23_enabled(dtype):
+        # the uint16 lane is only reachable through the 2-component
+        # path; NGSDIST_UPLOAD23=0 disables both (keeps byte-accounting
+        # consumers like bench._bytes_per_triple honest too)
+        return False
     mode = os.environ.get("NGSDIST_UPLOAD16", "auto")
     if mode == "0":
         return False

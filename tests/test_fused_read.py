@@ -507,3 +507,30 @@ def test_runner_end_to_end_u16(tmp_path, monkeypatch, f32_engine):
 
     f32 = run("staged32", "0", "0")
     assert np.abs(mat(fused_u16) - mat(f32)).max() < 5e-5
+
+
+def test_codes_near_tie_log_collision(tmp_path):
+    """Rounding-collision regression (round-5 review): distinct raw
+    doubles can share a rounded log, so the staged log-space
+    classification sees a first-argmax tie where raw-space comparison
+    sees strict order.  The libm-free fast path must route such
+    near-ties through the exact staged arithmetic — fused and staged
+    codes stay bit-identical."""
+    S, N = 64, 4
+    rng = np.random.default_rng(3)
+    g = rng.exponential(size=(S, N, 3))
+    g /= g.sum(-1, keepdims=True)
+    a = 0.333789750028358  # log(a) == log(nextafter(a, 1)) in f64
+    b = np.nextafter(a, 1.0)
+    g[0, 0] = [a, b, 1.0 - a - b]          # top-2 adjacent doubles
+    g[1, 1] = [b, a, 1.0 - a - b]          # reversed order
+    g[2, 2] = [a, a, 1.0 - 2 * a]          # exact tie (first argmax)
+    g[3, 3] = [1 / 3, np.nextafter(1 / 3, 1.0), 1 / 3]  # near-uniform
+    g[4, 0] = [0.5, np.nextafter(0.5, 0.0), # tie just below the guard
+               0.5 - np.nextafter(0.5, 0.0)]
+    path = os.path.join(str(tmp_path), "tie.bin")
+    g.astype(np.float64).tofile(path)
+    fused = readers.read_geno_codes(path, False, N, S)
+    assert fused is not None
+    _, (codes, _lut) = _staged_codes(path, False, N, S)
+    np.testing.assert_array_equal(fused[0], codes)
