@@ -494,6 +494,29 @@ def _scatter_pairs(vals: np.ndarray, I: np.ndarray, J: np.ndarray, n_ind: int) -
     return out
 
 
+def _em_zero_rows(P, include=None):
+    """Per-individual presence of DATA-BORNE all-zero triples [N] bool
+    among the included sites.  Empty-line text sites parse to (0,0,0)
+    triples; on the EM path WITHOUT pairwise deletion the reference
+    runs em2 on them anyway, whose zero 9-cell weight matrix drives the
+    loglik to NaN — poisoning every pair that touches the individual
+    at an included site (ngsDist.cpp:348-349 + emOptim2.cpp loglik;
+    under pairwise deletion miss_data skips them, so no poison).  The
+    engines' kernels EXCLUDE zero rows, so parity needs the poison
+    re-applied after the fact (round-5 fuzz trial 302)."""
+    Z = jnp.all(P == 0, axis=-1)
+    if include is not None:
+        Z = Z & include[:, None]
+    return jnp.any(Z, axis=0)
+
+
+def _em_poison_pairs(raw_v, z, I, J):
+    """NaN the pair-vector entries whose either member has a zero row
+    (see _em_zero_rows)."""
+    bad = z[I] | z[J]
+    return jnp.where(bad, jnp.asarray(jnp.nan, raw_v.dtype), raw_v)
+
+
 def em_suffstats(
     P: jnp.ndarray,
     score9: jnp.ndarray,
@@ -661,6 +684,15 @@ def iter_replicates(
                 return raw, cnt, None, None
             B, C = indep_block_partials(Psub, score, pars.pairwise_del, n_blocks, block_size)
             return None, None, B, C
+        def em_poison(raw_v):
+            # reference parity for data-borne zero rows (_em_zero_rows)
+            if pars.pairwise_del:
+                return raw_v
+            inc = (None if site_weights is None
+                   else jnp.asarray(site_weights, Psub.dtype) > 0)
+            return _em_poison_pairs(raw_v, _em_zero_rows(Psub, inc),
+                                    jnp.asarray(I), jnp.asarray(J))
+
         if n_blocks is None and pallas != "off":
             # Weighted or not, EM stats run on the kernel: per-site
             # weights stream as a [site_tile, 1] block, so bootstrap
@@ -671,11 +703,14 @@ def iter_replicates(
                 Psub, score9, pars.pairwise_del, site_weights=site_weights,
                 interpret=interp,
             )
-            return raw_m[I, J], cnt_m[I, J], None, None
-        return em_suffstats(
+            return em_poison(raw_m[I, J]), cnt_m[I, J], None, None
+        raw, cnt, B, C = em_suffstats(
             Psub, score9, pars.pairwise_del,
             site_weights=site_weights, n_blocks=n_blocks, block_size=block_size,
         )
+        if n_blocks is None:
+            raw = em_poison(raw)
+        return raw, cnt, B, C
 
     def to_matrix(raw, cnt):
         raw, cnt = _fetch_pair(raw, cnt)
@@ -798,6 +833,19 @@ def iter_replicates(
                                precision=jax.lax.Precision.HIGHEST)
             cnt_r = None if C is None else jnp.einsum("rb,bp->rp", M, C, preferred_element_type=dtype,
                                                           precision=jax.lax.Precision.HIGHEST)
+            if not pars.pairwise_del:
+                # per-BLOCK zero-row flags (the partials stay clean so
+                # unsampled blocks cannot poison); a replicate is
+                # poisoned exactly where it SAMPLES a zero-row block
+                # (_em_zero_rows parity)
+                zrow = jnp.all(jnp.asarray(P[:n_trunc]) == 0, axis=-1)
+                zB = jnp.any(zrow.reshape(n_blocks, block_size, N), axis=1)
+                z_rep = jnp.einsum("rb,bn->rn", (M > 0).astype(dtype),
+                                   zB.astype(dtype)) > 0
+                Ii, Jj = jnp.asarray(I), jnp.asarray(J)
+                bad = z_rep[:, Ii] | z_rep[:, Jj]
+                raw_r = jnp.where(bad, jnp.asarray(jnp.nan, raw_r.dtype),
+                                  raw_r)
         else:
             raw_r = jnp.einsum("rb,bij->rij", M, B, preferred_element_type=dtype,
                                precision=jax.lax.Precision.HIGHEST)
@@ -1098,6 +1146,7 @@ def _iter_replicates_sharded(
                     and pm.pairs_size(mesh) == 1)
 
     B = C = None
+    em_zb = None  # [n_blocks, N] zero-row flags for replicate poisoning
     if not pars.indep_geno and use_partials:
         # EM path: one sharded pass yields rep-0 stats AND block partials.
         raw, cnt, B, C = pm.sharded_suffstats(
@@ -1105,6 +1154,18 @@ def _iter_replicates_sharded(
             n_blocks=n_blocks, block_size=block_size, dtype=dtype, n_sites=S,
             may_zero=not pars.in_bin,
         )
+        if not pars.pairwise_del:
+            # the partials pass skips _em_local's zero-row poison so
+            # unsampled blocks stay clean; recompute the flags here
+            # from the sharded array (_em_zero_rows parity)
+            zrow = np.asarray(jnp.all(arr == 0, axis=-1)[:S])  # [S, N]
+            em_zb = zrow[:n_blocks * block_size].reshape(
+                n_blocks, block_size, N).any(axis=1)
+            z0 = zrow.any(axis=0)
+            raw = np.asarray(raw, np.float64).copy()
+            bad0 = (z0[I] | z0[J]) if raw.ndim == 1 else None
+            if bad0 is not None:
+                raw[bad0] = np.nan
         if start_rep == 0:
             raw_m, cnt_m = to_matrix(raw, None if not pars.pairwise_del else cnt)
             denom = cnt_m if pars.pairwise_del else float(S)
@@ -1131,10 +1192,22 @@ def _iter_replicates_sharded(
                 may_zero=not pars.in_bin,
             )
         raw_r, cnt_r = pm.bootstrap_replicates(table, B, C, n_blocks, mesh)
+        mult = bt.block_multiplicity(table, n_blocks) if em_zb is not None \
+            else None
         for r in range(n_reps):
             if r + 1 < start_rep:
                 continue
-            raw_m, cnt_m = to_matrix(raw_r[r], None if cnt_r is None else cnt_r[r])
+            raw_rr = raw_r[r]
+            if em_zb is not None:
+                # replicate poisoned exactly where it SAMPLES a block
+                # containing a zero row (_em_zero_rows parity)
+                z = em_zb[mult[r] > 0].any(axis=0) if (mult[r] > 0).any() \
+                    else np.zeros((N,), bool)
+                bad = z[I] | z[J]
+                if bad.any():
+                    raw_rr = np.asarray(raw_rr, np.float64).copy()
+                    raw_rr[bad] = np.nan
+            raw_m, cnt_m = to_matrix(raw_rr, None if cnt_r is None else cnt_r[r])
             denom = cnt_m if pars.pairwise_del else float(n_trunc)
             yield _finalize(raw_m, denom, pars, on_stats)
     else:

@@ -337,6 +337,19 @@ def _em_local(Pl, ml, wl, score9, I, J, pairwise_del: bool, tile: int,
     on a 2-D mesh each pairs-coordinate computes only its own block
     sublist (IBl/JBl) and extracts its own pair slice."""
     dtype = Pl.dtype
+
+    def zero_row_poison(raw_local):
+        # Reference parity for data-borne all-zero triples on the
+        # !pairwise_del EM path (distance._em_zero_rows): poison the
+        # LOCAL pair partial where either member has an included zero
+        # row in THIS shard — NaN then rides the psum to every shard.
+        if pairwise_del:
+            return raw_local
+        inc = (ml > 0) & (wl > 0)
+        z = jnp.any(jnp.all(Pl == 0, axis=-1) & inc[:, None], axis=0)
+        bad = z[I] | z[J]
+        return jnp.where(bad, jnp.asarray(jnp.nan, dtype), raw_local)
+
     if use_pallas and not want_blocks:
         from ..ops.pallas_em import em_raw_cnt_pallas
 
@@ -351,7 +364,7 @@ def _em_local(Pl, ml, wl, score9, I, J, pairwise_del: bool, tile: int,
         raw_m, cnt_m = em_raw_cnt_pallas(Pl, score9, pairwise_del,
                                          site_weights=wl, vma=vma,
                                          blocks=blocks)
-        raw = jax.lax.psum(raw_m[I, J], AXIS)
+        raw = jax.lax.psum(zero_row_poison(raw_m[I, J]), AXIS)
         cnt = jax.lax.psum(cnt_m[I, J], AXIS)
         return raw, cnt
     Sl = Pl.shape[0]
@@ -392,6 +405,8 @@ def _em_local(Pl, ml, wl, score9, I, J, pairwise_del: bool, tile: int,
     axes = (AXIS, PAIRS) if n_pairs_axis > 1 else (AXIS,)
     zero = _to_varying(jnp.zeros((n_pairs,), dtype), axes)
     (raw, cnt), ys = jax.lax.scan(body, (zero, zero), (Pt, mt, wt))
+    if not want_blocks:  # block partials stay clean (resummation
+        raw = zero_row_poison(raw)  # poisons per sampled replicate)
     raw = jax.lax.psum(raw, AXIS)
     cnt = jax.lax.psum(cnt, AXIS)
     if want_blocks:

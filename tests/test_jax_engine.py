@@ -164,3 +164,57 @@ def test_em_overlap_stream_matches_resident(monkeypatch):
     # shape; chunking moves results within the same class (a property
     # the budget-forced chunked path has always had).
     np.testing.assert_allclose(overlap[0], resident[0], rtol=0, atol=4e-4)
+
+
+def test_em_zero_site_nan_parity(tmp_path, monkeypatch):
+    """Empty-line text sites parse to (0,0,0) triples; on the EM path
+    WITHOUT pairwise deletion the reference em2's NaN loglik poisons
+    every pair at that site (ngsDist.cpp:348-349) — the whole matrix,
+    since an empty line zeroes all individuals.  The engines' kernels
+    exclude zero rows, so the poison is re-applied explicitly
+    (distance._em_zero_rows; round-5 fuzz trial 302).  Pinned across
+    the resident, partials-bootstrap, weighted-bootstrap and mesh
+    paths, against the bit-exact oracle."""
+    import gzip
+
+    from ngsdist_tpu import runner
+    from ngsdist_tpu.parallel import mesh as pm
+
+    rng = np.random.default_rng(9)
+    S, N = 60, 5
+    gp = rng.dirichlet(np.ones(3), size=(S, N))
+    path = str(tmp_path / "z.geno.gz")
+    with gzip.open(path, "wt") as fh:
+        for s in range(S):
+            fh.write("" if s == 17 else
+                     "\t".join(f"{x:.8f}" for x in gp[s].reshape(-1)))
+            fh.write("\n")
+
+    for pdel in (False, True):
+        for reps, mesh in [(0, None), (3, None), (0, pm.make_mesh(n_devices=4)),
+                           (3, pm.make_mesh(n_devices=4))]:
+            base = dict(in_geno=path, in_probs=True, n_ind=N, n_sites=S,
+                        seed=7, verbose=0, pairwise_del=pdel,
+                        n_boot_rep=reps, boot_block_size=10)
+            a = runner.run(Params(out=str(tmp_path / "a.dist"), **base),
+                           engine="exact")
+            b = runner.run(Params(out=str(tmp_path / "b.dist"), **base),
+                           engine="jax", mesh=mesh)
+            for ma, mb in zip(a, b):
+                np.testing.assert_array_equal(np.isnan(ma), np.isnan(mb),
+                                              err_msg=f"pdel={pdel} "
+                                              f"reps={reps} mesh={mesh}")
+                ok = ~np.isnan(ma)
+                np.testing.assert_allclose(mb[ok], ma[ok], rtol=0,
+                                           atol=1e-10)
+    # the weighted-recompute bootstrap path (partials budget forced off)
+    monkeypatch.setenv("NGSDIST_DEVICE_BUDGET", str(12 * N * 3 * 8))
+    base = dict(in_geno=path, in_probs=True, n_ind=N, n_sites=S, seed=7,
+                verbose=0, pairwise_del=False, n_boot_rep=2,
+                boot_block_size=10)
+    a = runner.run(Params(out=str(tmp_path / "a.dist"), **base),
+                   engine="exact")
+    b = runner.run(Params(out=str(tmp_path / "b.dist"), **base),
+                   engine="jax")
+    for ma, mb in zip(a, b):
+        np.testing.assert_array_equal(np.isnan(ma), np.isnan(mb))
