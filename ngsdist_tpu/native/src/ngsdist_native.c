@@ -1115,6 +1115,77 @@ static void *nd_pack_worker(void *arg) {
       }
       done += r;
     }
+    if (j->mode == ND_FUSED_PACK16 && !j->in_logscale) {
+      /* Libm-free fast path for the quantized lane: for NORMAL-SPACE
+       * triples, exp(log p - logsumexp) == p / sum in exact
+       * arithmetic; the f64 routes differ by <= ~3 ulps, which the
+       * rint(p * 65534) quantization absorbs EXCEPT within ~1e-11 of
+       * a half-integer boundary (and the EPSILON missing test within
+       * ~2e-16 of its threshold).  Per-triple guards route those
+       * measure-zero cases through the exact staged arithmetic, so
+       * the emitted codes stay bit-identical to the staged
+       * read -> preprocess -> pack16 route while the common case
+       * drops all 9 libm calls (the 1M-site e2e's 98 s parse
+       * residual).  Anomalous slabs (NaN/inf, negative, zero sum)
+       * fall back wholesale for the NaN-fatal parity. */
+      int anomaly = 0;
+      for (int64_t t = 0; t < nt && !anomaly; t++) {
+        double *p = scratch + 3 * t;
+        if (isnan(p[0]) || isnan(p[1]) || isnan(p[2]) ||
+            isinf(p[0]) || isinf(p[1]) || isinf(p[2]) ||
+            p[0] < 0 || p[1] < 0 || p[2] < 0 ||
+            p[0] + p[1] + p[2] == 0.0)
+          anomaly = 1;
+      }
+      if (!anomaly) {
+        for (int64_t t = 0; t < nt; t++) {
+          double *p = scratch + 3 * t;
+          double s = p[0] + p[1] + p[2];
+          double e0 = p[0] / s, e1 = p[1] / s, e2 = p[2] / s;
+          double d01 = e0 > e1 ? e0 - e1 : e1 - e0;
+          double d12 = e1 > e2 ? e1 - e2 : e2 - e1;
+          int guard = fabs(d01 - ND_EPSILON) < 1e-12 ||
+                      fabs(d12 - ND_EPSILON) < 1e-12;
+          unsigned short o0 = 0, o1 = 0;
+          if (!guard) {
+            if (d01 < ND_EPSILON && d12 < ND_EPSILON) {
+              double qm = ((e0 + e1 + e2) / 3.0) * ND_U16_ONE;
+              double fr = qm - floor(qm);
+              guard = fabs(fr - 0.5) < 1e-9;
+              o0 = (unsigned short)ND_PAD16;
+              o1 = (unsigned short)llrint(qm);
+            } else {
+              double q0 = e0 * ND_U16_ONE, q1 = e1 * ND_U16_ONE;
+              double f0 = q0 - floor(q0), f1 = q1 - floor(q1);
+              guard = fabs(f0 - 0.5) < 1e-9 || fabs(f1 - 0.5) < 1e-9;
+              o0 = (unsigned short)llrint(q0);
+              o1 = (unsigned short)llrint(q1);
+            }
+          }
+          if (guard) {
+            /* boundary case: the exact staged arithmetic decides */
+            double q[3] = {p[0], p[1], p[2]};
+            nd_log_array(q, ND_NGENO);
+            nd_postprob3(q, 1);
+            double g0 = exp(q[0]), g1 = exp(q[1]), g2 = exp(q[2]);
+            double gd01 = g0 > g1 ? g0 - g1 : g1 - g0;
+            double gd12 = g1 > g2 ? g1 - g2 : g2 - g1;
+            if (gd01 < ND_EPSILON && gd12 < ND_EPSILON) {
+              o0 = (unsigned short)ND_PAD16;
+              o1 = (unsigned short)llrint(((g0 + g1 + g2) / 3.0) *
+                                          ND_U16_ONE);
+            } else {
+              o0 = (unsigned short)llrint(g0 * ND_U16_ONE);
+              o1 = (unsigned short)llrint(g1 * ND_U16_ONE);
+            }
+          }
+          unsigned short *o = j->out16 + 2 * (t0 + t);
+          o[0] = o0;
+          o[1] = o1;
+        }
+        continue;
+      }
+    }
     if (j->mode == ND_FUSED_CODES && !j->in_logscale) {
       /* Libm-free fast path: log is strictly monotone on (0, inf), so
        * the log-normalized argmax / all-equal classification of a

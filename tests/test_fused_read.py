@@ -534,3 +534,29 @@ def test_codes_near_tie_log_collision(tmp_path):
     assert fused is not None
     _, (codes, _lut) = _staged_codes(path, False, N, S)
     np.testing.assert_array_equal(fused[0], codes)
+
+
+def test_pack16_fast_path_boundary_guards(tmp_path, monkeypatch):
+    """The libm-free pack16 fast path (direct p/sum normalize) must
+    stay bit-identical to the staged route even at its guard
+    boundaries: quantization products at half-integers, diffs at the
+    EPSILON missing threshold, and near-subnormal triples."""
+    monkeypatch.setenv("NGSDIST_UPLOAD16", "1")
+    S, N = 32, 3
+    rng = np.random.default_rng(5)
+    g = rng.exponential(size=(S, N, 3))
+    g /= g.sum(-1, keepdims=True)
+    # half-integer quantization product: p = (k + 0.5)/65534 exactly
+    g[0, 0] = [16383.5 / 65534, 0.5, 1 - 16383.5 / 65534 - 0.5]
+    # diffs exactly at / within ulps of the 1e-5 missing threshold
+    b = 1 / 3
+    g[1, 1] = [b + 1e-5, b, 1 - 2 * b - 1e-5]
+    g[2, 2] = [b + np.nextafter(1e-5, 0), b, 1 - 2 * b - 1e-5]
+    g[3, 0] = [1e-301, 2e-301, 1 - 3e-301]  # near-subnormal components
+    path = os.path.join(str(tmp_path), "b16.bin")
+    g.astype(np.float64).tofile(path)
+    fused = readers.read_geno_pack16(path, False, N, S)
+    staged = pack23(preprocess(
+        readers.read_geno(path, True, True, False, N, S), False, 0.0, 0.0),
+        np.float32, may_zero=False)
+    np.testing.assert_array_equal(staged, fused)
