@@ -494,6 +494,31 @@ def _scatter_pairs(vals: np.ndarray, I: np.ndarray, J: np.ndarray, n_ind: int) -
     return out
 
 
+def _stream_block_rows(n_rows: int, n_rounds: int, chunk: int, s_loc: int,
+                       n_dev: int, bs: int, n_blocks: int) -> np.ndarray:
+    """row -> TRUE global block id for pm.concat_block_rounds' layout
+    (device-major, rounds concatenated per device, per-round pad rows
+    in place); -1 marks pad rows and blocks >= n_blocks (truncation
+    tail / global padding).  Requires bs | chunk and bs | s_loc, which
+    the SiteStream planner guarantees (chunk and s_loc are block-size
+    multiples whenever bootstrap runs)."""
+    assert chunk % bs == 0 and s_loc % bs == 0, (chunk, s_loc, bs)
+    rows_per_dev = n_rows // n_dev
+    bpc = chunk // bs
+    lpb = s_loc // bs
+    out = np.full((n_rows,), -1, np.int64)
+    for d in range(n_dev):
+        for r in range(n_rounds):
+            for j in range(bpc):
+                lo = r * chunk + j * bs
+                if lo >= s_loc:
+                    continue
+                g = d * lpb + lo // bs
+                if g < n_blocks:
+                    out[d * rows_per_dev + r * bpc + j] = g
+    return out
+
+
 def _em_zero_rows(P, include=None):
     """Per-individual presence of DATA-BORNE all-zero triples [N] bool
     among the included sites.  Empty-line text sites parse to (0,0,0)
@@ -1039,15 +1064,21 @@ def _iter_replicates_sharded(
             return acc_raw, acc_cnt
 
         # Indep bootstrap over streamed rounds: ONE data pass yields
-        # per-block partial sums, concatenated per device across rounds
-        # — device shards and round chunks are block-aligned, so the
-        # concatenated order IS the true global block order, and tail
-        # sites [n_trunc, S) land in rows >= n_blocks that the
-        # resummation multiplicities zero out.  Every replicate is then
-        # a cheap resum instead of a full weighted data pass (R+1
-        # passes -> 1 + tail).  Durability is replicate-level on this
-        # path (no per-round sidecars: a kill recomputes the single
-        # pass; the replicates after it are nearly free).
+        # per-block partial sums, concatenated per device across rounds.
+        # The concatenated row order is DEVICE-MAJOR with per-round pad
+        # rows in place: row (d, r, j) covers global block
+        # d*(s_loc/bs) + (r*chunk + j*bs)/bs only while r*chunk + j*bs
+        # < s_loc — when the round chunk does not divide s_loc, the
+        # ragged last round leaves pad rows INSIDE each device's range,
+        # so positional multiplicity vectors silently drop trailing
+        # devices' blocks (round-5 routing fuzz trial 507: 5e-2 errors
+        # at chunk=3, s_loc=14).  _stream_block_rows builds the true
+        # row->block map and the resummation weights are PERMUTED into
+        # row order (pads and tail rows get weight 0).  Every replicate
+        # is then a cheap resum instead of a full weighted data pass
+        # (R+1 passes -> 1 + tail).  Durability is replicate-level on
+        # this path (no per-round sidecars: a kill recomputes the
+        # single pass; the replicates after it are nearly free).
         bs = pars.boot_block_size
         n_blocks_s = n_trunc // bs if n_reps else 0
         itemsize_s = 8 if dtype == jnp.float64 else 4
@@ -1075,17 +1106,30 @@ def _iter_replicates_sharded(
             B = pm.concat_block_rounds(B_rs, mesh)
             C = pm.concat_block_rounds(C_rs, mesh) if C_rs else None
 
+            # True row -> global block id of the device-major layout
+            # (-1 for in-round pad rows and blocks >= n_blocks_s, i.e.
+            # the truncation tail and global padding).
+            row2block = _stream_block_rows(
+                int(B.shape[0]), stream.n_rounds, stream.chunk,
+                stream.s_loc, pm.sites_size(mesh), bs, n_blocks_s)
+            valid_rows = row2block >= 0
+
+            def resum_true(M_true, X):
+                """resum_blocks with the [.., n_blocks_s] weight matrix
+                permuted into the concatenated row order."""
+                Mr = np.zeros((M_true.shape[0], int(X.shape[0])),
+                              np.float64)
+                Mr[:, valid_rows] = M_true[:, row2block[valid_rows]]
+                return np.asarray(
+                    pm.resum_blocks(jnp.asarray(Mr, X.dtype), X, mesh),
+                    np.float64)
+
             # rep 0 = sum of the real blocks + the truncation tail.
-            ones = np.zeros((1, int(B.shape[0])), np.float64)
-            ones[0, :n_blocks_s] = 1.0
-            raw0 = np.asarray(
-                pm.resum_blocks(jnp.asarray(ones, B.dtype), B, mesh),
-                np.float64)[0]
+            ones = np.ones((1, n_blocks_s), np.float64)
+            raw0 = resum_true(ones, B)[0]
             cnt0 = None
             if C is not None:
-                cnt0 = np.asarray(
-                    pm.resum_blocks(jnp.asarray(ones, C.dtype), C, mesh),
-                    np.float64)[0]
+                cnt0 = resum_true(ones, C)[0]
             if S > n_trunc:
                 tail_w = np.zeros((S,), np.float64)
                 tail_w[n_trunc:] = 1.0
@@ -1110,8 +1154,9 @@ def _iter_replicates_sharded(
                 denom = cnt_m if pars.pairwise_del else float(S)
                 yield _finalize(raw_m, denom, pars, on_stats)
             table = bt.block_index_table(pars.seed, n_reps, n_blocks_s)
-            raw_r, cnt_r = pm.bootstrap_replicates(table, B, C, n_blocks_s,
-                                                   mesh)
+            M_true = bt.block_multiplicity(table, n_blocks_s)
+            raw_r = resum_true(M_true, B)
+            cnt_r = None if C is None else resum_true(M_true, C)
             for r in range(n_reps):
                 if r + 1 < start_rep:
                     continue

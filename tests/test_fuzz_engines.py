@@ -270,10 +270,51 @@ def test_random_routing_gates_agree(tmp_path, trial, monkeypatch):
     assert len(want) == len(got)
     # uint16 quantization noise in raw/cnt is ~1.5e-5/sqrt(S) per pair;
     # the model-2 (K2P) log transform multiplies it by 1/(1-2P-Q)-style
-    # pole derivatives, so its bound is looser at these tiny fuzz S
-    atol = 3e-4 if kw["evol_model"] == 2 else 5e-5
+    # pole derivatives, so its bound is looser at these tiny fuzz S.
+    # EM-path draws (no indep, no call_geno) carry the f32 EM
+    # convergence-plateau class on top: chunk/round grouping moves
+    # where each lane stops on the tole=1e-3 loglik plateau (~1e-4;
+    # see test_jax_engine.test_em_overlap_stream_matches_resident).
+    em_path = not kw.get("indep_geno") and not kw.get("call_geno")
+    atol = 4e-4 if em_path else (3e-4 if kw["evol_model"] == 2 else 5e-5)
     for ma, mb in zip(want, got):
         np.testing.assert_allclose(
             mb, ma, rtol=0, atol=atol,
             err_msg=f"{kw} mesh={mesh is not None} env="
                     f"{ {k: os.environ.get(k) for k in ('NGSDIST_FUSED_READ', 'NGSDIST_UPLOAD16', 'NGSDIST_CODED_UPLOAD', 'NGSDIST_HOST_BUDGET', 'NGSDIST_DEVICE_BUDGET') } }")
+
+
+@pytest.mark.parametrize("budget_sites,bs", [(3, 1), (5, 1), (9, 2), (5, 4)])
+def test_streamed_partials_ragged_chunks(tmp_path, monkeypatch,
+                                         budget_sites, bs):
+    """Streamed indep-bootstrap block partials with round chunks that
+    do NOT divide the per-device shard (round-5 routing fuzz trial
+    507): the device-major concatenated layout leaves per-round pad
+    rows inside each device's range, and the resummation weights must
+    be permuted by the true row->block map (distance._stream_block_rows)
+    — positional vectors silently dropped trailing devices' blocks
+    (5e-2 errors).  Exact-oracle parity across ragged chunk/block
+    geometries."""
+    import jax
+
+    from ngsdist_tpu.parallel import mesh as pm
+
+    rng = np.random.default_rng(77)
+    S, N = 54, 6
+    path = str(tmp_path / "g.bin")
+    gp = rng.dirichlet(np.ones(3), size=(S, N))
+    gp.tofile(path)
+    base = dict(in_geno=path, in_probs=True, in_bin=True, n_ind=N,
+                n_sites=S, seed=4242, verbose=0, indep_geno=True,
+                pairwise_del=False, evol_model=1, n_boot_rep=3,
+                boot_block_size=bs)
+    a = runner.run(Params(out=str(tmp_path / "a.dist"), **base),
+                   engine="exact")
+    monkeypatch.setenv("NGSDIST_DEVICE_BUDGET",
+                       str(budget_sites * N * 3 * 8 * 2))
+    mesh = pm.make_mesh(n_devices=4)
+    b = runner.run(Params(out=str(tmp_path / "b.dist"), **base),
+                   engine="jax", mesh=mesh)
+    assert len(a) == len(b) == 4
+    for ma, mb in zip(a, b):
+        np.testing.assert_allclose(mb, ma, rtol=0, atol=1e-10)
