@@ -197,7 +197,9 @@ def test_random_config_upload23_agree(tmp_path, trial, monkeypatch):
     # threshold, moving that pair by the ~1e-4 convergence-plateau
     # class (fresh-seed soak trial 721); indep draws stay at the
     # reconstruction floor.
-    atol = 4e-4 if not kw.get("indep_geno") else 5e-6
+    em_path = not kw.get("indep_geno")
+    atol = 5e-6 if not em_path else (
+        2e-3 if kw["evol_model"] == 2 else 4e-4)  # plateau x JC69 pole
     for ma, mb in zip(out["0"], out["1"]):
         np.testing.assert_allclose(mb, ma, rtol=0, atol=atol,
                                    err_msg=f"{kw} mesh={mesh is not None}")
@@ -282,7 +284,9 @@ def test_random_routing_gates_agree(tmp_path, trial, monkeypatch):
     # where each lane stops on the tole=1e-3 loglik plateau (~1e-4;
     # see test_jax_engine.test_em_overlap_stream_matches_resident).
     em_path = not kw.get("indep_geno") and not kw.get("call_geno")
-    atol = 4e-4 if em_path else (3e-4 if kw["evol_model"] == 2 else 5e-5)
+    atol = (2e-3 if em_path and kw["evol_model"] == 2 else
+            4e-4 if em_path else
+            3e-4 if kw["evol_model"] == 2 else 5e-5)
     for ma, mb in zip(want, got):
         np.testing.assert_allclose(
             mb, ma, rtol=0, atol=atol,
