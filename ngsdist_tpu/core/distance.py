@@ -710,8 +710,11 @@ def iter_replicates(
             B, C = indep_block_partials(Psub, score, pars.pairwise_del, n_blocks, block_size)
             return None, None, B, C
         def em_poison(raw_v):
-            # reference parity for data-borne zero rows (_em_zero_rows)
-            if pars.pairwise_del:
+            # reference parity for data-borne zero rows (_em_zero_rows);
+            # binary inputs cannot contain one (every parsed row
+            # normalizes to sum 1), so skip the scan like pack23's
+            # may_zero gate
+            if pars.pairwise_del or pars.in_bin:
                 return raw_v
             inc = (None if site_weights is None
                    else jnp.asarray(site_weights, Psub.dtype) > 0)
@@ -858,15 +861,18 @@ def iter_replicates(
                                precision=jax.lax.Precision.HIGHEST)
             cnt_r = None if C is None else jnp.einsum("rb,bp->rp", M, C, preferred_element_type=dtype,
                                                           precision=jax.lax.Precision.HIGHEST)
-            if not pars.pairwise_del:
+            if not pars.pairwise_del and not pars.in_bin:
                 # per-BLOCK zero-row flags (the partials stay clean so
                 # unsampled blocks cannot poison); a replicate is
                 # poisoned exactly where it SAMPLES a zero-row block
-                # (_em_zero_rows parity)
+                # (_em_zero_rows parity; binary inputs skip the scan —
+                # they cannot contain zero rows).  {0,1} operands are
+                # exact at any precision; HIGHEST per the einsum rule.
                 zrow = jnp.all(jnp.asarray(P[:n_trunc]) == 0, axis=-1)
                 zB = jnp.any(zrow.reshape(n_blocks, block_size, N), axis=1)
                 z_rep = jnp.einsum("rb,bn->rn", (M > 0).astype(dtype),
-                                   zB.astype(dtype)) > 0
+                                   zB.astype(dtype),
+                                   precision=jax.lax.Precision.HIGHEST) > 0
                 Ii, Jj = jnp.asarray(I), jnp.asarray(J)
                 bad = z_rep[:, Ii] | z_rep[:, Jj]
                 raw_r = jnp.where(bad, jnp.asarray(jnp.nan, raw_r.dtype),
@@ -1044,6 +1050,7 @@ def _iter_replicates_sharded(
                     Pr, score, mesh, indep=pars.indep_geno,
                     pairwise_del=pars.pairwise_del, site_weights=wr,
                     dtype=dtype, n_sites=int(Pr.shape[0]),
+                    may_zero=not pars.in_bin,
                 )
                 if k + 1 < len(rounds):
                     nr = rounds[k + 1]
@@ -1199,10 +1206,11 @@ def _iter_replicates_sharded(
             n_blocks=n_blocks, block_size=block_size, dtype=dtype, n_sites=S,
             may_zero=not pars.in_bin,
         )
-        if not pars.pairwise_del:
+        if not pars.pairwise_del and not pars.in_bin:
             # the partials pass skips _em_local's zero-row poison so
             # unsampled blocks stay clean; recompute the flags here
-            # from the sharded array (_em_zero_rows parity)
+            # from the sharded array (_em_zero_rows parity; binary
+            # inputs cannot contain zero rows — skip the scan)
             zrow = np.asarray(jnp.all(arr == 0, axis=-1)[:S])  # [S, N]
             em_zb = zrow[:n_blocks * block_size].reshape(
                 n_blocks, block_size, N).any(axis=1)

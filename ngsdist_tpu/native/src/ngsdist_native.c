@@ -1128,14 +1128,19 @@ static void *nd_pack_worker(void *arg) {
        * drops all 9 libm calls (the 1M-site e2e's 98 s parse
        * residual).  Anomalous slabs (NaN/inf, negative, zero sum)
        * fall back wholesale for the NaN-fatal parity. */
-      int anomaly = 0;
+      int anomaly = 0, saw_zero = 0;
       for (int64_t t = 0; t < nt && !anomaly; t++) {
         double *p = scratch + 3 * t;
+        /* isinf(sum): finite components can still overflow the sum
+         * (p0 + p1 -> inf), which would silently normalize to
+         * (0,0,0) and mis-classify as missing — the staged route
+         * normalizes in log space and stays finite (review r05) */
         if (isnan(p[0]) || isnan(p[1]) || isnan(p[2]) ||
             isinf(p[0]) || isinf(p[1]) || isinf(p[2]) ||
             p[0] < 0 || p[1] < 0 || p[2] < 0 ||
-            p[0] + p[1] + p[2] == 0.0)
+            p[0] + p[1] + p[2] == 0.0 || isinf(p[0] + p[1] + p[2]))
           anomaly = 1;
+        if (p[0] == 0.0 || p[1] == 0.0 || p[2] == 0.0) saw_zero = 1;
       }
       if (!anomaly) {
         for (int64_t t = 0; t < nt; t++) {
@@ -1183,6 +1188,11 @@ static void *nd_pack_worker(void *arg) {
           o[0] = o0;
           o[1] = o1;
         }
+        /* errno parity: the staged normalize records ERANGE when
+         * log(0) underflows (zero components); the fast path skips
+         * log entirely, so mirror the state for the fatal-message
+         * perror suffix (readers.py err plumb) */
+        if (saw_zero) errno = ERANGE;
         continue;
       }
     }
@@ -1202,7 +1212,7 @@ static void *nd_pack_worker(void *arg) {
        * SLABS (NaN/inf input, negative component, all-zero sum —
        * log/normalize would produce the reference's NaN fatal) fall
        * back wholesale (anomalies are fatal anyway). */
-      int anomaly = 0;
+      int anomaly = 0, saw_zero = 0;
       for (int64_t t = 0; t < nt && !anomaly; t++) {
         double *p = scratch + 3 * t;
         if (isnan(p[0]) || isnan(p[1]) || isnan(p[2]) ||
@@ -1210,6 +1220,7 @@ static void *nd_pack_worker(void *arg) {
             p[0] < 0 || p[1] < 0 || p[2] < 0 ||
             p[0] + p[1] + p[2] == 0.0)
           anomaly = 1;
+        if (p[0] == 0.0 || p[1] == 0.0 || p[2] == 0.0) saw_zero = 1;
       }
       if (!anomaly) {
         for (int64_t t = 0; t < nt; t++) {
@@ -1250,6 +1261,9 @@ static void *nd_pack_worker(void *arg) {
           }
           j->outc[t0 + t] = c;
         }
+        /* errno parity with the staged normalize (see the pack16
+         * fast path's note) */
+        if (saw_zero) errno = ERANGE;
         continue;
       }
     }

@@ -329,7 +329,8 @@ def _indep_blocks_sharded(P_pad, mask, score, pairwise_del, block_size, mesh):
 
 def _em_local(Pl, ml, wl, score9, I, J, pairwise_del: bool, tile: int,
               block_size: int, want_blocks: bool, use_pallas: bool = False,
-              n_pairs_axis: int = 1, IBl=None, JBl=None):
+              n_pairs_axis: int = 1, IBl=None, JBl=None,
+              may_zero: bool = True):
     """Per-shard masked-EM reduction over local site tiles (mirrors
     core/distance._em_scan, but runs device-local under shard_map so the
     EM while_loop's trip count is local to this shard).  With use_pallas
@@ -340,15 +341,16 @@ def _em_local(Pl, ml, wl, score9, I, J, pairwise_del: bool, tile: int,
 
     def zero_row_poison(raw_local):
         # Reference parity for data-borne all-zero triples on the
-        # !pairwise_del EM path (distance._em_zero_rows): poison the
-        # LOCAL pair partial where either member has an included zero
-        # row in THIS shard — NaN then rides the psum to every shard.
-        if pairwise_del:
+        # !pairwise_del EM path: poison the LOCAL pair partial where
+        # either member has an included zero row in THIS shard — NaN
+        # then rides the psum to every shard.  may_zero=False (binary
+        # inputs, which cannot contain zero rows) skips the scan.
+        if pairwise_del or not may_zero:
             return raw_local
-        inc = (ml > 0) & (wl > 0)
-        z = jnp.any(jnp.all(Pl == 0, axis=-1) & inc[:, None], axis=0)
-        bad = z[I] | z[J]
-        return jnp.where(bad, jnp.asarray(jnp.nan, dtype), raw_local)
+        from ..core.distance import _em_poison_pairs, _em_zero_rows
+
+        z = _em_zero_rows(Pl, (ml > 0) & (wl > 0))
+        return _em_poison_pairs(raw_local, z, I, J)
 
     if use_pallas and not want_blocks:
         from ..ops.pallas_em import em_raw_cnt_pallas
@@ -419,16 +421,17 @@ def _em_local(Pl, ml, wl, score9, I, J, pairwise_del: bool, tile: int,
 @functools.partial(
     jax.jit,
     static_argnames=("pairwise_del", "tile", "block_size", "want_blocks",
-                     "mesh", "use_pallas"),
+                     "mesh", "use_pallas", "may_zero"),
 )
 def _em_sharded(P_pad, mask, w, score9, I, J, pairwise_del, tile,
                 block_size, want_blocks, mesh, use_pallas=False,
-                IBt=None, JBt=None):
+                IBt=None, JBt=None, may_zero=True):
     p = pairs_size(mesh)
     if p > 1 and use_pallas and not want_blocks:
         fn = lambda Pl, ml, wl, Il, Jl, IBl, JBl: _em_local(
             Pl, ml, wl, score9, Il, Jl, pairwise_del, tile, block_size,
             want_blocks, use_pallas, n_pairs_axis=p, IBl=IBl, JBl=JBl,
+            may_zero=may_zero,
         )
         return shard_map(
             fn, mesh=mesh,
@@ -438,7 +441,7 @@ def _em_sharded(P_pad, mask, w, score9, I, J, pairwise_del, tile,
         )(P_pad, mask, w, I, J, IBt, JBt)
     fn = lambda Pl, ml, wl, Il, Jl: _em_local(
         Pl, ml, wl, score9, Il, Jl, pairwise_del, tile, block_size,
-        want_blocks, use_pallas, n_pairs_axis=p,
+        want_blocks, use_pallas, n_pairs_axis=p, may_zero=may_zero,
     )
     # With a pairs axis the pair lists are sharded across it: each
     # device converges only its own pair slice.
@@ -915,7 +918,8 @@ def sharded_suffstats(
         IBt, JBt = _pair_block_tables_cached(N, p, choose_block(N))
     out = _em_sharded(Pp, mask, w, score9, I, J, pairwise_del, tile,
                       block_size if want_blocks else 1, want_blocks, mesh,
-                      use_pallas=em_pallas, IBt=IBt, JBt=JBt)
+                      use_pallas=em_pallas, IBt=IBt, JBt=JBt,
+                      may_zero=may_zero)
     if want_blocks:
         return out
     raw, cnt = out
@@ -927,10 +931,14 @@ def sharded_suffstats(
 
 def concat_block_rounds(parts, mesh: Mesh):
     """Concatenate per-round block partials PER DEVICE along the block
-    axis.  A global concatenate would interleave rounds across devices;
-    concatenating each device's rounds keeps its rows in local-site
-    order, so with contiguous site shards and block-aligned chunks the
-    global order equals the TRUE block order (1-D meshes only)."""
+    axis (1-D meshes only).  A global concatenate would interleave
+    rounds across devices; per-device concatenation keeps each device's
+    rows in local round order.  NOTE: the result is DEVICE-MAJOR with
+    any per-round pad rows IN PLACE — when the round chunk does not
+    divide the shard length, pad rows sit inside each device's range,
+    so positional multiplicity vectors are WRONG.  Consumers must
+    permute their resummation weights by the true row->block map
+    (core.distance._stream_block_rows; round-5 trial-507 bug)."""
     if len(parts) == 1:
         return parts[0]
     spec = P(AXIS, *([None] * (parts[0].ndim - 1)))
